@@ -1,0 +1,384 @@
+"""Driver-facing query catalog: Spark queries + DuckDB oracle SQL twins.
+
+Every reference query (SURVEY.md §2, Tasks A-H + WordCount) is instantiated
+here against the driver's synthetic star schema using the shape-analogue
+mapping in FIXTURES.md §3 — same operator tree, same semantic traps, so the
+DuckDB oracle exercises identical semantics. Beyond-reference pipeline
+operators (dedup / similarity / text analysis) register here too.
+
+Cross-engine determinism rules (the driver hash-compares values):
+- Alias every computed column identically in Spark and SQL.
+- No raw doubles from multi-row float aggregation in outputs (summation
+  order varies); integer counts, strings, and int/int divisions only.
+- Timestamps are truncated to seconds and emitted as formatted strings
+  (the parquet carries nanoseconds: Spark truncates to micros, DuckDB keeps
+  ns — raw values can never hash-match).
+- Epoch arithmetic uses second-truncated integers in both engines.
+- Any top-k has a total deterministic ORDER BY (tie-break on a key).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import social
+from ..sources.loaders import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a (spark, sf_dir) -> DataFrame query, optionally with its
+    ANSI-SQL DuckDB oracle twin. No oracle => driver runs rows-only check."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ===========================================================================
+# Reference parity: Tasks A-H + WordCount on the driver star schema
+# (FIXTURES.md §3 analogue mapping; semantics per SURVEY.md §2/§4)
+# ===========================================================================
+
+# --- Task A: constant filter + projection (map-only / shuffle-free) -------
+_TASK_A_NATION = "NATION_7"
+
+
+@query(
+    "task_a_filter_project",
+    oracle=f"""
+    SELECT c_name, c_mktsegment
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE n_name = '{_TASK_A_NATION}'
+    """,
+)
+def task_a_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference Task A (TaskA.java:21-45): Nationality='Russia' -> (Name,
+    Hobby). Analogue: customers of one nation -> (c_name, c_mktsegment).
+    nation is tiny => broadcast; the equality filter prunes it to 1 row
+    before broadcast, and column pruning reaches the customer scan."""
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == _TASK_A_NATION)
+    return (
+        customer.join(
+            F.broadcast(nation),
+            customer["c_nationkey"] == nation["n_nationkey"],
+        )
+        .select("c_name", "c_mktsegment")
+    )
+
+
+# --- Task B: grouped count + broadcast join (code-faithful: no limit) ------
+@query(
+    "task_b_page_counts",
+    oracle="""
+    SELECT p_partkey AS page_id, p_name AS page_name, COUNT(*) AS access_count
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_partkey, p_name
+    """,
+)
+def task_b_page_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference Task B (TaskB.java:20-68): per-page access counts joined to
+    the page dimension via distributed cache == broadcast hash join. Inner
+    join drops orphan ids (SURVEY trap #8). Aggregation runs BEFORE the join
+    so the shuffle carries one row per key, not per event."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    counts = lineitem.groupBy("l_partkey").agg(F.count("*").alias("access_count"))
+    return (
+        counts.join(
+            F.broadcast(part.select("p_partkey", "p_name")),
+            counts["l_partkey"] == F.col("p_partkey"),
+            "inner",
+        )
+        .select(
+            F.col("p_partkey").alias("page_id"),
+            F.col("p_name").alias("page_name"),
+            "access_count",
+        )
+    )
+
+
+# --- Task B (spec-faithful): top-10 pages ----------------------------------
+@query(
+    "task_b_top10_pages",
+    oracle="""
+    SELECT p_partkey AS page_id, p_name AS page_name, COUNT(*) AS access_count
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_partkey, p_name
+    ORDER BY access_count DESC, page_id ASC
+    LIMIT 10
+    """,
+)
+def task_b_top10_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """README's promised-but-unimplemented top-10 (SURVEY §2.5 O2).
+    Deterministic tie-break on page_id. Spark executes this as TakeOrdered
+    (per-partition top-k + merge), never a global sort."""
+    return task_b_page_counts(spark, sf_dir).orderBy(
+        F.desc("access_count"), F.asc("page_id")
+    ).limit(10)
+
+
+# --- Task C: grouped count --------------------------------------------------
+@query(
+    "task_c_nationality_counts",
+    oracle="""
+    SELECT n_name AS nationality, COUNT(*) AS citizens
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def task_c_nationality_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference Task C (TaskC.java:21-65): count(*) per nationality.
+    Pre-aggregate on the compact c_nationkey BEFORE joining the name
+    dimension: the shuffle key is an int, the join input is |nations| rows."""
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    per_key = customer.groupBy("c_nationkey").agg(F.count("*").alias("citizens"))
+    return (
+        per_key.join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            per_key["c_nationkey"] == F.col("n_nationkey"),
+        )
+        .select(F.col("n_name").alias("nationality"), "citizens")
+    )
+
+
+# --- Task D: in-degree with zero-fill (left join) ---------------------------
+@query(
+    "task_d_indegree",
+    oracle="""
+    SELECT s_suppkey, s_name, COALESCE(cnt, 0) AS ship_count
+    FROM supplier
+    LEFT JOIN (
+        SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_suppkey
+    ) d ON s_suppkey = l_suppkey
+    """,
+)
+def task_d_indegree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference Task D (TaskD.java:25-106): per-person friend in-degree,
+    people with zero in-edges included at 0 (trap #5 also: duplicate edges
+    count twice — plain count(*), no dedup). Analogue: lineitems per
+    supplier. The fact side is pre-aggregated to |suppliers| rows, then the
+    join is a broadcast of that aggregate."""
+    supplier = _t(spark, sf_dir, "supplier")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    indeg = lineitem.groupBy("l_suppkey").agg(F.count("*").alias("cnt"))
+    return (
+        supplier.select("s_suppkey", "s_name")
+        .join(indeg, supplier["s_suppkey"] == indeg["l_suppkey"], "left")
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("ship_count"),
+        )
+    )
+
+
+# --- Task E: count + countDistinct with zero-fill ----------------------------
+@query(
+    "task_e_activity",
+    oracle="""
+    SELECT c_custkey, c_name,
+           COALESCE(total, 0) AS total_orders,
+           COALESCE(dp, 0) AS distinct_priorities
+    FROM customer
+    LEFT JOIN (
+        SELECT o_custkey, COUNT(*) AS total,
+               COUNT(DISTINCT o_orderpriority) AS dp
+        FROM orders GROUP BY o_custkey
+    ) a ON c_custkey = o_custkey
+    """,
+)
+def task_e_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference Task E (TaskE.java:21-88): per-person total + distinct
+    accesses, zero-activity people at 0/0 (trap #6), orphan fact rows
+    dropped. count and countDistinct fused in ONE aggregation pass, as the
+    reference's single reducer does (TaskE.java:73-81)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    acc = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("total"),
+        F.countDistinct("o_orderpriority").alias("dp"),
+    )
+    return (
+        customer.select("c_custkey", "c_name")
+        .join(acc, customer["c_custkey"] == acc["o_custkey"], "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce(F.col("total"), F.lit(0)).alias("total_orders"),
+            F.coalesce(F.col("dp"), F.lit(0)).alias("distinct_priorities"),
+        )
+    )
+
+
+# --- Task F: per-key anti-join existence ------------------------------------
+@query(
+    "task_f_unvisited",
+    oracle="""
+    SELECT DISTINCT ap.o_custkey AS custkey, c.c_name
+    FROM (SELECT DISTINCT o_custkey, o_orderpriority FROM orders) ap
+    LEFT JOIN customer c ON ap.o_custkey = c.c_custkey
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders f
+        WHERE f.o_orderstatus = 'F'
+          AND f.o_custkey = ap.o_custkey
+          AND f.o_orderpriority = ap.o_orderpriority
+    )
+    """,
+)
+def task_f_unvisited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference Task F (TaskF.java:95-132): exists(friends(p) set-minus
+    accessed(p)) via distributed left_anti join on the composite key — no
+    per-key in-memory HashSets, no forced single reducer. Analogue: customers
+    holding an order priority they never used in an 'F'-status order.
+    Left join to the dimension keeps ids with missing names (trap #7)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    all_pairs = orders.select("o_custkey", "o_orderpriority").distinct()
+    f_pairs = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select(
+            F.col("o_custkey").alias("f_custkey"),
+            F.col("o_orderpriority").alias("f_priority"),
+        )
+        .distinct()
+    )
+    unvisited = all_pairs.join(
+        f_pairs,
+        (all_pairs["o_custkey"] == f_pairs["f_custkey"])
+        & (all_pairs["o_orderpriority"] == f_pairs["f_priority"]),
+        "left_anti",
+    )
+    ids = unvisited.select("o_custkey").distinct()
+    return ids.join(
+        customer.select("c_custkey", "c_name"),
+        ids["o_custkey"] == F.col("c_custkey"),
+        "left",
+    ).select(F.col("o_custkey").alias("custkey"), "c_name")
+
+
+# --- Task G: global-max staleness filter -------------------------------------
+_STALE_DAYS = 14
+
+
+@query(
+    "task_g_stale_users",
+    oracle=f"""
+    WITH last AS (
+        SELECT user_id,
+               MAX(ts) AS last_ts
+        FROM events GROUP BY user_id
+    ), ref AS (
+        SELECT MAX(ts) AS ref_ts FROM events
+    )
+    SELECT c_custkey, c_name,
+           strftime(date_trunc('second', last_ts), '%Y-%m-%d %H:%M:%S') AS last_access
+    FROM customer
+    LEFT JOIN last ON c_custkey = user_id
+    CROSS JOIN ref
+    WHERE last_ts IS NULL
+       OR FLOOR((epoch(date_trunc('second', ref_ts))
+               - epoch(date_trunc('second', last_ts))) / 86400) >= {_STALE_DAYS}
+    """,
+)
+def task_g_stale_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference Task G (TaskG.java two-job chain + driver scalar readback,
+    SURVEY §3.3): people never active, or last active >= 14 full 24h periods
+    before the global max event time. The global max is a 1-row aggregate
+    crossJoined (broadcast) — zero driver round-trips. Trap #3: truncating
+    day arithmetic (second-diff floor-div, not calendar datediff). Trap #4:
+    never-active users pass."""
+    customer = _t(spark, sf_dir, "customer")
+    events = _t(spark, sf_dir, "events")
+    last = events.groupBy("user_id").agg(F.max("ts").alias("last_ts"))
+    ref = events.agg(F.max("ts").alias("ref_ts"))
+    age_days = F.floor(
+        (F.col("ref_ts").cast("long") - F.col("last_ts").cast("long")) / 86400
+    )
+    return (
+        customer.select("c_custkey", "c_name")
+        .join(last, customer["c_custkey"] == last["user_id"], "left")
+        .crossJoin(F.broadcast(ref))
+        .filter(F.col("last_ts").isNull() | (age_days >= _STALE_DAYS))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_access"),
+        )
+    )
+
+
+# --- Task H: above-average degree --------------------------------------------
+@query(
+    "task_h_above_avg",
+    oracle="""
+    WITH deg AS (
+        SELECT o_custkey, COUNT(*) AS order_count
+        FROM orders GROUP BY o_custkey
+    ), a AS (
+        SELECT AVG(order_count) AS avg_cnt FROM deg
+    )
+    SELECT c_custkey, c_name, order_count
+    FROM deg JOIN customer ON o_custkey = c_custkey
+    CROSS JOIN a
+    WHERE order_count > avg_cnt
+    """,
+)
+def task_h_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference Task H (TaskH.java two-job chain): out-degree > average.
+    Trap #1: avg over people WITH >=1 edge (avg of the grouped counts), not
+    over all people. Trap #2: strictly greater. avg(bigint) = exact int sum /
+    exact int count in both engines => bit-identical double, so the filter
+    cannot diverge cross-engine."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    deg = orders.groupBy("o_custkey").agg(F.count("*").alias("order_count"))
+    avg_df = deg.agg(F.avg("order_count").alias("avg_cnt"))
+    return (
+        deg.join(
+            customer.select("c_custkey", "c_name"),
+            deg["o_custkey"] == F.col("c_custkey"),
+            "inner",
+        )
+        .crossJoin(F.broadcast(avg_df))
+        .filter(F.col("order_count") > F.col("avg_cnt"))
+        .select("c_custkey", "c_name", "order_count")
+    )
+
+
+# --- WordCount ----------------------------------------------------------------
+@query(
+    "wordcount",
+    oracle="""
+    SELECT word, COUNT(*) AS cnt
+    FROM (
+        SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word
+        FROM documents
+    )
+    WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference WordCount (WordCount.java:16-46) over documents.text:
+    whitespace tokenization, punctuation attached, empty tokens dropped.
+    Partial aggregation == the reference's combiner, automatic."""
+    docs = _t(spark, sf_dir, "documents")
+    return social.word_count(docs, column="text").select(
+        F.col("Word").alias("word"), F.col("Count").alias("cnt")
+    )

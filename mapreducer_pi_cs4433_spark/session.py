@@ -1,0 +1,61 @@
+"""SparkSession construction tuned for both local testing and cluster scale.
+
+The reference hand-tunes physical execution per job (map-only jobs, one
+reducer, distributed-cache joins — see SURVEY.md §4). Here a single session
+configuration lets Catalyst/AQE make those calls per-query instead:
+
+- AQE on: runtime partition coalescing, skew-join splitting, and
+  broadcast-join conversion replace the reference's hand-set reducer counts.
+- ``spark.sql.session.timeZone=UTC``: timestamps in the test parquet are
+  timezone-naive; pinning the session to UTC makes epoch arithmetic agree
+  with DuckDB's naive-as-UTC semantics regardless of host TZ.
+- Arrow enabled: any Pandas-UDF path (similarity, multimodal) transfers
+  columnar batches instead of pickled rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "mapreducer-pi-cs4433-spark",
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (defaults to all cores).
+    On a real cluster the ``master`` setting is supplied externally and the
+    local[] default is ignored via spark-submit.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    sp = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+    )
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable scale/parity conf to an externally-built session.
+
+    The correctness driver hands us its own SparkSession; only runtime-mutable
+    settings are touched (timezone for DuckDB parity, AQE for scale).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark

@@ -1,0 +1,98 @@
+"""Source connectors.
+
+Two families:
+
+1. Reference-domain CSVs (pages / friends / access_logs / corpus) — the
+   social-analytics dataset the reference's Tasks A-H run on. The reference
+   re-implements header skipping, malformed-row drops, and field trimming in
+   every mapper (SURVEY.md §2.1 S2/S3); here the CSV reader options plus one
+   normalization pass supply all three, split-safe.
+
+2. The driver's synthetic parquet star schema (TESTDATA.md) — plain
+   columnar scans. Parquet + explicit column selection downstream lets
+   Catalyst push filters/projections into the scan, which is the 100 TB
+   scale path (never load-then-filter in Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import (
+    ACCESS_LOGS_SCHEMA,
+    FRIENDS_SCHEMA,
+    PAGES_SCHEMA,
+    TRIM_COLUMNS,
+)
+
+
+def _trim(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One trim pass at load (SURVEY trap #9: values like ' Field' must
+    compare equal to 'Field' everywhere downstream)."""
+    return df.withColumns({c: F.trim(F.col(c)) for c in cols})
+
+
+def load_pages(spark: SparkSession, path: str) -> DataFrame:
+    """pages.csv -> DataFrame(PersonID, Name, Nationality, CountryCode, Hobby).
+
+    header=True replaces the reference's three hand-rolled header-skip
+    strategies (reference TaskA.java:25-28 stateful flag is subtly wrong on
+    multi-split files; the CSV reader is split-safe). mode=DROPMALFORMED
+    replaces the per-mapper field-count guards (reference TaskA.java:34-36).
+    """
+    df = (
+        spark.read.schema(PAGES_SCHEMA)
+        .option("header", True)
+        .option("mode", "DROPMALFORMED")
+        .csv(path)
+    )
+    return _trim(df, TRIM_COLUMNS["pages"])
+
+
+def load_friends(spark: SparkSession, path: str) -> DataFrame:
+    df = (
+        spark.read.schema(FRIENDS_SCHEMA)
+        .option("header", True)
+        .option("mode", "DROPMALFORMED")
+        .option("dateFormat", "yyyy-MM-dd")
+        .csv(path)
+    )
+    return _trim(df, TRIM_COLUMNS["friends"])
+
+
+def load_access_logs(spark: SparkSession, path: str) -> DataFrame:
+    """AccessTime parsed with the exact pattern the reference uses
+    (yyyy-MM-dd HH:mm:ss, reference TaskG.java:18); unparseable timestamps
+    become null and are excluded from max() just as the reference skips them
+    (TaskG.java:54-58)."""
+    df = (
+        spark.read.schema(ACCESS_LOGS_SCHEMA)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .csv(path)
+    )
+    return _trim(df, TRIM_COLUMNS["access_logs"])
+
+
+def load_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """WordCount input: one row per line, single column `value` (SURVEY §1.2)."""
+    return spark.read.text(path)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Driver star-schema parquet table (TESTDATA.md).
+
+    The events table carries TIMESTAMP(NANOS) — illegal for Spark's parquet
+    reader unless nanos are surfaced as long; they are then converted to a
+    proper microsecond TimestampType with exact integer division (a double
+    division at epoch-nanos magnitude loses ~256ns of precision).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
