@@ -34,7 +34,6 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, fn in sorted(QUERIES.items()):
         df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()  # warm (scan cache, JIT)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)

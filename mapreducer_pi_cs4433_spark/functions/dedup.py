@@ -1,0 +1,293 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Five strategies, each scale-shaped differently:
+
+- exact_dedup: hash-groupBy on the content — one shuffle keyed by a 128-bit
+  digest, the canonical 100 TB exact-dedup plan (shuffle moves (digest,
+  min_id), never the documents themselves).
+- ngram_jaccard_pairs: exact Jaccard over character shingles via a
+  shingle-inverted-index self-join — the *verification* layer; quadratic
+  only within shingle buckets.
+- minhash_lsh_pairs: MinHash signatures + banded LSH — the *candidate
+  generation* layer; candidate pairs are then verified with exact Jaccard,
+  so output precision is exact while cost stays near-linear.
+- simhash64: 64-bit SimHash fingerprints; near-dups differ in few bits.
+- embedding_neardup_pairs: cosine >= tau over embedding vectors, bucketed by
+  random-hyperplane LSH so the pair join never goes all-pairs.
+
+Plan-shape note (learned the hard way): array higher-order functions
+(transform/filter/aggregate) execute as interpreted CodegenFallback
+expressions — per-shingle work formulated over arrays hangs at corpus
+scale. Every shingle consumer therefore runs over
+text.exploded_shingles() — explode + relational aggregates, which stay
+inside whole-stage codegen. MinHash permutations re-hash the 8-byte shingle
+hash, so each shingle string is hashed exactly once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import exploded_shingles
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One representative (minimum id) per distinct content digest.
+
+    Grouping on md5(text) rather than the raw text keeps shuffle rows at
+    ~48 bytes regardless of document size; md5 collisions are negligible at
+    any realistic corpus size (2^-64 at ~10^10 docs).
+    Returns (digest, keep_id, dup_count).
+    """
+    return (
+        df.select(
+            F.md5(F.col(text_col)).alias("digest"), F.col(id_col).alias("_id")
+        )
+        .groupBy("digest")
+        .agg(
+            F.min("_id").alias("keep_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def _hashed_postings(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(id, h) — xxhash64 of each distinct shingle per doc. Joining on the
+    8-byte hash instead of the k-char string shrinks the shuffle and the
+    join comparisons; a 64-bit collision would perturb one intersection
+    count with probability ~(n_distinct^2)/2^65 — negligible."""
+    sh = exploded_shingles(df, text_col, id_col, k, distinct=True)
+    return sh.select("id", F.xxhash64("shingle").alias("h"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs: (id_a, id_b, jaccard) with
+    id_a < id_b and jaccard >= threshold.
+
+    Inverted-index plan: distinct (id, shingle-hash) postings self-join on
+    the hash (co-occurrence count = |A intersect B|), then Jaccard from the
+    per-doc distinct-shingle counts. Cost is sum over shingles of df(s)^2 —
+    quadratic per posting bucket, not per corpus. This is the exact
+    *verification-grade* operator; at corpus scale pair generation belongs
+    to minhash_lsh_pairs, which calls back into the same exact math for its
+    candidates only.
+
+    jaccard is an int/int double division — cross-engine deterministic.
+    """
+    posting = _hashed_postings(df, text_col, id_col, k).cache()
+    sizes = posting.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = posting.select(F.col("h"), F.col("id").alias("id_a"))
+    b = posting.select(F.col("h").alias("h_b"), F.col("id").alias("id_b"))
+    inter = (
+        a.join(b, (a["h"] == b["h_b"]) & (a["id_a"] < b["id_b"]))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_perm: int = 64,
+) -> DataFrame:
+    """(id, sig: array<bigint>[num_perm]) MinHash signatures over k-char
+    shingles. Permutation i is min over shingles of xxhash64(h, seed=i)
+    where h is the shingle's base hash — num_perm grouped MIN aggregates
+    over the exploded posting stream (whole-stage codegen), one shuffle
+    keyed by doc id. Duplicate shingles don't affect MIN, so the stream
+    skips the distinct pass."""
+    posting = exploded_shingles(df, text_col, id_col, k, distinct=False).select(
+        "id", F.xxhash64("shingle").alias("h")
+    )
+    sigs = posting.groupBy("id").agg(
+        *[F.min(F.xxhash64("h", F.lit(i))).alias(f"m{i}") for i in range(num_perm)]
+    )
+    return sigs.select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + banded LSH, verified exactly.
+
+    1. Signatures (one shuffle). 2. Explode into `bands` band-keys; docs
+    sharing any band key become candidates (equi-join on the band key — its
+    key space is uniform by construction). 3. Candidates are verified with
+    exact shingle-intersection Jaccard, so the output has no false
+    positives; LSH parameters control only recall/cost.
+
+    Returns (id_a, id_b, jaccard).
+    """
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, k, num_perm)
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("sig")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.bkey")
+    left = banded.select("band", "bkey", F.col("id").alias("id_a"))
+    right = banded.select(
+        F.col("band").alias("band_b"),
+        F.col("bkey").alias("bkey_b"),
+        F.col("id").alias("id_b"),
+    )
+    candidates = (
+        left.join(
+            right,
+            (left["band"] == right["band_b"])
+            & (left["bkey"] == right["bkey_b"])
+            & (left["id_a"] < right["id_b"]),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # exact verification of candidates only: intersection via two posting
+    # joins restricted to candidate pairs (relational, no array ops)
+    posting = _hashed_postings(df, text_col, id_col, k).cache()
+    sizes = posting.groupBy("id").agg(F.count("*").alias("n_sh"))
+    pa = posting.select(F.col("id").alias("id_a"), "h")
+    pb = posting.select(F.col("id").alias("_idb"), F.col("h").alias("h_b"))
+    inter = (
+        candidates.join(pa, "id_a")
+        .join(pb, (F.col("id_b") == F.col("_idb")) & (F.col("h") == F.col("h_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """64-bit SimHash per document: sign-sum of (distinct) shingle hash bits.
+
+    The 64 bit-votes are relational SUM aggregates over the exploded posting
+    stream (one shuffle keyed by doc id, 64 longs per doc); bit b of the
+    result is 1 iff more than half the shingles have bit b set. Near-dup
+    docs differ in few bits (compare with bit_count(a ^ b)).
+    Returns (id, simhash)."""
+    posting = _hashed_postings(df, text_col, id_col, k)
+    votes = posting.groupBy("id").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"v{b}")
+            for b in range(64)
+        ],
+    )
+    sim = None
+    for b in range(64):
+        bit = (
+            F.when(F.col(f"v{b}") * 2 > F.col("n"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        term = F.shiftleft(bit, b)
+        sim = term if sim is None else sim.bitwiseOR(term)
+    return votes.select("id", sim.alias("simhash"))
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    planes: int = 8,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= threshold.
+
+    Random-hyperplane LSH bucketing: each vector gets a `planes`-bit sign
+    key from fixed pseudo-random hyperplanes (deterministic, seeded by
+    dimension index); exact cosine is computed only within buckets. True
+    near-dups (cosine ~ 1) collide with probability (1 - theta/pi)^planes
+    ~= 0.9 per bucket at tau=0.95; for recall-critical runs lower `planes`
+    or union multiple bucketings. Returns (id_a, id_b, cosine).
+    """
+    from .similarity import sign_bucket
+
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(vec_d, F.lit(0.0), lambda a, x: a + x * x))
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        vec_d.alias("v"),
+        norm.alias("nrm"),
+        sign_bucket(vec_col, planes).alias("bucket"),
+    )
+    a = vecs.select(
+        F.col("bucket"),
+        F.col("id").alias("id_a"),
+        F.col("v").alias("v_a"),
+        F.col("nrm").alias("n_a"),
+    )
+    b_ = vecs.select(
+        F.col("bucket").alias("bucket_b"),
+        F.col("id").alias("id_b"),
+        F.col("v").alias("v_b"),
+        F.col("nrm").alias("n_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0), lambda a2, x: a2 + x
+    )
+    return (
+        a.join(b_, (a["bucket"] == b_["bucket_b"]) & (a["id_a"] < b_["id_b"]))
+        .withColumn("cosine", dot / (F.col("n_a") * F.col("n_b")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -382,3 +382,9 @@ def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return social.word_count(docs, column="text").select(
         F.col("Word").alias("word"), F.col("Count").alias("cnt")
     )
+
+
+# Register the beyond-reference pipeline queries (dedup / similarity / text
+# analysis / rollups / pi) into the same registry. Import is at module end so
+# extensions can import `query` from here without a circular-import trap.
+from . import extensions  # noqa: E402,F401  (registration side effect)

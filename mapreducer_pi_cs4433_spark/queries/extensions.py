@@ -1,0 +1,322 @@
+"""Beyond-reference catalog queries: LLM-pipeline operators + pi.
+
+Registered into the same QUERIES/ORACLE registry as the reference-parity
+queries. Oracle SQL is attached wherever the semantics are ANSI-expressible
+and cross-engine deterministic; approximate operators whose output depends
+on engine-private hashing (MinHash banding, SimHash, sign-LSH buckets) are
+rows-only — except minhash_lsh, whose exact-verification layer makes its
+output equal the exact Jaccard pairs whenever LSH recall is total (verified
+in tests at the driver's scale factors), so it shares the exact oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import dedup, similarity, text
+from ..pi import estimate_pi_df
+from .catalog import _t, query
+
+# shared near-dup calibration: 12-char shingles separate the planted
+# near-duplicate pairs (jaccard ~0.8+) from the word-salad background
+# (p99 ~0.03) in the synthetic corpus
+_SHINGLE_K = 12
+_JACCARD_T = 0.5
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))::BIGINT
+             AS n_tokens,
+           length(text)::BIGINT AS n_chars_actual
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token + char counts per document (narrow, zero-shuffle)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, text,
+               list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks,
+               length(text) AS nc
+        FROM documents
+    )
+    SELECT doc_id,
+           len(toks)::BIGINT AS n_tokens,
+           CASE WHEN len(toks) > 0
+                THEN list_sum(list_transform(toks, x -> length(x))) / len(toks)
+                ELSE 0.0 END AS avg_token_len,
+           CASE WHEN nc > 0
+                THEN (nc - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / nc
+                ELSE 0.0 END AS punct_ratio,
+           CASE WHEN len(toks) > 0
+                THEN len(list_filter(toks, x -> list_contains(
+                       ['the','and','of','to','is','in','that','it'], lower(x))))
+                     / len(toks)
+                ELSE 0.0 END AS stopword_ratio
+    FROM t
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring signals. All ratios are int/int divisions, so the
+    doubles are bit-identical cross-engine (no float aggregation)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.quality_features(docs).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "avg_token_len",
+        "punct_ratio",
+        "stopword_ratio",
+    )
+
+
+def _langid_oracle() -> str:
+    langs = sorted(text._LANG_MARKERS)
+    scores = ",\n           ".join(
+        "len(list_filter(toks, x -> list_contains([{m}], x)))::BIGINT AS score_{la}".format(
+            m=", ".join(f"'{w}'" for w in text._LANG_MARKERS[la]), la=la
+        )
+        for la in langs
+    )
+    greatest = ", ".join(f"score_{la}" for la in langs)
+    case = "\n                ".join(
+        f"WHEN score_{la} = greatest({greatest}) THEN '{la}'" for la in langs
+    )
+    return f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_transform(
+                 list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
+                 x -> lower(x)) AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id,
+           {scores}
+        FROM t
+    )
+    SELECT doc_id, {', '.join('score_' + la for la in langs)},
+           CASE {case} END AS lang_pred
+    FROM s
+    """
+
+
+@query("text_language_id", oracle=_langid_oracle())
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (argmax with deterministic tie-break)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = text.language_id(docs)
+    langs = sorted(text._LANG_MARKERS)
+    return out.select(
+        "doc_id",
+        *[F.col(f"score_{la}").cast("long").alias(f"score_{la}") for la in langs],
+        "lang_pred",
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_min(list_transform(
+               range(1, greatest(length(norm) - {_SHINGLE_K - 1}, 1) + 1),
+               i -> md5(substr(norm, i::INT, {_SHINGLE_K})))) AS fingerprint
+    FROM (SELECT doc_id, regexp_replace(text, '\\s+', ' ', 'g') AS norm
+          FROM documents)
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprint: min MD5 over char shingles. MD5 (not an
+    engine-private hash) so the oracle computes identical digests."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.fingerprint(docs, k=_SHINGLE_K).select("doc_id", "fingerprint")
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS dup_count
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content digest (shuffle carries 48-byte rows)."""
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+_NGRAM_JACCARD_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id, regexp_replace(text, '\\s+', ' ', 'g') AS norm
+        FROM documents
+    ), sh AS (
+        SELECT doc_id AS id,
+               unnest(list_distinct([substr(norm, i::INT, {_SHINGLE_K})
+                      for i in range(1, greatest(length(norm) - {_SHINGLE_K - 1}, 1) + 1)]))
+                 AS shingle
+        FROM d
+    ), sz AS (
+        SELECT id, count(*) AS n FROM sh GROUP BY id
+    ), i AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, c / (sa.n + sb.n - c) AS jaccard
+    FROM i JOIN sz sa ON id_a = sa.id JOIN sz sb ON id_b = sb.id
+    WHERE c / (sa.n + sb.n - c) >= {_JACCARD_T}
+    """
+
+
+@query("dedup_ngram_jaccard", oracle=_NGRAM_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shingle inverted index."""
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), k=_SHINGLE_K, threshold=_JACCARD_T
+    )
+
+
+@query("dedup_minhash_lsh", oracle=_NGRAM_JACCARD_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidates, exact-verified. Output equals the exact
+    Jaccard pairs as long as banding recall is total on this corpus
+    (64 perms / 16 bands: miss probability ~2e-4 per 0.8-pair; asserted
+    against the exact result in tests at the driver's scale factors)."""
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        k=_SHINGLE_K,
+        num_perm=64,
+        bands=16,
+        threshold=_JACCARD_T,
+    )
+
+
+@query("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints (rows-only: engine-private xxhash64)."""
+    return dedup.simhash64(_t(spark, sf_dir, "documents"), k=_SHINGLE_K)
+
+
+@query("dedup_embedding_neardup")
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via sign-LSH buckets (rows-only:
+    bucket assignment uses engine-private xxhash64)."""
+    return dedup.embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.95, planes=8
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .head()
+    )
+    return [float(x) for x in row[0]]
+
+
+@query(
+    "similarity_topk_bruteforce",
+    oracle="""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id AS id,
+           round(
+             list_sum(list_transform(range(1, len(embedding) + 1),
+                      i -> embedding[i]::DOUBLE * qv[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)))),
+             9) AS cosine_sim
+    FROM embeddings, q
+    ORDER BY cosine_sim DESC, id ASC
+    LIMIT 10
+    """,
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 to vec_id=0 (baseline ANN). The query vector is a
+    plan literal; ranking rounds to 9 decimals with an id tie-break so float
+    noise cannot reorder the set cross-engine."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+@query("similarity_topk_ivf")
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF/LSH-bucketed top-10 (scale path; rows-only: bucket hash is
+    engine-private). planes=4/hamming=1 probes 5/16 of the corpus — sized
+    for this corpus's weak neighbor structure (top-10 cosine ~0.3)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    index = similarity.build_ivf_index(emb, planes=4)
+    return similarity.ivf_topk(index, _query_vec(spark, sf_dir), k=10, planes=4)
+
+
+# ---------------------------------------------------------------------------
+# Time-series rollup over the events stream table
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_hourly_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-hour rollup per event type — the batch twin of the
+    streaming.windowed_rollup operator. Decimal summation keeps the
+    aggregate exact (and therefore cross-engine deterministic); a double
+    sum would depend on reduction order."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour_bucket"
+        ),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Monte Carlo pi (repo namesake; RDD workload)
+# ---------------------------------------------------------------------------
+
+
+@query("pi_estimate")
+def pi_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monte Carlo pi on the RDD path (rows-only; no SQL equivalent).
+    Deterministic per (seed, partitions)."""
+    return estimate_pi_df(spark, num_samples=1_000_000, partitions=32, seed=42)

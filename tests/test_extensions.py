@@ -1,0 +1,143 @@
+"""Extension-operator tests: dedup / similarity / text / pi properties that
+the DuckDB oracle can't express (approximate operators, RDD workloads)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreducer_pi_cs4433_spark.functions import dedup, similarity, text
+from mapreducer_pi_cs4433_spark.pi import estimate_pi
+from mapreducer_pi_cs4433_spark.queries.catalog import QUERIES
+from mapreducer_pi_cs4433_spark.sources.loaders import load_table
+
+from .conftest import SF_CORRECTNESS, SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMOKE, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_SMOKE, "embeddings").cache()
+
+
+# --- MinHash-LSH: the oracle-sharing claim -----------------------------------
+@pytest.mark.parametrize("sf_dir", [SF_SMOKE, SF_CORRECTNESS])
+def test_minhash_lsh_equals_exact_jaccard(spark, sf_dir):
+    """dedup_minhash_lsh shares dedup_ngram_jaccard's oracle; that is only
+    sound if LSH recall is total at the driver's scale factors. Assert it."""
+    exact = {
+        (r.id_a, r.id_b) for r in QUERIES["dedup_ngram_jaccard"](spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b) for r in QUERIES["dedup_minhash_lsh"](spark, sf_dir).collect()
+    }
+    assert lsh == exact, (
+        f"LSH recall not total: missing={exact - lsh} extra={lsh - exact}"
+    )
+    assert len(exact) > 0  # the corpus plants near-dup pairs; finding none is a bug
+
+
+def test_exact_dedup_properties(spark, docs):
+    out = dedup.exact_dedup(docs).collect()
+    n_docs = docs.count()
+    assert sum(r.dup_count for r in out) == n_docs
+    assert len({r.digest for r in out}) == len(out)
+
+
+def test_simhash_near_dups_have_close_hashes(spark, docs):
+    """Planted near-dup pairs (exact jaccard >= 0.5) must be much closer in
+    SimHash hamming distance than random pairs."""
+    pairs = dedup.ngram_jaccard_pairs(docs, k=12, threshold=0.5).collect()
+    assert pairs
+    sims = {r.id: r.simhash for r in dedup.simhash64(docs, k=12).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    dup_d = [ham(sims[p.id_a], sims[p.id_b]) for p in pairs]
+    ids = sorted(sims)[:40]
+    rand_d = [ham(sims[a], sims[b]) for a in ids for b in ids if a < b]
+    assert max(dup_d) < 16
+    assert sum(dup_d) / len(dup_d) < sum(rand_d) / len(rand_d) / 2
+
+
+def test_embedding_neardup_finds_self_similar(spark, emb):
+    out = dedup.embedding_neardup_pairs(emb, threshold=0.95, planes=8).collect()
+    for r in out:
+        assert r.cosine >= 0.95
+        assert r.id_a < r.id_b
+
+
+def test_brute_force_topk_math(spark, emb):
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head().embedding]
+    top = similarity.brute_force_topk(emb, qv, k=10).collect()
+    assert len(top) == 10
+    # self-similarity must rank first at 1.0
+    assert top[0].id == 0 and abs(top[0].cosine_sim - 1.0) < 1e-9
+    sims = [r.cosine_sim for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_topk_recall(spark, emb):
+    """IVF probe recall: this corpus's true top-10 neighbors are weak
+    (cosine ~0.3), so a planes=4/hamming=1 probe (31% scan) is calibrated
+    to roughly half recall; the self-vector must always be recovered."""
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head().embedding]
+    exact = [r.id for r in similarity.brute_force_topk(emb, qv, k=10).collect()]
+    index = similarity.build_ivf_index(emb, planes=4)
+    approx = [r.id for r in similarity.ivf_topk(index, qv, k=10, planes=4).collect()]
+    assert 0 in approx  # the query vector itself lives in the probed bucket
+    assert len(set(exact) & set(approx)) >= 3
+
+
+def test_pi_estimate(spark):
+    est = estimate_pi(spark, num_samples=2_000_000, partitions=16, seed=42)
+    assert abs(est - math.pi) < 0.01
+    # determinism at fixed (seed, partitions)
+    assert est == estimate_pi(spark, num_samples=2_000_000, partitions=16, seed=42)
+
+
+def test_token_functions(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,  world! WPI"), (2, ""), (3, "   "), (4, "one")],
+        "doc_id int, text string",
+    )
+    rows = {
+        r.doc_id: r.n
+        for r in df.select("doc_id", text.token_count("text").alias("n")).collect()
+    }
+    assert rows == {1: 3, 2: 0, 3: 0, 4: 1}
+    bpe = {
+        r.doc_id: r.n
+        for r in df.select(
+            "doc_id", text.bpe_ish_token_count("text").alias("n")
+        ).collect()
+    }
+    assert bpe[1] == 5  # Hello / , / world / ! / WPI
+    assert bpe[2] == 0 and bpe[4] == 1
+
+
+def test_quality_features_bounds(spark, docs):
+    out = text.quality_features(docs).select(
+        "doc_id", "punct_ratio", "stopword_ratio", "avg_token_len"
+    )
+    for r in out.collect():
+        assert 0.0 <= r.punct_ratio <= 1.0
+        assert 0.0 <= r.stopword_ratio <= 1.0
+        assert r.avg_token_len >= 0.0
+
+
+def test_language_id_deterministic_argmax(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of it"), (2, "der hund und die katze ist")],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r.lang_pred for r in text.language_id(df).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
