@@ -1,0 +1,138 @@
+"""Command-line surface mirroring the reference's job launcher.
+
+Reference usage (README.md:96):
+    hadoop jar CS4433_Project1.jar <TaskClass> <inputs...> <output>
+
+Here:
+    python -m mapreducer_pi_cs4433_spark.cli taskA <pages.csv> <out_dir>
+    python -m mapreducer_pi_cs4433_spark.cli taskB <access.csv> <pages.csv> <out_dir>
+    ... (taskA..taskH, wordcount, pi)
+
+Output is written as tab-separated text like the reference's part-r-* files,
+but partitioned (no forced single reducer — SURVEY.md §4 R8 is an
+anti-scale pattern; pass --single-file to coalesce when a small result
+wants one file). Task A's off-by-one argument quirk (TaskA.java:51,67) is
+deliberately NOT replicated.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import DataFrame
+
+from .operators import social
+from .session import get_spark
+from .sources import loaders
+
+
+def _write(df: DataFrame, out: str, single_file: bool) -> None:
+    if single_file:
+        df = df.coalesce(1)
+    # timestampFormat matches the reference's output rendering (TaskG.java:123)
+    df.write.mode("overwrite").option("sep", "\t").option(
+        "timestampFormat", "yyyy-MM-dd HH:mm:ss"
+    ).csv(out)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(
+        prog="mapreducer_pi_cs4433_spark",
+        description="PySpark re-implementation of the reference's analytics tasks",
+    )
+    p.add_argument("--single-file", action="store_true", help="coalesce output to one file")
+    sub = p.add_subparsers(dest="task", required=True)
+
+    sp = sub.add_parser("taskA", help="filter by nationality -> (Name, Hobby)")
+    sp.add_argument("pages")
+    sp.add_argument("out")
+    sp.add_argument("--nationality", default="Russia")
+
+    for name, inputs in [
+        ("taskB", ["access_logs", "pages"]),
+        ("taskC", ["pages"]),
+        ("taskD", ["pages", "friends"]),
+        ("taskE", ["pages", "access_logs"]),
+        ("taskF", ["pages", "friends", "access_logs"]),
+        ("taskG", ["pages", "access_logs"]),
+        ("taskH", ["pages", "friends"]),
+    ]:
+        sp = sub.add_parser(name)
+        for i in inputs:
+            sp.add_argument(i)
+        sp.add_argument("out")
+
+    sp = sub.add_parser("wordcount")
+    sp.add_argument("corpus")
+    sp.add_argument("out")
+
+    sp = sub.add_parser("pi")
+    sp.add_argument("--samples", type=int, default=1_000_000)
+    sp.add_argument("--partitions", type=int, default=32)
+    sp.add_argument("--seed", type=int, default=42)
+
+    args = p.parse_args(argv)
+    spark = get_spark(f"cli-{args.task}")
+
+    if args.task == "pi":
+        from .pi import estimate_pi
+
+        est = estimate_pi(spark, args.samples, args.partitions, args.seed)
+        print(f"pi is roughly {est}")
+        return 0
+
+    load = {
+        "pages": loaders.load_pages,
+        "friends": loaders.load_friends,
+        "access_logs": loaders.load_access_logs,
+    }
+
+    if args.task == "taskA":
+        df = social.filter_by_nationality(
+            load["pages"](spark, args.pages), args.nationality
+        )
+    elif args.task == "taskB":
+        df = social.page_access_counts(
+            load["access_logs"](spark, args.access_logs),
+            load["pages"](spark, args.pages),
+        )
+    elif args.task == "taskC":
+        df = social.nationality_counts(load["pages"](spark, args.pages))
+    elif args.task == "taskD":
+        df = social.friend_in_degree(
+            load["pages"](spark, args.pages), load["friends"](spark, args.friends)
+        )
+    elif args.task == "taskE":
+        df = social.activity_summary(
+            load["pages"](spark, args.pages),
+            load["access_logs"](spark, args.access_logs),
+        )
+    elif args.task == "taskF":
+        df = social.unvisited_friend_owners(
+            load["pages"](spark, args.pages),
+            load["friends"](spark, args.friends),
+            load["access_logs"](spark, args.access_logs),
+        )
+    elif args.task == "taskG":
+        df = social.stale_or_disconnected(
+            load["pages"](spark, args.pages),
+            load["access_logs"](spark, args.access_logs),
+        )
+    elif args.task == "taskH":
+        df = social.above_average_connectors(
+            load["pages"](spark, args.pages), load["friends"](spark, args.friends)
+        )
+    elif args.task == "wordcount":
+        df = social.word_count(loaders.load_corpus(spark, args.corpus))
+    else:  # pragma: no cover
+        p.error(f"unknown task {args.task}")
+        return 2
+
+    _write(df, args.out, args.single_file)
+    print(f"{args.task}: wrote {df.columns} to {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

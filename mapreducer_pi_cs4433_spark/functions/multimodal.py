@@ -1,0 +1,165 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Pattern for image/audio/video at 100 TB: the payload is an opaque `binary`
+column (or a reference into object storage) carried alongside a typed
+metadata struct; decode / feature-extraction / resize / frame-sampling run
+as Arrow-batched Pandas functions over ``mapInPandas`` so each Python worker
+touches a whole columnar batch at a time and the JVM never interprets the
+bytes.
+
+The media codec libraries (PIL/ffmpeg/torchaudio) are not available in this
+container, so the decode kernels are STUBS: ``decode_image`` raises
+NotImplementedError by design, and ``fake_decode_image`` is a deterministic
+stand-in that exercises the identical Spark-side plumbing — schema contract,
+batch iteration, partition behavior — which is the part this engine owns.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# (payload, media_type, width, height, n_bytes) — the metadata struct is
+# computed once at ingest so downstream filters prune on plain columns
+# without touching payload bytes.
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("media_type", StringType(), True),
+        StructField("n_bytes", LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), True),
+        StructField("n_bytes", LongType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("byte_entropy_q", IntegerType(), True),
+    ]
+)
+
+
+def attach_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Build a media table from a text corpus for plumbing tests: payload =
+    UTF-8 bytes of the text (a stand-in for image bytes), metadata derived
+    JVM-side. At ingest time a real pipeline computes the same struct from
+    the container format headers."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.lit("application/octet-stream").alias("media_type"),
+        F.length(F.encode(F.col(text_col), "UTF-8")).cast("long").alias("n_bytes"),
+    )
+
+
+def decode_image(payload: bytes) -> tuple[int, int]:
+    """Real decode kernel — requires an image codec library.
+
+    Stubbed: this container ships no PIL/opencv; swap this function for a
+    real decoder in production. The Spark-side plumbing (extract_features)
+    is identical either way.
+    """
+    raise NotImplementedError(
+        "image decoding requires a codec library (e.g. PIL); "
+        "use fake_decode_image for plumbing tests"
+    )
+
+
+def fake_decode_image(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in decoder: derives a fake (width, height) from
+    the payload bytes so tests exercise real batch plumbing with stable
+    outputs."""
+    if not payload:
+        return (0, 0)
+    w = 64 + (payload[0] % 192)
+    h = 64 + (payload[-1] % 192)
+    return (w, h)
+
+
+def extract_features(
+    media: DataFrame, decoder=None, batch_hint: int | None = None
+) -> DataFrame:
+    """Per-item media features via mapInPandas (Arrow batches).
+
+    The pandas iterator shape means one Python invocation per columnar
+    batch — not per row — and the output schema is fixed by FEATURE_SCHEMA
+    so the optimizer can prune downstream. `byte_entropy_q` is a quantized
+    byte-diversity score (0-100), a cheap stand-in for perceptual stats.
+
+    Serialization note: the shipped closure must be self-contained. A
+    module-level decoder travels by *reference* under cloudpickle, so the
+    executor worker would need this package on ITS import path — which the
+    launching environment doesn't guarantee. The default decoder is
+    therefore a local function (pickled by value); custom decoders must be
+    importable on executors or defined in __main__/locally by the caller.
+    """
+    import pandas as pd
+
+    if decoder is None:
+
+        def decoder(payload: bytes) -> tuple[int, int]:
+            # local twin of fake_decode_image: pickled by value, no import
+            # of this package needed on the executor side
+            if not payload:
+                return (0, 0)
+            return (64 + (payload[0] % 192), 64 + (payload[-1] % 192))
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            dims = pdf["payload"].map(lambda p: decoder(bytes(p or b"")))
+            uniq = pdf["payload"].map(
+                lambda p: 0 if not p else round(len(set(p)) * 100 / 256)
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["n_bytes"],
+                    "width": dims.map(lambda d: d[0]).astype("int32"),
+                    "height": dims.map(lambda d: d[1]).astype("int32"),
+                    "byte_entropy_q": uniq.astype("int32"),
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
+) -> DataFrame:
+    """Frame-sampling plumbing: emit up to max_frames fixed-stride slices of
+    each payload as (media_id, frame_no, frame_bytes). For video this is
+    keyframe sampling; here slices stand in for frames. One row explodes to
+    at most max_frames — bounded fan-out, safe at scale."""
+    idx = F.sequence(F.lit(0), F.lit(max_frames - 1))
+    return (
+        media.select(
+            "media_id",
+            "payload",
+            F.explode(idx).alias("frame_no"),
+        )
+        .filter(F.col("frame_no") * every_n_bytes < F.length("payload"))
+        .select(
+            "media_id",
+            "frame_no",
+            F.col("payload")
+            .substr(F.col("frame_no") * every_n_bytes + 1, F.lit(every_n_bytes))
+            .alias("frame_bytes"),
+        )
+    )

@@ -1,0 +1,132 @@
+"""Physical-plan shape assertions: the scale contract.
+
+Each reference hand-optimization (SURVEY.md §4 R1-R9) must be visible in
+the Catalyst physical plan of the corresponding query — these tests pin
+them so a refactor that silently loses a broadcast or a pushdown fails CI
+rather than melting at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreducer_pi_cs4433_spark.plans.inspect import (
+    count_exchanges,
+    formatted_plan,
+    has_broadcast_join,
+    pushed_filters,
+    scan_read_schemas,
+    whole_stage_codegen_ids,
+)
+from mapreducer_pi_cs4433_spark.queries.catalog import QUERIES
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _spark(spark):
+    return spark
+
+
+def test_task_a_is_narrow_with_pushdown(spark):
+    """Task A == map-only job (R3): filter+project must push to the scans
+    and the plan must contain no shuffle exchange at all."""
+    df = QUERIES["task_a_filter_project"](spark, SF_SMOKE)
+    assert count_exchanges(df) == 0
+    assert has_broadcast_join(df)  # nation dim rides a broadcast, not a shuffle
+    assert any("n_name" in f for f in pushed_filters(df))
+    # column pruning: customer scan must not read c_acctbal/c_custkey
+    schemas = scan_read_schemas(df)
+    assert any(
+        "c_name" in s and "c_acctbal" not in s and "c_custkey" not in s
+        for s in schemas
+    )
+
+
+def test_task_b_broadcast_join_and_single_shuffle(spark):
+    """Task B (R4): the dimension is broadcast (the distributed-cache join),
+    and the only shuffle is the pre-join aggregation of the fact side."""
+    df = QUERIES["task_b_page_counts"](spark, SF_SMOKE)
+    assert has_broadcast_join(df)
+    assert count_exchanges(df) == 1
+    # partial aggregation (the combiner, R5) present
+    assert formatted_plan(df).count("HashAggregate") >= 2
+
+
+def test_task_g_no_driver_roundtrip(spark):
+    """Task G: the global-max scalar must ride a broadcast join inside one
+    plan (replacing the reference's two jobs + driver readback, C2)."""
+    df = QUERIES["task_g_stale_users"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # two aggregations (per-user max + global max) over one cached/scanned
+    # source, but still a single submitted plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_task_h_average_broadcast(spark):
+    df = QUERIES["task_h_above_avg"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_wordcount_partial_aggregation(spark):
+    """R5: the combiner. Partial + final HashAggregate around one exchange."""
+    df = QUERIES["wordcount"](spark, SF_SMOKE)
+    assert count_exchanges(df) == 1
+    assert formatted_plan(df).count("HashAggregate") >= 2
+
+
+def test_topk_never_global_sorts(spark):
+    """The top-10 must plan as TakeOrderedAndProject (per-partition top-k +
+    merge), not a global sort of all groups."""
+    df = QUERIES["task_b_top10_pages"](spark, SF_SMOKE)
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_queries_stay_in_codegen(spark):
+    """Reference-parity queries must keep at least one whole-stage codegen
+    span and zero Python row UDFs (BatchEvalPython) in their plans.
+    AQE is disabled for the check: under AQE the `*(n)` codegen markers
+    only surface in the final (post-execution) plan."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name in [
+            "task_a_filter_project",
+            "task_c_nationality_counts",
+            "task_e_activity",
+            "task_g_stale_users",
+            "wordcount",
+        ]:
+            df = QUERIES[name](spark, SF_SMOKE)
+            plan = formatted_plan(df)
+            assert whole_stage_codegen_ids(df), name
+            assert "BatchEvalPython" not in plan, name
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_events_scan_prunes_columns(spark):
+    """The rollup over events must not read props/event_id from parquet."""
+    df = QUERIES["events_hourly_rollup"](spark, SF_SMOKE)
+    schemas = scan_read_schemas(df)
+    assert schemas and all("props" not in s and "event_id" not in s for s in schemas)
+
+
+def test_exact_dedup_single_shuffle(spark):
+    df = QUERIES["dedup_exact"](spark, SF_SMOKE)
+    assert count_exchanges(df) == 1
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    """P1-style constant filters must appear in PushedFilters on the scan."""
+    from mapreducer_pi_cs4433_spark.sources.loaders import load_table
+
+    df = load_table(spark, SF_SMOKE, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_custkey")
+    assert any("o_orderstatus" in f for f in pushed_filters(df))
+    assert any(
+        "o_custkey" in s and "o_totalprice" not in s for s in scan_read_schemas(df)
+    )
