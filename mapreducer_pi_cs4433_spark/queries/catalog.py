@@ -385,6 +385,7 @@ def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Register the beyond-reference pipeline queries (dedup / similarity / text
-# analysis / rollups / pi) into the same registry. Import is at module end so
-# extensions can import `query` from here without a circular-import trap.
-from . import extensions  # noqa: E402,F401  (registration side effect)
+# analysis / rollups / pi) and the OLAP suite into the same registry. Imports
+# are at module end so those modules can import `query` from here without a
+# circular-import trap.
+from . import extensions, olap  # noqa: E402,F401  (registration side effect)

@@ -1,0 +1,163 @@
+"""Classic OLAP queries (TPC-H-shaped) over the driver star schema.
+
+Beyond-reference breadth: the reference has no numeric aggregation, no
+multi-key grouping, no semi joins, and no multi-way join pipelines
+(SURVEY.md §2.4/§2.6 gaps); these queries add that coverage with DuckDB
+oracle twins, exercising Catalyst's join ordering, broadcast selection,
+partial aggregation, and scan pruning on the fact tables.
+
+Cross-engine determinism: all money arithmetic runs in DECIMAL.
+float64 summation depends on reduction order (non-deterministic across
+partitionings and engines); decimal summation is exact, so Spark and DuckDB
+agree bit-for-bit. avg emerges as exact-decimal-sum / exact-count, an
+identical double in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import _t, query
+
+_Q1_CUTOFF = "1998-09-02"
+
+
+@query(
+    "olap_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4))
+             AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF} 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def olap_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: big-fact scan + date filter + multi-key grouped
+    decimal aggregation. The filter pushes into the parquet scan; partial
+    aggregation shrinks the shuffle to |groups| rows per partition."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_price = price * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(f"{_Q1_CUTOFF} 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("decimal(18,2)").alias("sum_qty"),
+            F.sum(price).cast("decimal(18,2)").alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(18,4)").alias("sum_disc_price"),
+            (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "olap_revenue_by_nation",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4))
+             AS revenue
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY n_name
+    """,
+)
+def olap_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 4-way join pipeline ending in a grouped decimal sum.
+    Join order: fact-to-fact (lineitem-orders) shuffles on the orderkey;
+    customer and nation ride broadcasts. Revenue is aggregated on the
+    compact nationkey and the name dimension joins AFTER aggregation —
+    25 rows instead of millions through the last join."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    per_nation = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(F.sum(revenue).cast("decimal(18,4)").alias("revenue"))
+    )
+    return per_nation.join(
+        F.broadcast(nation), per_nation["c_nationkey"] == nation["n_nationkey"]
+    ).select(F.col("n_name").alias("nation"), "revenue")
+
+
+@query(
+    "olap_priority_with_shipped_items",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def olap_priority_with_shipped_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS == left_semi join (the set-membership dual of
+    Task F's left_anti), then grouped count. The semi join emits each order
+    at most once regardless of matching lineitem multiplicity."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders["o_orderkey"] == li["l_orderkey"])
+            & (li["l_shipdate"] > orders["o_orderdate"]),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "olap_top_customers",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS spend,
+           COUNT(*) AS n_orders
+    FROM customer JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY spend DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def olap_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-adjacent: per-customer decimal spend, top-20 with a
+    deterministic key tie-break; plans as TakeOrdered, never a global sort."""
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("spend"),
+        F.count("*").alias("n_orders"),
+    )
+    return (
+        spend.join(F.broadcast(customer), spend["o_custkey"] == customer["c_custkey"])
+        .select("c_custkey", "c_name", "spend", "n_orders")
+        .orderBy(F.desc("spend"), F.asc("c_custkey"))
+        .limit(20)
+    )
