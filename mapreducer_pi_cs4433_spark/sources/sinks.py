@@ -1,0 +1,79 @@
+"""Write-side connectors: the layout decisions that make 100 TB readable.
+
+The reference's only sink is a TSV part-file directory (SURVEY.md §2.1
+S7/S8, with a hand-forced single reducer). At scale the sink IS the
+optimization surface: partition pruning and co-located (bucketed) joins are
+decided at write time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned parquet: readers filtering on partition_cols
+    scan only matching directories (PartitionFilters in the plan). Choose
+    low-cardinality columns (date, event_type) — high-cardinality partition
+    keys create a small-file explosion."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: rows are hash-bucketed by bucket_col at write
+    time, so equi-joins and aggregations on that column read co-located
+    buckets with NO exchange (the 100 TB answer to repeated joins on the
+    same key). Requires saveAsTable (bucket metadata lives in the catalog)."""
+    w = df.write.mode(mode).bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+
+
+def write_tsv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """Reference-style TSV output (part-* files). single_file mirrors the
+    reference's setNumReduceTasks(1) for small results only."""
+    if single_file:
+        df = df.coalesce(1)
+    df.write.mode("overwrite").option("sep", "\t").option(
+        "timestampFormat", "yyyy-MM-dd HH:mm:ss"
+    ).csv(path)
+
+
+def compact_small_files(
+    spark: SparkSession, path: str, target_partitions: int
+) -> None:
+    """Rewrite a parquet directory at a chosen partition count — the
+    maintenance task that keeps file sizes near spark.sql.files.
+    maxPartitionBytes after many incremental appends."""
+    tmp = path.rstrip("/") + "__compact_tmp"
+    spark.read.parquet(path).repartition(target_partitions).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    # atomic-ish swap via filesystem rename (driver-side metadata op)
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc.sc()
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(jsc.hadoopConfiguration())
+    p_old = jvm.org.apache.hadoop.fs.Path(path)
+    p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs.delete(p_old, True)
+    fs.rename(p_tmp, p_old)
+
+
+def repartition_for_join(df: DataFrame, key: str, partitions: int) -> DataFrame:
+    """Pre-shuffle a DataFrame on its join key so several downstream joins
+    on the same key reuse one exchange (ReusedExchange in the plan)."""
+    return df.repartition(partitions, F.col(key))

@@ -1,0 +1,171 @@
+"""Sinks, skew helpers, and sessionization tests."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreducer_pi_cs4433_spark.operators import skew
+from mapreducer_pi_cs4433_spark.sources import sinks
+from mapreducer_pi_cs4433_spark.sources.loaders import load_table
+from mapreducer_pi_cs4433_spark.streaming import sessions
+
+from .conftest import SF_SMOKE
+
+
+def test_write_partitioned_prunes(spark):
+    events = load_table(spark, SF_SMOKE, "events")
+    tmp = tempfile.mkdtemp(prefix="part_sink_")
+    try:
+        sinks.write_partitioned(events, tmp, ["event_type"])
+        back = spark.read.parquet(tmp)
+        assert back.count() == events.count()
+        one = back.filter(F.col("event_type") == "click")
+        from mapreducer_pi_cs4433_spark.plans.inspect import formatted_plan
+
+        plan = formatted_plan(one)
+        # the filter must land in PartitionFilters (directory pruning),
+        # not as a post-scan row filter
+        assert "PartitionFilters" in plan and "event_type" in plan.split(
+            "PartitionFilters"
+        )[1].split("]")[0]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """The whole point of bucketing: equi-join on the bucket column reads
+    co-located buckets with zero shuffle exchanges."""
+    from mapreducer_pi_cs4433_spark.plans.inspect import count_exchanges
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    customer = load_table(spark, SF_SMOKE, "customer")
+    # warehouse dir is a static conf; tables land in ./spark-warehouse and
+    # are dropped (with their files) in the finally block
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sinks.write_bucketed_table(orders, "b_orders", "o_custkey", 8)
+        sinks.write_bucketed_table(
+            customer.withColumnRenamed("c_custkey", "o_custkey"), "b_cust", "o_custkey", 8
+        )
+        j = spark.table("b_orders").join(spark.table("b_cust"), "o_custkey")
+        assert count_exchanges(j) == 0
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_cust")
+        shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
+def test_salted_join_matches_plain_join(spark):
+    orders = load_table(spark, SF_SMOKE, "orders").select("o_custkey", "o_orderkey")
+    customer = load_table(spark, SF_SMOKE, "customer").select("c_custkey", "c_name")
+    plain = orders.join(
+        customer, orders["o_custkey"] == customer["c_custkey"]
+    ).select("o_orderkey", "c_name")
+    salted = skew.salted_join(
+        orders.withColumnRenamed("o_custkey", "k"),
+        customer.withColumnRenamed("c_custkey", "k"),
+        "k",
+        salt_buckets=8,
+    ).select("o_orderkey", "c_name")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_skewed_count_matches_plain_count(spark):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    plain = {
+        r.o_custkey: r.cnt
+        for r in orders.groupBy("o_custkey").agg(F.count("*").alias("cnt")).collect()
+    }
+    two_phase = {
+        r.o_custkey: r.cnt for r in skew.skewed_count_per_key(orders, "o_custkey").collect()
+    }
+    assert plain == two_phase
+
+
+def test_top_frequent_keys(spark):
+    events = load_table(spark, SF_SMOKE, "events")
+    hot = skew.top_frequent_keys(events, "user_id", min_share=0.01)
+    rows = hot.collect()
+    assert rows  # 15 users over 1000 events -> all exceed 1%
+    total = events.count()
+    for r in rows:
+        assert r.cnt / total >= 0.01
+        assert abs(r.share - r.cnt / total) < 1e-12
+
+
+def test_sessionize_builtin_batch(spark):
+    events = load_table(spark, SF_SMOKE, "events")
+    s = sessions.sessionize(events, gap="30 minutes")
+    rows = s.collect()
+    assert rows
+    # invariants: start <= end, n_events >= 1, per-user sessions don't overlap
+    per_user: dict[int, list] = {}
+    for r in rows:
+        assert r.session_start <= r.session_end and r.n_events >= 1
+        per_user.setdefault(r.user_id, []).append((r.session_start, r.session_end))
+    for spans in per_user.values():
+        spans.sort()
+        for (s1, e1), (s2, _e2) in zip(spans, spans[1:]):
+            assert e1 <= s2
+    # total events conserved
+    assert sum(r.n_events for r in rows) == events.count()
+
+
+def test_sessionize_stateful_matches_builtin(spark):
+    """After the bounded replay drains AND the flush timeout fires, the
+    custom stateful operator must have emitted exactly the built-in
+    session_window sessions. session_window end = last_event + gap,
+    stateful end = last_event, so compare on (user, start, n_events).
+    A short flush timeout is essential: armed processing-time timers keep
+    an availableNow query alive through empty micro-batches otherwise."""
+    events = load_table(spark, SF_SMOKE, "events")
+    src = tempfile.mkdtemp(prefix="sess_src_")
+    ckpt = tempfile.mkdtemp(prefix="sess_ck_")
+    try:
+        events.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        out = sessions.sessionize_stateful(
+            stream, gap_seconds=1800, flush_timeout_seconds=2
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("sess_test")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        # availableNow never self-terminates with processing-time timers in
+        # the plan (engine limitation, see sessionize_stateful docstring):
+        # run until the state store is drained, then stop.
+        import time as _t
+
+        deadline = _t.time() + 120
+        while _t.time() < deadline:
+            p = q.lastProgress
+            if p and p["batchId"] >= 1:
+                ops = p.get("stateOperators") or []
+                if ops and ops[0].get("numRowsTotal") == 0:
+                    break
+            _t.sleep(1)
+        q.stop()
+        q.awaitTermination(30)
+        got = {
+            (r.user_id, r.session_start, r.n_events)
+            for r in spark.sql("select * from sess_test").collect()
+        }
+        want = {
+            (r.user_id, r.session_start, r.n_events)
+            for r in sessions.sessionize(events, gap="30 minutes").collect()
+        }
+        assert got == want
+        assert got
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
