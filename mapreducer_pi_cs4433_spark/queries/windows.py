@@ -1,0 +1,130 @@
+"""Window-function analytics queries.
+
+The reference has zero window/analytic functions (SURVEY.md §2.8); these
+extend the engine with the ranking / offset / running-aggregate family,
+oracle-checked against DuckDB. Window partitioning keys are the natural
+data keys, so at scale each window is one shuffle on a well-distributed
+key — never a single-partition global window (the one window shape this
+engine deliberately avoids; global scalars ride 1-row broadcast aggregates
+instead, see task_g/task_h).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import _t, query
+
+
+@query(
+    "window_top3_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, rnk
+    FROM (
+        SELECT o_custkey, o_orderkey,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey ASC
+               ) AS rnk
+        FROM orders
+    )
+    WHERE rnk <= 3
+    """,
+)
+def window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via ROW_NUMBER — the partitioned dual of the global
+    top-k (task_b_top10). Decimal ordering key + orderkey tie-break makes
+    rank assignment deterministic cross-engine. Spark 3.5+ plans a
+    WindowGroupLimit that short-circuits rows below rank 3 before the sort
+    buffers them."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey").orderBy(
+            F.col("o_totalprice").cast("decimal(18,2)").desc(),
+            F.col("o_orderkey").asc(),
+        )
+    )
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey", F.row_number().over(w).alias("rnk")
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "window_order_gaps",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(epoch(date_trunc('second', o_orderdate))
+                - epoch(date_trunc('second', prev_date)) AS BIGINT) AS gap_seconds
+    FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               LAG(o_orderdate) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate ASC, o_orderkey ASC
+               ) AS prev_date
+        FROM orders
+    )
+    WHERE prev_date IS NOT NULL
+    """,
+)
+def window_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap per customer via LAG — the offset-function family.
+    Gap emitted as integer seconds (second-truncated epoch arithmetic, the
+    cross-engine-safe timestamp idiom)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    prev = F.lag("o_orderdate").over(w)
+
+    def epoch_s(c):
+        # o_orderdate arrives as TIMESTAMP_NTZ (Spark 4 parquet inference),
+        # which cannot cast to long directly; route via LTZ (session tz is
+        # pinned UTC, so wall time == epoch in both engines)
+        return c.cast("timestamp_ltz").cast("long")
+
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            (epoch_s(F.col("o_orderdate")) - epoch_s(prev)).alias("gap_seconds"),
+            prev.alias("_prev"),
+        )
+        .filter(F.col("_prev").isNotNull())
+        .drop("_prev")
+    )
+
+
+@query(
+    "window_running_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DECIMAL(18,2)) AS running_spend
+    FROM orders
+    """,
+)
+def window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running decimal total per customer — the frame-based aggregate
+    family (ROWS UNBOUNDED PRECEDING..CURRENT ROW). Decimal keeps the
+    running sums exact, so every prefix matches the oracle bit-for-bit."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("decimal(18,2)")
+        .alias("running_spend"),
+    )

@@ -1,0 +1,56 @@
+"""CLI surface tests (subprocess — the real user entry point)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+import pytest
+
+from .conftest import REFERENCE_DATA
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REFERENCE_DATA), reason="reference data not mounted"
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(*args: str) -> subprocess.CompletedProcess:
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "2", "PYTHONPATH": REPO}
+    return subprocess.run(
+        [sys.executable, "-m", "mapreducer_pi_cs4433_spark.cli", *args],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+        cwd=REPO,
+    )
+
+
+def test_cli_task_c(tmp_path):
+    out = tmp_path / "c"
+    r = _run("--single-file", "taskC", f"{REFERENCE_DATA}/pages.csv", str(out))
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = {}
+    for f in out.glob("part-*.csv"):
+        for line in f.read_text().splitlines():
+            nat, cnt = line.split("\t")
+            rows[nat] = int(cnt)
+    assert rows["Netherlands"] == 2 and rows["Russia"] == 1
+    assert sum(rows.values()) == 20
+
+
+def test_cli_unknown_task_fails_cleanly():
+    r = _run("taskZ", "x", "y")
+    assert r.returncode == 2
+    assert "invalid choice" in r.stderr
+
+
+def test_cli_pi():
+    r = _run("pi", "--samples", "100000", "--partitions", "4")
+    assert r.returncode == 0
+    assert "pi is roughly 3.1" in r.stdout
