@@ -133,6 +133,56 @@ def olap_priority_with_shipped_items(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @query(
+    "olap_sales_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+             AS total_price
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def olap_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets family (absent from the reference, SURVEY §2.4): CUBE
+    over (returnflag, linestatus) — all four rollup combinations in one
+    pass. Spark expands the cube BEFORE the shuffle, so partial aggregation
+    still applies per grouping set."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("total_price"),
+    )
+
+
+@query(
+    "olap_quantity_median",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_quantity, 0.75) AS q75
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def olap_quantity_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (order-statistic family — selection, not
+    summation, so cross-engine deterministic: both engines interpolate
+    between the same two order statistics). Exact percentile gathers each
+    group's values; at extreme cardinality prefer approx_percentile and
+    drop the oracle to rows-only."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("q25"),
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.expr("percentile(l_quantity, 0.75)").alias("q75"),
+    )
+
+
+@query(
     "olap_top_customers",
     oracle="""
     SELECT c_custkey, c_name,
