@@ -1,0 +1,160 @@
+"""Property-based equivalence: Spark operators vs DuckDB twins on random
+social graphs (SURVEY.md §5 strategy 3, generalized).
+
+Hypothesis generates adversarial little datasets — duplicate edges, orphan
+ids, zero-degree people, empty tables — and every social operator must
+match its SQL twin on all of them, not just the reference fixture. One
+Spark session per test run; examples kept small so the suite stays fast.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from mapreducer_pi_cs4433_spark.operators import social
+
+from .oracle import _canon
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+_ids = st.integers(min_value=0, max_value=12)
+
+# people: (PersonID unique, Name, Nationality)
+_people = st.lists(
+    st.tuples(_ids, st.sampled_from(["A", "B", "C"])),
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+# edges: (PersonID, MyFriend) — duplicates ALLOWED (trap #5)
+_edges = st.lists(st.tuples(_ids, _ids), max_size=25)
+# accesses: (ByWho, WhatPage) — duplicates allowed
+_accesses = st.lists(st.tuples(_ids, _ids), max_size=25)
+
+
+def _mk(spark, con, people, edges, accesses):
+    pages = spark.createDataFrame(
+        [(pid, f"p{pid}", nat) for pid, nat in people],
+        "PersonID int, Name string, Nationality string",
+    )
+    friends = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(edges)],
+        "FriendRel int, PersonID int, MyFriend int",
+    )
+    access = spark.createDataFrame(
+        [(i, w, p) for i, (w, p) in enumerate(accesses)],
+        "AccessID int, ByWho int, WhatPage int",
+    )
+    con.execute(
+        "DROP TABLE IF EXISTS pages; DROP TABLE IF EXISTS friends; "
+        "DROP TABLE IF EXISTS access_logs"
+    )
+    con.execute("CREATE TABLE pages(PersonID INT, Name VARCHAR, Nationality VARCHAR)")
+    if people:
+        con.executemany(
+            "INSERT INTO pages VALUES (?,?,?)", [(p, f"p{p}", n) for p, n in people]
+        )
+    con.execute("CREATE TABLE friends(FriendRel INT, PersonID INT, MyFriend INT)")
+    if edges:
+        con.executemany(
+            "INSERT INTO friends VALUES (?,?,?)",
+            [(i, a, b) for i, (a, b) in enumerate(edges)],
+        )
+    con.execute("CREATE TABLE access_logs(AccessID INT, ByWho INT, WhatPage INT)")
+    if accesses:
+        con.executemany(
+            "INSERT INTO access_logs VALUES (?,?,?)",
+            [(i, w, p) for i, (w, p) in enumerate(accesses)],
+        )
+    return pages, friends, access
+
+
+def _eq(spark_df, con, sql):
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    rel = con.sql(sql)
+    d_rows = rel.fetchall()
+    assert _canon(s_rows, spark_df.columns) == _canon(d_rows, list(rel.columns)), (
+        f"spark={sorted(s_rows)} duck={sorted(d_rows)}"
+    )
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    yield con
+    con.close()
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(people=_people, edges=_edges)
+def test_prop_indegree_and_above_avg(spark, duck, people, edges):
+    pages, friends, _ = _mk(spark, duck, people, edges, [])
+    _eq(
+        social.friend_in_degree(pages, friends),
+        duck,
+        """SELECT p.PersonID, p.Name, COALESCE(d.c, 0) AS FriendCount
+           FROM pages p LEFT JOIN
+             (SELECT MyFriend, COUNT(*) c FROM friends GROUP BY 1) d
+           ON p.PersonID = d.MyFriend""",
+    )
+    _eq(
+        social.above_average_connectors(pages, friends),
+        duck,
+        """WITH deg AS (SELECT PersonID, COUNT(*) c FROM friends GROUP BY 1),
+                a AS (SELECT AVG(c) a FROM deg)
+           SELECT p.PersonID, p.Name, deg.c AS FriendCount
+           FROM deg JOIN pages p USING (PersonID) CROSS JOIN a
+           WHERE deg.c > a.a""",
+    )
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(people=_people, edges=_edges, accesses=_accesses)
+def test_prop_activity_and_unvisited(spark, duck, people, edges, accesses):
+    pages, friends, access = _mk(spark, duck, people, edges, accesses)
+    _eq(
+        social.activity_summary(pages, access),
+        duck,
+        """SELECT p.PersonID, p.Name,
+                  COALESCE(a.t, 0) AS TotalAccesses,
+                  COALESCE(a.d, 0) AS DistinctPages
+           FROM pages p LEFT JOIN
+             (SELECT ByWho, COUNT(*) t, COUNT(DISTINCT WhatPage) d
+              FROM access_logs GROUP BY 1) a
+           ON p.PersonID = a.ByWho""",
+    )
+    _eq(
+        social.unvisited_friend_owners(pages, friends, access),
+        duck,
+        """SELECT f.PersonID, p.Name
+           FROM (SELECT DISTINCT fr.PersonID FROM friends fr
+                 WHERE NOT EXISTS (
+                   SELECT 1 FROM access_logs a
+                   WHERE a.ByWho = fr.PersonID AND a.WhatPage = fr.MyFriend)) f
+           LEFT JOIN pages p ON f.PersonID = p.PersonID""",
+    )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(people=_people)
+def test_prop_nationality_counts(spark, duck, people):
+    pages, _, _ = _mk(spark, duck, people, [], [])
+    _eq(
+        social.nationality_counts(pages),
+        duck,
+        "SELECT Nationality, COUNT(*) AS Citizens FROM pages GROUP BY 1",
+    )
