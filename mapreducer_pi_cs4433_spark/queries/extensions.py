@@ -226,6 +226,21 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_approx_distinct")
+def dedup_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based cardinality: HyperLogLog++ distinct-document estimate
+    per source vs the exact count (rows-only: HLL estimates are
+    engine-private). At 100 TB the approx path shuffles fixed-size sketches
+    instead of the distinct-value stream — the first tool for 'how many
+    unique X' questions at scale; rsd=0.02 keeps the estimate within ~2%."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.approx_count_distinct("text", rsd=0.02).alias("approx_distinct_docs"),
+        F.countDistinct("text").alias("exact_distinct_docs"),
+        F.count("*").alias("n_docs"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
