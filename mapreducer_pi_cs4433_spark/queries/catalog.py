@@ -388,4 +388,9 @@ def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 # analysis / rollups / pi) and the OLAP suite into the same registry. Imports
 # are at module end so those modules can import `query` from here without a
 # circular-import trap.
-from . import extensions, olap, windows  # noqa: E402,F401  (registration side effect)
+from . import (  # noqa: E402,F401  (registration side effect)
+    extensions,
+    olap,
+    temporal_queries,
+    windows,
+)
