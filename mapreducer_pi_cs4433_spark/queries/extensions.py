@@ -226,6 +226,37 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "json_props_extraction",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def json_props_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the events.props JSON column with
+    a typed schema (from_json — JVM-side, no Python) and aggregate on the
+    extracted field. At scale prefer from_json with an explicit schema over
+    get_json_object: one parse per row, columnar output, prunable."""
+    events = _t(spark, sf_dir, "events")
+    parsed = events.select(
+        "user_id",
+        F.from_json(F.col("props"), "k BIGINT").alias("p"),
+    )
+    return (
+        parsed.filter(F.col("p.k").isNotNull())
+        .groupBy(F.col("p.k").alias("k_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
 @query("dedup_approx_distinct")
 def dedup_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based cardinality: HyperLogLog++ distinct-document estimate
