@@ -183,6 +183,63 @@ def olap_quantity_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "olap_status_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def olap_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (absent from the reference, SURVEY §2.4): order counts per
+    priority pivoted on status. The pivot values are listed explicitly —
+    at scale an unlisted pivot forces an extra distinct-scan to discover
+    the column set; listing them keeps it a single-pass aggregation."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))  # count("*") is rejected inside pivot
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("status_f"),
+            F.coalesce("O", F.lit(0)).alias("status_o"),
+            F.coalesce("P", F.lit(0)).alias("status_p"),
+        )
+    )
+
+
+@query(
+    "olap_segment_set_ops",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_mktsegment = 'BUILDING'
+    AND c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+)
+def olap_segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation family (reference has none, SURVEY §2.6): BUILDING
+    customers with an open order and no finished order — INTERSECT and
+    EXCEPT expressed as semi/anti joins (the distributed forms; literal
+    INTERSECT/EXCEPT would shuffle whole rows for dedup)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    open_cust = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    done_cust = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    base = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        base.join(open_cust, base["c_custkey"] == open_cust["o_custkey"], "left_semi")
+        .join(done_cust, base["c_custkey"] == done_cust["o_custkey"], "left_anti")
+    )
+
+
+@query(
     "olap_top_customers",
     oracle="""
     SELECT c_custkey, c_name,
