@@ -6,11 +6,16 @@ multi-key grouping, no semi joins, and no multi-way join pipelines
 oracle twins, exercising Catalyst's join ordering, broadcast selection,
 partial aggregation, and scan pruning on the fact tables.
 
-Cross-engine determinism: all money arithmetic runs in DECIMAL.
-float64 summation depends on reduction order (non-deterministic across
-partitionings and engines); decimal summation is exact, so Spark and DuckDB
-agree bit-for-bit. avg emerges as exact-decimal-sum / exact-count, an
-identical double in both engines.
+Cross-engine determinism: all money arithmetic runs in DECIMAL
+*internally* — float64 summation depends on reduction order
+(non-deterministic across partitionings and engines); decimal summation is
+exact, so Spark and DuckDB agree bit-for-bit. But the *projected* columns
+are final-cast to DOUBLE in both engines: result-fetch layers canonicalize
+DECIMAL inconsistently (round 1: five byte-identical decimal results failed
+the driver hash because one fetch path strips trailing zeros), while an
+exact decimal → double conversion is correctly rounded and bit-identical in
+both engines whenever the unscaled value fits in 2^53 (true through sf100
+at scale 4). Pattern: SUM(decimal) ... CAST(... AS DOUBLE) at the very end.
 """
 
 from __future__ import annotations
@@ -27,10 +32,10 @@ _Q1_CUTOFF = "1998-09-02"
     "olap_pricing_summary",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4))
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS DOUBLE)
              AS sum_disc_price,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
            COUNT(*) AS count_order
@@ -51,9 +56,9 @@ def olap_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit(f"{_Q1_CUTOFF} 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).cast("decimal(18,2)").alias("sum_qty"),
-            F.sum(price).cast("decimal(18,2)").alias("sum_base_price"),
-            F.sum(disc_price).cast("decimal(18,4)").alias("sum_disc_price"),
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(18,4)").cast("double").alias("sum_disc_price"),
             (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
             F.count("*").alias("count_order"),
         )
@@ -64,8 +69,8 @@ def olap_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "olap_revenue_by_nation",
     oracle="""
     SELECT n_name AS nation,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4))
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS DOUBLE)
              AS revenue
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
@@ -91,7 +96,7 @@ def olap_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
         .groupBy("c_nationkey")
-        .agg(F.sum(revenue).cast("decimal(18,4)").alias("revenue"))
+        .agg(F.sum(revenue).cast("decimal(18,4)").cast("double").alias("revenue"))
     )
     return per_nation.join(
         F.broadcast(nation), per_nation["c_nationkey"] == nation["n_nationkey"]
@@ -137,7 +142,7 @@ def olap_priority_with_shipped_items(spark: SparkSession, sf_dir: str) -> DataFr
     oracle="""
     SELECT l_returnflag, l_linestatus,
            COUNT(*) AS n_items,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
              AS total_price
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -152,7 +157,7 @@ def olap_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n_items"),
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-        .cast("decimal(18,2)")
+        .cast("double")
         .alias("total_price"),
     )
 
@@ -243,7 +248,7 @@ def olap_segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "olap_top_customers",
     oracle="""
     SELECT c_custkey, c_name,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS spend,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend,
            COUNT(*) AS n_orders
     FROM customer JOIN orders ON o_custkey = c_custkey
     GROUP BY c_custkey, c_name
@@ -258,7 +263,7 @@ def olap_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     spend = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("decimal(18,2)")
+        .cast("double")
         .alias("spend"),
         F.count("*").alias("n_orders"),
     )

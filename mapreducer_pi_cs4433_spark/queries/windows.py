@@ -102,18 +102,19 @@ def window_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_spend",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
                PARTITION BY o_custkey
                ORDER BY o_orderdate ASC, o_orderkey ASC
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS DECIMAL(18,2)) AS running_spend
+           ) AS DECIMAL(18,2)) AS DOUBLE) AS running_spend
     FROM orders
     """,
 )
 def window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running decimal total per customer — the frame-based aggregate
     family (ROWS UNBOUNDED PRECEDING..CURRENT ROW). Decimal keeps the
-    running sums exact, so every prefix matches the oracle bit-for-bit."""
+    running sums exact; the final DOUBLE cast makes the projected value
+    canonicalization-safe at the driver boundary (see olap.py header)."""
     orders = _t(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
@@ -126,5 +127,6 @@ def window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .over(w)
         .cast("decimal(18,2)")
+        .cast("double")
         .alias("running_spend"),
     )

@@ -9,8 +9,10 @@ for the driver's value-hash check so mismatches surface before round end.
 from __future__ import annotations
 
 import math
+from decimal import Decimal
 
 import duckdb
+from pyspark.sql.types import DecimalType
 
 from mapreducer_pi_cs4433_spark.schemas import DRIVER_TABLES
 
@@ -27,6 +29,14 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def _norm_cell(v) -> str:
     if v is None:
         return "\0NULL"
+    # Mirror the driver: DECIMAL cells canonicalize through float, so
+    # Decimal('136991.00') and 136991.0 collide to the same token. Round 1
+    # proved str(Decimal) preserves trailing zeros that the driver's fetch
+    # path strips — queries must not emit DECIMAL at all (enforced in
+    # compare()), but normalize the same way here so any slip-through
+    # fails/passes exactly as the driver would.
+    if isinstance(v, Decimal):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
@@ -43,6 +53,13 @@ def _canon(rows, colnames) -> list[tuple]:
 
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
     """Assert the Spark result and the DuckDB result match order-insensitively."""
+    dec_cols = [f.name for f in spark_df.schema.fields if isinstance(f.dataType, DecimalType)]
+    assert not dec_cols, (
+        f"oracle-checked query projects DECIMAL columns {dec_cols}: the driver "
+        "hash canonicalizes DECIMAL inconsistently across fetch paths (round-1 "
+        "failure). Keep decimal aggregation internal; final-cast to DOUBLE in "
+        "both engines."
+    )
     s_rows = [tuple(r) for r in spark_df.collect()]
     s_cols = spark_df.columns
     rel = con.sql(sql)
