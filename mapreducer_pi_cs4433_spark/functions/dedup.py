@@ -57,12 +57,14 @@ def exact_dedup(
 def _hashed_postings(
     df: DataFrame, text_col: str, id_col: str, k: int
 ) -> DataFrame:
-    """(id, h) — xxhash64 of each distinct shingle per doc. Joining on the
-    8-byte hash instead of the k-char string shrinks the shuffle and the
-    join comparisons; a 64-bit collision would perturb one intersection
-    count with probability ~(n_distinct^2)/2^65 — negligible."""
-    sh = exploded_shingles(df, text_col, id_col, k, distinct=True)
-    return sh.select("id", F.xxhash64("shingle").alias("h"))
+    """(id, h) — xxhash64 of each distinct shingle per doc. Hashing BEFORE
+    the distinct means the dedup shuffle carries fixed 16-byte (id, h) rows
+    instead of (id, k-char string) — ~2x less shuffle volume at k=12, more
+    at larger k — and joins compare 8-byte longs; a 64-bit collision would
+    perturb one intersection count with probability ~(n_distinct^2)/2^65 —
+    negligible."""
+    sh = exploded_shingles(df, text_col, id_col, k, distinct=False)
+    return sh.select("id", F.xxhash64("shingle").alias("h")).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -84,8 +86,14 @@ def ngram_jaccard_pairs(
     candidates only.
 
     jaccard is an int/int double division — cross-engine deterministic.
+
+    The posting stream feeds three branches (sizes, both join sides) with
+    NO .cache(): the branches share an identical exchange subtree, so
+    ReuseExchange computes the shuffle once per job anyway — measured at
+    sf0.01, caching was ~5% *slower* (InMemoryRelation breaks codegen
+    fusion) and leaked storage across invocations (round-1 finding).
     """
-    posting = _hashed_postings(df, text_col, id_col, k).cache()
+    posting = _hashed_postings(df, text_col, id_col, k)
     sizes = posting.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = posting.select(F.col("h"), F.col("id").alias("id_a"))
     b = posting.select(F.col("h").alias("h_b"), F.col("id").alias("id_b"))
@@ -189,8 +197,10 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact verification of candidates only: intersection via two posting
-    # joins restricted to candidate pairs (relational, no array ops)
-    posting = _hashed_postings(df, text_col, id_col, k).cache()
+    # joins restricted to candidate pairs (relational, no array ops).
+    # No .cache() on the posting stream: ReuseExchange shares the shuffle
+    # across branches, and caching measured slower + leaked storage.
+    posting = _hashed_postings(df, text_col, id_col, k)
     sizes = posting.groupBy("id").agg(F.count("*").alias("n_sh"))
     pa = posting.select(F.col("id").alias("id_a"), "h")
     pb = posting.select(F.col("id").alias("_idb"), F.col("h").alias("h_b"))
@@ -249,45 +259,46 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    planes: int = 8,
+    planes: int | str = 8,
+    target_bucket_rows: int = 4096,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= threshold.
 
     Random-hyperplane LSH bucketing: each vector gets a `planes`-bit sign
-    key from fixed pseudo-random hyperplanes (deterministic, seeded by
-    dimension index); exact cosine is computed only within buckets. True
-    near-dups (cosine ~ 1) collide with probability (1 - theta/pi)^planes
-    ~= 0.9 per bucket at tau=0.95; for recall-critical runs lower `planes`
-    or union multiple bucketings. Returns (id_a, id_b, cosine).
-    """
-    from .similarity import sign_bucket
+    key from a fixed deterministic hyperplane matrix; exact cosine is
+    computed only within buckets, so the pair join never goes all-pairs.
+    True near-dups (cosine ~ 1) collide with probability
+    (1 - theta/pi)^planes ~= 0.9 per bucket at tau=0.95; for
+    recall-critical runs lower `planes` or union multiple bucketings.
 
-    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    norm = F.sqrt(F.aggregate(vec_d, F.lit(0.0), lambda a, x: a + x * x))
+    planes="auto" sizes 2^planes to the corpus (one count() job) via
+    similarity.auto_planes, bounding the expected within-bucket population
+    (and therefore the bucket-join quadratic) at any scale.
+
+    Vector math is Arrow-batched numpy (similarity.unit_vector /
+    pair_dot): vectors are normalized ONCE before the join, so the
+    within-bucket cosine is a bare dot product — no interpreted array HOFs
+    (round-1 trap), no per-pair norm recomputation.
+    Returns (id_a, id_b, cosine).
+    """
+    from .similarity import auto_planes, pair_dot, sign_bucket, unit_vector
+
+    if planes == "auto":
+        planes = auto_planes(df.count(), target_bucket_rows)
     vecs = df.select(
         F.col(id_col).alias("id"),
-        vec_d.alias("v"),
-        norm.alias("nrm"),
+        unit_vector(vec_col).alias("u"),
         sign_bucket(vec_col, planes).alias("bucket"),
     )
-    a = vecs.select(
-        F.col("bucket"),
-        F.col("id").alias("id_a"),
-        F.col("v").alias("v_a"),
-        F.col("nrm").alias("n_a"),
-    )
+    a = vecs.select("bucket", F.col("id").alias("id_a"), F.col("u").alias("u_a"))
     b_ = vecs.select(
         F.col("bucket").alias("bucket_b"),
         F.col("id").alias("id_b"),
-        F.col("v").alias("v_b"),
-        F.col("nrm").alias("n_b"),
-    )
-    dot = F.aggregate(
-        F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0), lambda a2, x: a2 + x
+        F.col("u").alias("u_b"),
     )
     return (
         a.join(b_, (a["bucket"] == b_["bucket_b"]) & (a["id_a"] < b_["id_b"]))
-        .withColumn("cosine", dot / (F.col("n_a") * F.col("n_b")))
+        .withColumn("cosine", pair_dot("u_a", "u_b"))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -2,39 +2,178 @@
 
 Two paths:
 - brute_force_topk: exact cosine top-k — the baseline. One narrow pass over
-  the corpus per query (dot products as JVM array expressions) + TakeOrdered;
-  O(N·d) with no shuffle of the vectors themselves.
+  the corpus per query + TakeOrdered; O(N·d) with no shuffle of the vectors.
 - ivf_topk: IVF-style scale path — vectors are pre-assigned to coarse
   buckets by sign-LSH (same deterministic hyperplanes as
   dedup.embedding_neardup_pairs); queries probe only the nearest buckets.
   At 100 TB the bucket column becomes a partition key so a probe touches
-  1/2^planes of the data.
+  only its probed fraction of the data at the source.
 
-Cosine arithmetic is all-double with fixed evaluation order so results are
-reproducible run-to-run; ordering ties are broken by id so top-k sets are
-deterministic cross-engine.
+Vector kernels (dot products, norms, sign projections) run as Arrow-batched
+pandas UDFs over numpy. Array higher-order functions (F.aggregate /
+F.zip_with / F.transform) execute as interpreted CodegenFallback
+expressions at ~14 µs/element — the round-1 trap documented in
+functions/dedup.py — while a numpy matvec over a whole Arrow batch
+amortizes to ~ns/element. The UDFs receive thousands of vectors per batch,
+so per-invocation Python overhead is negligible.
+
+Determinism:
+- brute-force/IVF ranking rounds cosine to 9 decimals before ordering with
+  an id tie-break, so summation-order float noise (numpy pairwise summation
+  vs an engine's sequential fold) cannot reorder the top-k set.
+- sign-LSH hyperplanes are a ±1 matrix drawn from a fixed-seed PCG64
+  generator — deterministic run-to-run and prefix-stable in `planes` (the
+  matrix for p planes is the first p rows of the matrix for p+1).
+
+cloudpickle note (round-1 lesson): shipped UDF bodies are *local* closures
+referencing only numpy/pandas — a module-level helper would pickle by
+reference to this package, which executors launched from a foreign cwd
+cannot import.
 """
 
 from __future__ import annotations
 
+import math
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-
-def _as_double(col) -> Column:
-    return F.transform(col if isinstance(col, Column) else F.col(col), lambda x: x.cast("double"))
+_HYPERPLANE_SEED = 0x51AB5  # fixed: buckets must be stable across jobs/runs
 
 
-def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+def _sign_matrix(planes: int, dim: int) -> np.ndarray:
+    """Deterministic (planes, dim) ±1 hyperplane matrix. Row-major draw from
+    a fixed seed, so smaller `planes` is a prefix of larger — re-indexing
+    with more planes refines buckets without reshuffling their prefix."""
+    rng = np.random.default_rng(_HYPERPLANE_SEED)
+    return (rng.integers(0, 2, size=(planes, dim)) * 2 - 1).astype(np.float64)
 
 
-def _norm(a: Column) -> Column:
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
+def _np_buckets(mat: np.ndarray, planes: int) -> np.ndarray:
+    """Bucket ids (int64) for a (n, dim) batch: bit p = sign of the
+    projection onto hyperplane p."""
+    proj = mat @ _sign_matrix(planes, mat.shape[1]).T  # (n, planes)
+    bits = (proj >= 0).astype(np.int64)
+    return bits @ (1 << np.arange(planes, dtype=np.int64))
+
+
+def query_bucket(query_vec: list[float], planes: int) -> int:
+    """Driver-side bucket of a query vector — same hyperplanes as the UDF."""
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    return int(_np_buckets(q[None, :], planes)[0])
+
+
+def cosine_to_query(vec_col: str | Column, query_vec: list[float]) -> Column:
+    """cosine(vec, query) as an Arrow-batched numpy kernel (double)."""
+    q = [float(x) for x in query_vec]
+
+    @F.pandas_udf("double")
+    def _cos(v: pd.Series) -> pd.Series:
+        import numpy as np
+        import pandas as pd
+
+        if len(v) == 0:
+            return pd.Series(np.empty(0, dtype=np.float64))
+        mat = np.vstack(v.to_numpy()).astype(np.float64)
+        qa = np.asarray(q, dtype=np.float64)
+        num = mat @ qa
+        den = np.sqrt((mat * mat).sum(axis=1)) * math.sqrt(sum(x * x for x in q))
+        return pd.Series(num / den)
+
+    return _cos(vec_col if isinstance(vec_col, Column) else F.col(vec_col))
+
+
+def unit_vector(vec_col: str | Column) -> Column:
+    """vec / ||vec|| as array<double> (numpy batch kernel). Normalizing once
+    per vector lets pair joins compute cosine as a bare dot product."""
+
+    @F.pandas_udf("array<double>")
+    def _unit(v: pd.Series) -> pd.Series:
+        import numpy as np
+        import pandas as pd
+
+        if len(v) == 0:
+            return pd.Series(np.empty(0, dtype=object))
+        mat = np.vstack(v.to_numpy()).astype(np.float64)
+        nrm = np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+        np.divide(mat, nrm, out=mat, where=nrm > 0)
+        return pd.Series(list(mat))
+
+    return _unit(vec_col if isinstance(vec_col, Column) else F.col(vec_col))
+
+
+def pair_dot(a_col: str | Column, b_col: str | Column) -> Column:
+    """Row-wise dot product of two array columns (numpy batch kernel).
+    Over unit vectors this IS the cosine."""
+
+    @F.pandas_udf("double")
+    def _dotp(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as np
+        import pandas as pd
+
+        if len(a) == 0:
+            return pd.Series(np.empty(0, dtype=np.float64))
+        am = np.vstack(a.to_numpy()).astype(np.float64)
+        bm = np.vstack(b.to_numpy()).astype(np.float64)
+        return pd.Series((am * bm).sum(axis=1))
+
+    return _dotp(
+        a_col if isinstance(a_col, Column) else F.col(a_col),
+        b_col if isinstance(b_col, Column) else F.col(b_col),
+    )
+
+
+def sign_bucket(vec_col: str | Column, planes: int = 8) -> Column:
+    """Deterministic random-hyperplane sign bucket (shared with dedup)."""
+
+    @F.pandas_udf("long")
+    def _bucket(v: pd.Series) -> pd.Series:
+        import numpy as np
+        import pandas as pd
+
+        if len(v) == 0:
+            return pd.Series(np.empty(0, dtype=np.int64))
+        mat = np.vstack(v.to_numpy()).astype(np.float64)
+        # inline twin of _sign_matrix (same seed/draw): the closure must be
+        # self-contained — referencing the module helper would pickle it by
+        # reference to a package the executor can't import
+        rng = np.random.default_rng(0x51AB5)
+        signs = (rng.integers(0, 2, size=(planes, mat.shape[1])) * 2 - 1).astype(
+            np.float64
+        )
+        bits = (mat @ signs.T >= 0).astype(np.int64)
+        return pd.Series(bits @ (1 << np.arange(planes, dtype=np.int64)))
+
+    return _bucket(vec_col if isinstance(vec_col, Column) else F.col(vec_col))
+
+
+def auto_planes(
+    n_rows: int,
+    target_bucket_rows: int = 4096,
+    min_planes: int = 4,
+    max_planes: int = 24,
+) -> int:
+    """Scale-adaptive plane count: enough hyperplanes that the *expected*
+    bucket population stays near `target_bucket_rows`, bounding the
+    within-bucket quadratic of near-dup joins as the corpus grows (2^planes
+    buckets ~ n / target). Fixed planes (round 1) let within-bucket pair
+    counts re-explode at 100 TB; planes = log2(n / target) keeps
+    per-bucket work flat while recall is re-bought with multi-probe
+    (ivf_topk probe_hamming) or multiple bucketings."""
+    if n_rows <= 0:
+        return min_planes
+    return max(min_planes, min(max_planes, math.ceil(math.log2(max(n_rows / target_bucket_rows, 1.0)))))
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Expression-form cosine for one-off literals. NOT the hot path —
+    array HOFs are interpreted; batch work must use the pandas kernels."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, x: s + x * x))
+    return dot / (na * nb)
 
 
 def brute_force_topk(
@@ -44,56 +183,39 @@ def brute_force_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Exact top-k by cosine to a literal query vector.
+    """Exact top-k by cosine to a query vector.
 
-    The query vector is baked into the plan as an array literal (broadcast-
-    by-constant-folding); similarity ranking rounds to 9 decimals before
-    ordering with an id tie-break, so near-ULP float noise cannot reorder
-    the result set between runs or engines. Returns (id, cosine_sim).
+    One narrow scan: the Arrow batch kernel computes all cosines for a
+    partition in a few matvecs, then TakeOrdered keeps k per partition and
+    merges on the driver — no shuffle of vectors. Ranking rounds to 9
+    decimals with an id tie-break so float noise cannot reorder the set
+    between runs or engines. Returns (id, cosine_sim).
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    v = _as_double(vec_col)
-    sim = _dot(v, q) / (_norm(v) * _norm(q))
     return (
         df.select(
             F.col(id_col).alias("id"),
-            F.round(sim, 9).alias("cosine_sim"),
+            F.round(cosine_to_query(vec_col, query_vec), 9).alias("cosine_sim"),
         )
         .orderBy(F.desc("cosine_sim"), F.asc("id"))
         .limit(k)
     )
 
 
-def sign_bucket(vec_col: str, planes: int = 8) -> Column:
-    """Deterministic random-hyperplane sign bucket (shared with dedup)."""
-    v = _as_double(vec_col)
-    bucket = None
-    for p in range(planes):
-        # the lambda is invoked eagerly here, so closing over the loop var is
-        # safe; it must stay exactly 2-arg for zip_with
-        proj = F.aggregate(
-            F.zip_with(
-                v,
-                F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
-                lambda x, i: x
-                * F.when(
-                    F.xxhash64(i, F.lit(p)).bitwiseAND(F.lit(1)) == 1, F.lit(1.0)
-                ).otherwise(F.lit(-1.0)),
-            ),
-            F.lit(0.0),
-            lambda s, x: s + x,
-        )
-        bit = F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-        term = F.shiftleft(bit, p)
-        bucket = term if bucket is None else bucket.bitwiseOR(term)
-    return bucket
-
-
 def build_ivf_index(
-    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id", planes: int = 8
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes: int | str = 8,
+    target_bucket_rows: int = 4096,
 ) -> DataFrame:
     """Materializable index: (id, vec, bucket). Write partitioned/bucketed
-    by `bucket` so probes prune partitions at the source."""
+    by `bucket` so probes prune partitions at the source.
+
+    planes="auto" sizes the bucket count to the corpus (one count() job)
+    via auto_planes(), keeping expected bucket population ~target_bucket_rows
+    at any scale."""
+    if planes == "auto":
+        planes = auto_planes(df.count(), target_bucket_rows)
     return df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
@@ -111,33 +233,26 @@ def ivf_topk(
     """Probe the IVF index: scan only buckets within `probe_hamming` bits of
     the query's bucket, then exact cosine + top-k inside the probed slice.
 
-    probe_hamming=1 scans (1 + planes)/2^planes of the corpus — the
-    recall/cost dial. Sign-LSH recall depends on how *near* true neighbors
+    probe_hamming is the recall/cost dial: h=1 scans (1 + planes)/2^planes
+    of the corpus. Sign-LSH recall depends on how *near* true neighbors
     are: at cosine ~0.95 a planes=8/hamming=1 probe keeps ~90% recall at a
-    ~3.5% scan; on corpora whose top-k neighbors are only ~0.3 (e.g. random
-    embeddings) use fewer planes / wider probes — planes=4/hamming=1 scans
-    31% for ~50% top-10 recall. Returns (id, cosine_sim).
-    """
-    import math
+    ~3.5% scan; on corpora whose top-k neighbors are only ~0.3 (random
+    embeddings) use fewer planes / wider probes. When the index was built
+    with planes="auto", pass the same effective plane count (index stores
+    it implicitly in its bucket range). Returns (id, cosine_sim).
 
+    The query's bucket is computed driver-side in numpy with the identical
+    hyperplane matrix — no extra Spark job.
+    """
     q = [float(x) for x in query_vec]
-    # compute the query's bucket driver-side with the same hash function the
-    # executors use (xxhash64(i, p) parity via a 1-row DataFrame would also
-    # work; this stays on one tiny literal vector)
-    spark = index.sparkSession
-    qdf = spark.createDataFrame([(q,)], "embedding array<double>")
-    qbucket = qdf.select(sign_bucket("embedding", planes).alias("b")).head()[0]
-    near = [
-        b
-        for b in range(1 << planes)
-        if bin(b ^ qbucket).count("1") <= probe_hamming
-    ]
-    qlit = F.array(*[F.lit(x) for x in q])
-    v = _as_double("vec")
-    sim = _dot(v, qlit) / (_norm(v) * F.lit(math.sqrt(sum(x * x for x in q))))
+    qb = query_bucket(q, planes)
+    near = [b for b in range(1 << planes) if bin(b ^ qb).count("1") <= probe_hamming]
     return (
         index.filter(F.col("bucket").isin(near))
-        .select(F.col("id"), F.round(sim, 9).alias("cosine_sim"))
+        .select(
+            F.col("id"),
+            F.round(cosine_to_query("vec", q), 9).alias("cosine_sim"),
+        )
         .orderBy(F.desc("cosine_sim"), F.asc("id"))
         .limit(k)
     )

@@ -29,22 +29,41 @@ _LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 def tokens(col: Column | str) -> Column:
     """Whitespace tokens with empties removed (StringTokenizer semantics,
-    generalizing the reference WordCount.java:24-28)."""
+    generalizing the reference WordCount.java:24-28). Convenience/array
+    form — counting paths use token_count (scalar regex, codegen); the
+    F.filter HOF here is interpreted and must stay off hot paths."""
     c = F.col(col) if isinstance(col, str) else col
     return F.filter(F.split(c, r"\s+"), lambda t: t != "")
 
 
 def token_count(col: Column | str) -> Column:
-    return F.size(tokens(col))
+    """Number of whitespace tokens == number of maximal non-space runs.
+    regexp_count is a plain codegen scalar — no array materialization, no
+    interpreted HOF filter (round-1: HOFs cost ~14 µs/element)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(r"\S+"))
 
 
 def bpe_ish_token_count(col: Column | str) -> Column:
     """Approximate subword count: split on whitespace AND on transitions
     between word characters and punctuation/digits (a cheap BPE-ish proxy
-    for budget estimation). Pure regex -> JVM-side."""
+    for budget estimation). A piece is a maximal run of letters or a
+    maximal run of non-letter-non-space characters — counted directly with
+    one scalar regexp_count (codegen) instead of split+filter HOFs."""
     c = F.col(col) if isinstance(col, str) else col
-    pieces = F.split(c, r"(\s+|(?<=[A-Za-z])(?=[^A-Za-z\s])|(?<=[^A-Za-z\s])(?=[A-Za-z]))")
-    return F.size(F.filter(pieces, lambda t: t != ""))
+    return F.regexp_count(c, F.lit(r"[A-Za-z]+|[^A-Za-z\s]+"))
+
+
+def _marker_count(col: Column, markers: tuple[str, ...]) -> Column:
+    """Occurrences of whole whitespace-delimited marker tokens, as one
+    scalar regexp_count over the space-padded lowercased text: each token
+    is preceded by exactly one \\s in ' '||text||' ', and the zero-width
+    lookahead keeps adjacent marker tokens countable (the delimiter between
+    them is not consumed). Identical to filtering the token array for
+    membership, without materializing arrays or interpreted HOFs."""
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    alt = "|".join(markers)
+    return F.regexp_count(padded, F.lit(rf"\s({alt})(?=\s)"))
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -53,16 +72,18 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     Ratios are int/int divisions so the doubles are bit-identical across
     engines (no float aggregation). Columns:
       n_chars_actual, n_tokens, avg_token_len, punct_ratio, stopword_ratio
+
+    Every signal is a scalar codegen expression (regexp_count /
+    regexp_replace / length) — zero shuffles, zero array HOFs: token count
+    is the count of non-space runs, total token chars is the non-whitespace
+    character count, stopword hits are whole-token regex matches.
     """
-    toks = tokens(text_col)
-    n_tokens = F.size(toks)
-    n_chars = F.length(F.col(text_col))
-    n_token_chars = F.aggregate(
-        toks, F.lit(0), lambda acc, t: acc + F.length(t)
-    )
-    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
-    en_stop = F.array(*[F.lit(w) for w in _LANG_MARKERS["en"]])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en_stop, F.lower(t))))
+    c = F.col(text_col)
+    n_tokens = token_count(c)
+    n_chars = F.length(c)
+    n_token_chars = F.length(F.regexp_replace(c, r"\s", ""))
+    n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    n_stop = _marker_count(c, _LANG_MARKERS["en"])
     return df.withColumns(
         {
             "n_chars_actual": n_chars,
@@ -86,15 +107,15 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     code. Adds `lang_pred` + one `score_<lang>` per language.
 
     Narrow (per-row) plan: at 100 TB this is a single scan with zero
-    shuffles; the marker arrays are literals baked into codegen.
+    shuffles; each language score is one scalar regexp_count whose marker
+    alternation is baked into codegen — no token-array materialization, no
+    interpreted HOF filters (round-1: those cost ~14 µs/token and made this
+    the slowest text query at just 5,000 docs).
     """
-    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
     out = df
     for lang, markers in _LANG_MARKERS.items():
-        arr = F.array(*[F.lit(w) for w in markers])
         out = out.withColumn(
-            f"score_{lang}",
-            F.size(F.filter(toks, lambda t: F.array_contains(arr, t))),
+            f"score_{lang}", _marker_count(F.col(text_col), markers)
         )
     # argmax via greatest + chained when (deterministic tie-break: first in
     # sorted language order wins)

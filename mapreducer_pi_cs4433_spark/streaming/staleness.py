@@ -42,7 +42,7 @@ def windowed_rollup(
         .agg(
             F.count("*").alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("total_value"),
         )
         .select(

@@ -28,19 +28,22 @@ def emb(spark):
 
 # --- MinHash-LSH: the oracle-sharing claim -----------------------------------
 @pytest.mark.parametrize("sf_dir", [SF_SMOKE, SF_CORRECTNESS])
-def test_minhash_lsh_equals_exact_jaccard(spark, sf_dir):
-    """dedup_minhash_lsh shares dedup_ngram_jaccard's oracle; that is only
-    sound if LSH recall is total at the driver's scale factors. Assert it."""
+def test_lsh_catalog_entries_equal_exact_jaccard(spark, sf_dir):
+    """BOTH catalog entries (dedup_ngram_jaccard at r=2/b=32 candidates,
+    dedup_minhash_lsh at r=4/b=16) share the exact-Jaccard oracle; that is
+    only sound if banding recall is total against the direct full
+    inverted-index operator at the driver's scale factors. Assert it."""
+    docs = load_table(spark, sf_dir, "documents")
     exact = {
-        (r.id_a, r.id_b) for r in QUERIES["dedup_ngram_jaccard"](spark, sf_dir).collect()
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(docs, k=12, threshold=0.5).collect()
     }
-    lsh = {
-        (r.id_a, r.id_b) for r in QUERIES["dedup_minhash_lsh"](spark, sf_dir).collect()
-    }
-    assert lsh == exact, (
-        f"LSH recall not total: missing={exact - lsh} extra={lsh - exact}"
-    )
     assert len(exact) > 0  # the corpus plants near-dup pairs; finding none is a bug
+    for qname in ("dedup_ngram_jaccard", "dedup_minhash_lsh"):
+        got = {(r.id_a, r.id_b) for r in QUERIES[qname](spark, sf_dir).collect()}
+        assert got == exact, (
+            f"{qname}: LSH recall not total: missing={exact - got} extra={got - exact}"
+        )
 
 
 def test_exact_dedup_properties(spark, docs):
@@ -67,11 +70,46 @@ def test_simhash_near_dups_have_close_hashes(spark, docs):
     assert sum(dup_d) / len(dup_d) < sum(rand_d) / len(rand_d) / 2
 
 
-def test_embedding_neardup_finds_self_similar(spark, emb):
-    out = dedup.embedding_neardup_pairs(emb, threshold=0.95, planes=8).collect()
+def test_embedding_neardup_finds_planted_duplicate(spark):
+    """A vector and its tiny perturbation (cosine ~0.9997) must survive
+    bucketing and be reported at the 0.95 production threshold — a real
+    planted-pair check (the random corpus has no pairs above ~0.6, so
+    asserting over its 0.95 output was vacuous in round 1)."""
+    import numpy as np
+
+    # seed chosen so both pair members sit >0.6 from every hyperplane —
+    # the bucket match is a property of the operator, not of luck
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((30, 16))
+    dup = base[3] + 0.02 * rng.standard_normal(16)  # near-copy of vec 3
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    rows.append((1000, [float(x) for x in dup]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = dedup.embedding_neardup_pairs(df, threshold=0.95, planes=4).collect()
+    assert (3, 1000) in {(r.id_a, r.id_b) for r in out}
     for r in out:
         assert r.cosine >= 0.95
         assert r.id_a < r.id_b
+
+
+@pytest.mark.parametrize("sf_dir", [SF_SMOKE, SF_CORRECTNESS])
+def test_embedding_neardup_catalog_emits_rows(spark, sf_dir):
+    """The catalog entry (threshold 0.3) must emit real pairs on the driver
+    corpus — round 1 shipped a 0.95 threshold that returned 0 rows at every
+    SF and proved nothing. Cross-check a returned pair against numpy."""
+    import numpy as np
+
+    out = QUERIES["dedup_embedding_neardup"](spark, sf_dir).collect()
+    assert len(out) > 0
+    emb_local = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    for r in out[:20]:
+        a, b = emb_local[r.id_a], emb_local[r.id_b]
+        ref = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(r.cosine - ref) < 1e-9
+        assert r.cosine >= 0.3
 
 
 def test_brute_force_topk_math(spark, emb):
@@ -94,6 +132,41 @@ def test_ivf_topk_recall(spark, emb):
     approx = [r.id for r in similarity.ivf_topk(index, qv, k=10, planes=4).collect()]
     assert 0 in approx  # the query vector itself lives in the probed bucket
     assert len(set(exact) & set(approx)) >= 3
+
+
+def test_auto_planes_scales_bucket_count():
+    """Bucket count must grow with the corpus so within-bucket pair joins
+    stay bounded: 2^planes ~ n/target, clamped to [min, max]."""
+    assert similarity.auto_planes(0) == 4
+    assert similarity.auto_planes(4096) == 4
+    assert similarity.auto_planes(4096 * 1024) == 10
+    assert similarity.auto_planes(10**12) == 24  # clamped
+    # expected bucket population stays within 2x of target as n grows
+    for n in (10**6, 10**8, 10**10):
+        p = similarity.auto_planes(n)
+        if p < 24:
+            assert n / 2**p <= 4096 * 2
+
+
+def test_sign_matrix_prefix_stable_and_deterministic(spark):
+    """Bucket bits for p planes must be the low bits of p+1 planes (matrix
+    rows are prefix-stable), so re-indexing with more planes refines
+    buckets instead of rehashing them; and the UDF must agree with the
+    driver-side query_bucket computation."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    b4 = {r.vec_id: r.b for r in df.select("vec_id", similarity.sign_bucket("embedding", 4).alias("b")).collect()}
+    b6 = {r.vec_id: r.b for r in df.select("vec_id", similarity.sign_bucket("embedding", 6).alias("b")).collect()}
+    for i in b4:
+        assert b6[i] & 0b1111 == b4[i]
+    # driver-side twin: float32 storage truncates the vector, so compare
+    # through the same float32 round-trip the executor sees
+    for vid, vec in rows[:5]:
+        v32 = [float(np.float32(x)) for x in vec]
+        assert similarity.query_bucket(v32, 4) == b4[vid]
 
 
 def test_pi_estimate(spark):
