@@ -34,9 +34,29 @@ def salted_join(
 
     Use when `small` is too large to broadcast outright but small enough to
     replicate salt_buckets times; otherwise prefer AQE skew handling.
+
+    Only inner/left joins are supported: the small side is REPLICATED across
+    all salt buckets, so a right/full outer join would emit each unmatched
+    small-side row salt_buckets times. (For those, de-skew differently —
+    AQE, or pre-aggregate the big side.)
+
+    The salt is a hash of the row's partition/offset id — deterministic
+    under task retries (F.rand re-draws on retry, reassigning salts
+    mid-shuffle; harmless for pure counts, wrong for anything
+    position-sensitive), while still spreading a hot key's rows uniformly
+    because the entropy comes from row identity, not the key.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left only, got {how!r}: the "
+            "replicated small side would duplicate unmatched rows "
+            f"{salt_buckets}x under right/full outer semantics"
+        )
     salted_big = big.withColumn(
-        "_salt", (F.rand(seed=42) * salt_buckets).cast("int")
+        "_salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)).cast(
+            "int"
+        ),
     )
     salted_small = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
@@ -51,7 +71,12 @@ def skewed_count_per_key(df: DataFrame, key: str, salt_buckets: int = 16) -> Dat
     for count/sum; the explicit form matters for aggregates without partial
     pushdown (e.g. collect_list-like states) and documents the pattern."""
     return (
-        df.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+        df.withColumn(
+            "_salt",
+            F.pmod(
+                F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)
+            ).cast("int"),
+        )
         .groupBy(key, "_salt")
         .agg(F.count("*").alias("_partial"))
         .groupBy(key)

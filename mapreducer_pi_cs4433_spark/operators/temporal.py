@@ -40,11 +40,20 @@ def asof_join(
     resolved by max(right_value) pre-aggregation, making output
     deterministic.
 
+    NULL keys follow SQL join semantics: a NULL never matches a NULL, so
+    NULL-key right rows are dropped (they can match nothing) and NULL-key
+    left rows pass through unmatched (asof value NULL). Without the filter
+    the window would group all NULL keys into one partition and invent
+    matches DuckDB's native ASOF JOIN (the oracle) never produces.
+
     Returns left's columns + `right_value` (original name).
     """
-    # collapse right-side ties first: one row per (key, ts), deterministic
+    # collapse right-side ties first: one row per (key, ts), deterministic;
+    # NULL-key/NULL-ts right rows can never be "the latest at-or-before
+    # match" for any left row — drop them before the union
     r = (
-        right.groupBy(
+        right.filter(F.col(key).isNotNull() & F.col(right_ts).isNotNull())
+        .groupBy(
             F.col(key).alias("__k"), F.col(right_ts).alias("__ts")
         )
         .agg(F.max(right_value).alias("__val"))
@@ -93,6 +102,9 @@ def range_join_bucketed(
     and both neighbors (3 rows) and joins on (key, bucket) equality. The
     exact range predicate filters the (small) per-bucket candidates. Join
     cost: equi-shuffle on a composite key instead of a nested-loop scan.
+
+    NULL keys/timestamps need no special handling here: the inner join's
+    `=` predicate is null-rejecting, exactly like the SQL oracle.
 
     Returns left columns + right columns (right's renamed with `r_` prefix
     where they collide).

@@ -54,23 +54,28 @@ def write_tsv(df: DataFrame, path: str, single_file: bool = False) -> None:
 
 
 def compact_small_files(
-    spark: SparkSession, path: str, target_partitions: int
-) -> None:
+    spark: SparkSession, path: str, target_partitions: int, dest: str | None = None
+) -> str:
     """Rewrite a parquet directory at a chosen partition count — the
-    maintenance task that keeps file sizes near spark.sql.files.
-    maxPartitionBytes after many incremental appends."""
-    tmp = path.rstrip("/") + "__compact_tmp"
+    maintenance task that keeps file sizes near
+    spark.sql.files.maxPartitionBytes after many incremental appends.
+    Returns the compacted directory's path.
+
+    Writes to `dest` (default: path + '__compacted') and leaves the swap to
+    the caller — deliberately. The round-1 version delete+renamed in place
+    through py4j private internals (`sc._jvm` Hadoop FileSystem), which is
+    brittle across Spark versions AND unsound at scale: rename is not
+    atomic on object stores, so readers racing the swap see a missing or
+    half-populated directory either way. Real deployments swap via a
+    metadata commit (Iceberg/Delta rewrite-data-files) or by flipping a
+    pointer (view/symlink/manifest) — an orchestration concern, not a
+    DataFrame one; only public DataFrame APIs are used here.
+    """
+    out = dest or (path.rstrip("/") + "__compacted")
     spark.read.parquet(path).repartition(target_partitions).write.mode(
         "overwrite"
-    ).parquet(tmp)
-    # atomic-ish swap via filesystem rename (driver-side metadata op)
-    jvm = spark.sparkContext._jvm
-    jsc = spark.sparkContext._jsc.sc()
-    fs = jvm.org.apache.hadoop.fs.FileSystem.get(jsc.hadoopConfiguration())
-    p_old = jvm.org.apache.hadoop.fs.Path(path)
-    p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
-    fs.delete(p_old, True)
-    fs.rename(p_tmp, p_old)
+    ).parquet(out)
+    return out
 
 
 def repartition_for_join(df: DataFrame, key: str, partitions: int) -> DataFrame:

@@ -76,6 +76,32 @@ def test_salted_join_matches_plain_join(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+def test_salted_join_rejects_outer_modes(spark):
+    """Replicating the small side across salts duplicates unmatched rows
+    under right/full outer joins — those modes must be refused."""
+    df = spark.range(5).withColumnRenamed("id", "k")
+    for how in ("right", "full", "full_outer"):
+        with pytest.raises(ValueError, match="inner/left"):
+            skew.salted_join(df, df, "k", how=how)
+
+
+def test_compact_small_files_public_api(spark):
+    """Compaction must hit the target partition count and conserve rows,
+    using only public DataFrame APIs (no sc._jvm)."""
+    src = tempfile.mkdtemp(prefix="compact_")
+    try:
+        spark.range(1000).repartition(20).write.mode("overwrite").parquet(src)
+        out = sinks.compact_small_files(spark, src, target_partitions=2)
+        back = spark.read.parquet(out)
+        assert back.count() == 1000
+        import glob
+
+        assert len(glob.glob(out + "/part-*")) == 2
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(src + "__compacted", ignore_errors=True)
+
+
 def test_skewed_count_matches_plain_count(spark):
     orders = load_table(spark, SF_SMOKE, "orders")
     plain = {

@@ -64,6 +64,30 @@ def test_asof_equals_per_row_maximum(spark):
         assert got[tag] == want, (tag, got[tag], want)
 
 
+def test_asof_null_keys_never_match(spark):
+    """SQL join semantics: NULL keys match nothing. NULL-key left rows pass
+    through unmatched; NULL-key right rows are invisible (round-2 fix —
+    the window grouping used to pair NULL with NULL, which DuckDB's native
+    ASOF JOIN never does)."""
+    left = spark.createDataFrame(
+        [
+            (None, _ts("2024-01-01T10:00:00"), "null-key"),
+            (1, _ts("2024-01-01T10:00:00"), "real-key"),
+        ],
+        "k int, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (None, _ts("2024-01-01T09:00:00"), 666),  # must never be matched
+            (1, _ts("2024-01-01T09:00:00"), 100),
+            (1, None, 777),  # null ts can never be "at or before" anything
+        ],
+        "k int, ts timestamp, v int",
+    )
+    out = {r.tag: r.v for r in asof_join(left, right, "k", "ts", "ts", "v").collect()}
+    assert out == {"null-key": None, "real-key": 100}
+
+
 def test_range_join_bucket_boundaries(spark):
     """Pairs straddling bucket boundaries must still match (the neighbor
     probe), and pairs beyond the span must not."""
