@@ -59,3 +59,29 @@ def tune_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     return spark
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def enable_rocksdb_state(spark: SparkSession) -> SparkSession:
+    """Switch Structured Streaming state to the RocksDB provider.
+
+    The default HDFS-backed provider keeps every state row on the executor
+    heap — fine for small keyspaces, an OOM at the 100 TB end (e.g.
+    dedup digests or session state over billions of keys). RocksDB spills
+    state to local SSD with a bounded block cache, and changelog
+    checkpointing uploads per-batch deltas instead of full snapshots.
+
+    Runtime-settable SQL confs, so this works on an externally-built
+    session too; it affects queries STARTED after the call (running
+    queries keep the provider recorded in their checkpoint).
+    """
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true",
+    )
+    return spark

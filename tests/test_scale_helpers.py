@@ -143,16 +143,24 @@ def test_sessionize_builtin_batch(spark):
     assert sum(r.n_events for r in rows) == events.count()
 
 
-def test_sessionize_stateful_matches_builtin(spark):
+@pytest.mark.parametrize("provider", ["hdfs", "rocksdb"])
+def test_sessionize_stateful_matches_builtin(spark, provider):
     """After the bounded replay drains AND the flush timeout fires, the
     custom stateful operator must have emitted exactly the built-in
     session_window sessions. session_window end = last_event + gap,
     stateful end = last_event, so compare on (user, start, n_events).
     A short flush timeout is essential: armed processing-time timers keep
-    an availableNow query alive through empty micro-batches otherwise."""
+    an availableNow query alive through empty micro-batches otherwise.
+    Runs under both state store providers: the on-heap default and RocksDB
+    (the 100 TB keyspace path, session.enable_rocksdb_state)."""
+    from mapreducer_pi_cs4433_spark.session import enable_rocksdb_state
+
     events = load_table(spark, SF_SMOKE, "events")
     src = tempfile.mkdtemp(prefix="sess_src_")
     ckpt = tempfile.mkdtemp(prefix="sess_ck_")
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    if provider == "rocksdb":
+        enable_rocksdb_state(spark)
     try:
         events.write.mode("overwrite").parquet(src)
         stream = spark.readStream.schema(events.schema).parquet(src)
@@ -193,5 +201,12 @@ def test_sessionize_stateful_matches_builtin(spark):
         assert got == want
         assert got
     finally:
+        if provider == "rocksdb":
+            if prev is None:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+            else:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev
+                )
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)

@@ -1,4 +1,5 @@
-"""Streaming exact-dedup tests: bounded replay with planted duplicates."""
+"""Streaming exact-dedup tests: bounded replay with planted duplicates,
+RocksDB state store, and the cross-restart digest-table merge."""
 
 from __future__ import annotations
 
@@ -8,8 +9,12 @@ import tempfile
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from mapreducer_pi_cs4433_spark.session import ROCKSDB_PROVIDER, enable_rocksdb_state
 from mapreducer_pi_cs4433_spark.sources.loaders import load_table
-from mapreducer_pi_cs4433_spark.streaming.dedup import exact_dedup_stream
+from mapreducer_pi_cs4433_spark.streaming.dedup import (
+    exact_dedup_stream,
+    merge_into_digest_table,
+)
 
 from .conftest import SF_SMOKE
 
@@ -49,3 +54,90 @@ def test_exact_dedup_stream_drops_planted_duplicates(spark):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_exact_dedup_stream_under_rocksdb(spark):
+    """Same bounded replay with the RocksDB state store provider: identical
+    dedup output, and the progress metrics must prove RocksDB actually
+    backed the stateful operator (not the on-heap default)."""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    docs = load_table(spark, SF_SMOKE, "documents").limit(60)
+    with_ts = docs.withColumn(
+        "rn", F.row_number().over(Window.orderBy("doc_id"))
+    ).withColumn(
+        "ts",
+        F.expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,rn)"),
+    )
+    dupes = with_ts.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "ts", F.expr("ts + interval 1 second")
+    )
+    src_df = with_ts.unionByName(dupes).select("doc_id", "text", "ts")
+    src = tempfile.mkdtemp(prefix="rdedup_src_")
+    ckpt = tempfile.mkdtemp(prefix="rdedup_ck_")
+    try:
+        enable_rocksdb_state(spark)
+        assert (
+            spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+            == ROCKSDB_PROVIDER
+        )
+        src_df.coalesce(1).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(src_df.schema).parquet(src)
+        q = (
+            exact_dedup_stream(stream, watermark="10 minutes")
+            .writeStream.format("memory")
+            .queryName("rdedup")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        ops = (q.recentProgress or [{}])[-1].get("stateOperators") or []
+        assert any(
+            "rocksdb" in k.lower()
+            for op in ops
+            for k in (op.get("customMetrics") or {})
+        ), "state operator did not run on RocksDB"
+        out = spark.sql("select * from rdedup").collect()
+        assert len(out) == docs.count()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        spark.conf.unset(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        )
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_digest_merge_no_duplicates_across_restarts(spark):
+    """Batch+stream round trip: documents admitted in batch 1 must not be
+    re-admitted by a 'restarted' (fresh-call) batch 2 containing the same
+    content, and re-running a batch admits nothing (idempotent)."""
+    table = tempfile.mkdtemp(prefix="digests_")
+    shutil.rmtree(table)  # merge creates it on first write
+    try:
+        b1 = spark.createDataFrame(
+            [(1, "alpha"), (2, "beta"), (3, "alpha")],  # in-batch dup of 1
+            "doc_id long, text string",
+        )
+        a1 = merge_into_digest_table(spark, b1, table)
+        assert {(r.doc_id) for r in a1.collect()} == {1, 2}  # min-id wins
+
+        # "restart": fresh call, same table path; beta is a cross-batch dup
+        b2 = spark.createDataFrame(
+            [(10, "beta"), (11, "gamma")], "doc_id long, text string"
+        )
+        a2 = merge_into_digest_table(spark, b2, table)
+        assert {r.doc_id for r in a2.collect()} == {11}
+
+        # retry of batch 2: nothing admitted, table unchanged
+        a3 = merge_into_digest_table(spark, b2, table)
+        assert a3.count() == 0
+        tbl = spark.read.parquet(table)
+        assert tbl.count() == 3
+        assert tbl.select("digest").distinct().count() == 3
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
