@@ -26,6 +26,60 @@ def _sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def _bucketed_join_extra(spark, sf_dir: str) -> dict:
+    """Quantify the zero-exchange bucketed-join path (ROADMAP #4).
+
+    Same fact-to-fact query (lineitem join orders on orderkey, aggregated on
+    the join key) timed twice: over the raw parquet (shuffle join) and over
+    pre-bucketed tables (exchange-free by layout). Table writes are setup,
+    not measurement. Reported under 'extra', NOT in the headline total, so
+    round-over-round totals stay comparable. The bucketed plan is ASSERTED
+    to contain zero exchanges — if layout stops eliminating the shuffle,
+    the bench fails rather than silently reporting a stale claim.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mapreducer_pi_cs4433_spark.plans.inspect import count_exchanges
+    from mapreducer_pi_cs4433_spark.sources.loaders import load_table
+    from mapreducer_pi_cs4433_spark.sources.sinks import write_bucketed_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+
+    def q(l, o):
+        return (
+            l.join(o, l["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderkey")
+            .agg(F.count("*").alias("n_items"), F.sum("l_extendedprice").alias("items_price"))
+        )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    extra: dict = {}
+    try:
+        t0 = time.perf_counter()
+        q(li, orders).write.format("noop").mode("overwrite").save()
+        extra["join_li_orders_shuffled_sec"] = round(time.perf_counter() - t0, 4)
+
+        write_bucketed_table(li, "bench_li", "l_orderkey", 16, sort_col="l_orderkey")
+        write_bucketed_table(orders, "bench_orders", "o_orderkey", 16, sort_col="o_orderkey")
+        bq = q(spark.table("bench_li"), spark.table("bench_orders"))
+        n_ex = count_exchanges(bq)
+        assert n_ex == 0, f"bucketed join plan has {n_ex} exchanges, expected 0"
+        extra["bucketed_exchanges"] = n_ex
+        t0 = time.perf_counter()
+        bq.write.format("noop").mode("overwrite").save()
+        extra["join_li_orders_bucketed_sec"] = round(time.perf_counter() - t0, 4)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bench_li")
+        spark.sql("DROP TABLE IF EXISTS bench_orders")
+        shutil.rmtree("spark-warehouse", ignore_errors=True)
+    return extra
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
@@ -38,6 +92,8 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 
+    extra = _bucketed_join_extra(spark, sf_dir)
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -47,6 +103,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_from_dir(sf_dir),
+                "extra": extra,
             }
         )
     )
