@@ -225,16 +225,36 @@ def minhash_lsh_pairs(
 
 
 def simhash64(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    weighted: bool = False,
 ) -> DataFrame:
-    """64-bit SimHash per document: sign-sum of (distinct) shingle hash bits.
+    """64-bit SimHash per document: sign-sum of shingle hash bits.
 
-    The 64 bit-votes are relational SUM aggregates over the exploded posting
-    stream (one shuffle keyed by doc id, 64 longs per doc); bit b of the
-    result is 1 iff more than half the shingles have bit b set. Near-dup
-    docs differ in few bits (compare with bit_count(a ^ b)).
+    The 64 bit-votes are relational SUM aggregates over the exploded shingle
+    stream; bit b of the result is 1 iff more than half the (weighted)
+    shingles have bit b set. Near-dup docs differ in few bits (compare with
+    bit_count(a ^ b)).
+
+    weighted=False (set semantics): votes over DISTINCT shingles — requires
+    a pre-shuffle dedup of the posting stream, the plan's dominant cost
+    (~70% at sf0.1). weighted=True (term-frequency semantics, the classic
+    Charikar/Manku weighting): votes over the raw stream, each shingle
+    weighted by its occurrence count. That drops the distinct entirely:
+    partial aggregation collapses each document map-side (doc rows are
+    generated contiguously by the explode), so the ONLY exchange carries
+    ~65 longs per document regardless of document size — the shape to use
+    at corpus scale. Both variants keep planted near-dups within a few bits
+    (property-tested).
+
     Returns (id, simhash)."""
-    posting = _hashed_postings(df, text_col, id_col, k)
+    if weighted:
+        sh = exploded_shingles(df, text_col, id_col, k, distinct=False)
+        posting = sh.select("id", F.xxhash64("shingle").alias("h"))
+    else:
+        posting = _hashed_postings(df, text_col, id_col, k)
     votes = posting.groupBy("id").agg(
         F.count("*").alias("n"),
         *[

@@ -230,8 +230,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_simhash")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprints (rows-only: engine-private xxhash64)."""
-    return dedup.simhash64(_t(spark, sf_dir, "documents"), k=_SHINGLE_K)
+    """64-bit SimHash fingerprints (rows-only: engine-private xxhash64).
+    tf-weighted variant: no distinct pass, so the single exchange carries
+    ~65 longs per document — the corpus-scale plan (see simhash64)."""
+    return dedup.simhash64(_t(spark, sf_dir, "documents"), k=_SHINGLE_K, weighted=True)
 
 
 @query("dedup_embedding_neardup")

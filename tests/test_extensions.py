@@ -53,12 +53,17 @@ def test_exact_dedup_properties(spark, docs):
     assert len({r.digest for r in out}) == len(out)
 
 
-def test_simhash_near_dups_have_close_hashes(spark, docs):
+@pytest.mark.parametrize("weighted", [False, True])
+def test_simhash_near_dups_have_close_hashes(spark, docs, weighted):
     """Planted near-dup pairs (exact jaccard >= 0.5) must be much closer in
-    SimHash hamming distance than random pairs."""
+    SimHash hamming distance than random pairs — under both the distinct
+    (set) and tf-weighted (scale-path) vote semantics."""
     pairs = dedup.ngram_jaccard_pairs(docs, k=12, threshold=0.5).collect()
     assert pairs
-    sims = {r.id: r.simhash for r in dedup.simhash64(docs, k=12).collect()}
+    sims = {
+        r.id: r.simhash
+        for r in dedup.simhash64(docs, k=12, weighted=weighted).collect()
+    }
 
     def ham(a, b):
         return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
@@ -68,6 +73,16 @@ def test_simhash_near_dups_have_close_hashes(spark, docs):
     rand_d = [ham(sims[a], sims[b]) for a in ids for b in ids if a < b]
     assert max(dup_d) < 16
     assert sum(dup_d) / len(dup_d) < sum(rand_d) / len(rand_d) / 2
+
+
+def test_weighted_simhash_single_cheap_exchange(spark, docs):
+    """The tf-weighted plan must contain exactly one exchange (the per-doc
+    final aggregation) — no pre-shuffle distinct of the shingle stream."""
+    from mapreducer_pi_cs4433_spark.plans.inspect import count_exchanges
+
+    assert count_exchanges(dedup.simhash64(docs, k=12, weighted=True)) == 1
+    # set-semantics variant pays the distinct: strictly more exchanges
+    assert count_exchanges(dedup.simhash64(docs, k=12, weighted=False)) >= 2
 
 
 def test_embedding_neardup_finds_planted_duplicate(spark):

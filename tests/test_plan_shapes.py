@@ -119,6 +119,41 @@ def test_exact_dedup_single_shuffle(spark):
     assert count_exchanges(df) == 1
 
 
+def test_no_interpreted_hofs_or_row_udfs_anywhere(spark):
+    """Suite-wide round-2 invariant: NO catalog query may contain an array
+    higher-order function (visible as `lambdafunction` in the plan — they
+    execute as interpreted CodegenFallback at ~14 µs/element) or a row-wise
+    Python UDF (BatchEvalPython). Arrow-batched pandas UDFs
+    (ArrowEvalPython) are the one sanctioned Python boundary."""
+    for name, fn in sorted(QUERIES.items()):
+        if name == "pi_estimate":
+            continue  # RDD workload, no SQL plan to inspect
+        plan = formatted_plan(fn(spark, SF_SMOKE))
+        assert "lambdafunction" not in plan, f"{name}: interpreted HOF in plan"
+        assert "BatchEvalPython" not in plan, f"{name}: row-wise Python UDF"
+
+
+def test_vector_kernels_are_arrow_batched(spark):
+    """The similarity/near-dup paths must run their vector math through
+    ArrowEvalPython (pandas UDF batches), and brute-force top-k must still
+    plan as TakeOrderedAndProject — no global sort, no shuffle of vectors."""
+    bf = QUERIES["similarity_topk_bruteforce"](spark, SF_SMOKE)
+    plan = formatted_plan(bf)
+    assert "ArrowEvalPython" in plan
+    assert "TakeOrderedAndProject" in plan
+    nd = QUERIES["dedup_embedding_neardup"](spark, SF_SMOKE)
+    assert "ArrowEvalPython" in formatted_plan(nd)
+
+
+def test_text_queries_stay_narrow(spark):
+    """Per-document text analyses are scalar-expression-only: zero shuffles
+    (the plan is scan -> project), nothing but the parquet scan to pay for
+    at 100 TB."""
+    for name in ("text_token_stats", "text_quality", "text_language_id"):
+        df = QUERIES[name](spark, SF_SMOKE)
+        assert count_exchanges(df) == 0, name
+
+
 def test_filter_pushdown_reaches_parquet(spark):
     """P1-style constant filters must appear in PushedFilters on the scan."""
     from mapreducer_pi_cs4433_spark.sources.loaders import load_table
