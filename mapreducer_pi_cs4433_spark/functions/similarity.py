@@ -223,6 +223,163 @@ def build_ivf_index(
     )
 
 
+def train_pq_codebooks(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 256,
+    sample_rows: int = 10_000,
+    kmeans_iters: int = 10,
+) -> "np.ndarray":
+    """Train product-quantization codebooks: (m, k, d/m) centroids.
+
+    The vector's d dimensions split into m contiguous subspaces; each gets
+    a k-centroid codebook from deterministic Lloyd iterations (fixed
+    sample, evenly-spaced init, fixed iteration count — same data in, same
+    codebooks out, no RNG). Training pulls a bounded driver-side sample
+    (`limit(sample_rows)` — the one sanctioned collect in this module,
+    ~10k × d doubles); at 100 TB train once on a sample job, persist the
+    codebook array, and reuse it for every encode/query.
+
+    Vectors are L2-normalized before training so PQ inner products
+    approximate cosine.
+    """
+    rows = df.select(vec_col).limit(sample_rows).collect()
+    mat = np.vstack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    nrm = np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+    np.divide(mat, nrm, out=mat, where=nrm > 0)
+    n, d = mat.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    dsub = d // m
+    k_eff = min(k, n)
+    books = np.empty((m, k_eff, dsub), dtype=np.float64)
+    for mi in range(m):
+        sub = mat[:, mi * dsub : (mi + 1) * dsub]
+        # deterministic init: evenly spaced points of the (stable) sample
+        cent = sub[np.linspace(0, n - 1, k_eff).astype(np.int64)].copy()
+        for _ in range(kmeans_iters):
+            # assign to nearest centroid by squared L2
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k_eff):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = sub[mask].mean(axis=0)
+        books[mi] = cent
+    return books
+
+
+def encode_pq(
+    index_df: DataFrame,
+    codebooks: "np.ndarray",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes array<int>[m]) — each vector L2-normalized and quantized
+    to its nearest centroid per subspace. At d=64/m=8 this is a 32×
+    compression of the scan payload (8 small ints vs 64 floats): the
+    row-store you actually keep hot for ANN at 100 TB, with the full
+    vectors cold in the base table for re-ranking."""
+    books = [b.tolist() for b in codebooks]  # ship plain lists, not ndarray
+
+    @F.pandas_udf("array<int>")
+    def _encode(v: pd.Series) -> pd.Series:
+        import numpy as np
+        import pandas as pd
+
+        if len(v) == 0:
+            return pd.Series(np.empty(0, dtype=object))
+        cb = np.asarray(books, dtype=np.float64)  # (m, k, dsub)
+        m_, _, dsub = cb.shape
+        mat = np.vstack(v.to_numpy()).astype(np.float64)
+        nrm = np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+        np.divide(mat, nrm, out=mat, where=nrm > 0)
+        codes = np.empty((mat.shape[0], m_), dtype=np.int64)
+        for mi in range(m_):
+            sub = mat[:, mi * dsub : (mi + 1) * dsub]
+            # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin over c
+            d2 = (sub * sub).sum(1)[:, None] - 2 * sub @ cb[mi].T + (
+                cb[mi] * cb[mi]
+            ).sum(1)[None, :]
+            codes[:, mi] = d2.argmin(axis=1)
+        return pd.Series([row.astype("int32") for row in codes])
+
+    return index_df.select(
+        F.col(id_col).alias("id"), _encode(vec_col).alias("codes")
+    )
+
+
+def pq_topk(
+    encoded: DataFrame,
+    codebooks: "np.ndarray",
+    query_vec: list[float],
+    k: int = 10,
+    rerank: DataFrame | None = None,
+    rerank_factor: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k by PQ asymmetric distance, optionally re-ranked.
+
+    The query is NOT quantized: a (m, k) lookup table of query-subvector ·
+    centroid dot products is computed driver-side and shipped in the UDF
+    closure (~2k doubles); each row's approximate cosine is m table
+    lookups — numpy fancy-indexing over the whole Arrow batch, no
+    per-element Python. TakeOrdered keeps k·rerank_factor candidates.
+
+    With `rerank` (the base table holding full vectors), candidates
+    broadcast-semi-join back and exact cosine re-orders them — the
+    standard IVF-PQ shape: compressed scan for candidates, exact math on
+    k·factor rows only. Returns (id, cosine_sim): approximate scores
+    without rerank, exact with.
+    """
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    qn = np.sqrt((q * q).sum())
+    if qn > 0:
+        q = q / qn
+    m_, _, dsub = codebooks.shape
+    lut = np.stack(
+        [codebooks[mi] @ q[mi * dsub : (mi + 1) * dsub] for mi in range(m_)]
+    )  # (m, k) partial dots
+    lut_list = lut.tolist()
+    n_cand = k * rerank_factor if rerank is not None else k
+
+    @F.pandas_udf("double")
+    def _adc(codes: pd.Series) -> pd.Series:
+        import numpy as np
+        import pandas as pd
+
+        if len(codes) == 0:
+            return pd.Series(np.empty(0, dtype=np.float64))
+        lt = np.asarray(lut_list, dtype=np.float64)
+        cm = np.vstack(codes.to_numpy()).astype(np.int64)  # (n, m)
+        sims = lt[np.arange(lt.shape[0])[None, :], cm].sum(axis=1)
+        return pd.Series(sims)
+
+    cands = (
+        encoded.select("id", F.round(_adc("codes"), 9).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc("id"))
+        .limit(n_cand)
+    )
+    if rerank is None:
+        return cands
+    qlist = [float(x) for x in q]
+    return (
+        rerank.join(
+            F.broadcast(cands.select("id")),
+            rerank[id_col] == F.col("id"),
+            "inner",
+        )
+        .select(
+            F.col("id"),
+            F.round(cosine_to_query(vec_col, qlist), 9).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("id"))
+        .limit(k)
+    )
+
+
 def ivf_topk(
     index: DataFrame,
     query_vec: list[float],

@@ -347,6 +347,22 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(index, _query_vec(spark, sf_dir), k=10, planes=4)
 
 
+@query("similarity_topk_pq")
+def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization top-10 with exact re-rank (rows-only: codebooks
+    are engine-private). The full IVF-PQ shape at catalog scale: train
+    deterministic codebooks on a bounded sample (a separate one-off job at
+    100 TB), scan 8-byte codes instead of 256-byte vectors (32x less hot
+    data), re-rank k*5 candidates with exact cosine. Self-vector is always
+    recovered; recall vs brute force asserted in tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    books = similarity.train_pq_codebooks(emb, m=8, k=256, sample_rows=5000)
+    enc = similarity.encode_pq(emb, books)
+    return similarity.pq_topk(
+        enc, books, _query_vec(spark, sf_dir), k=10, rerank=emb, rerank_factor=5
+    )
+
+
 # ---------------------------------------------------------------------------
 # Time-series rollup over the events stream table
 # ---------------------------------------------------------------------------

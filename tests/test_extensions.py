@@ -149,6 +149,40 @@ def test_ivf_topk_recall(spark, emb):
     assert len(set(exact) & set(approx)) >= 3
 
 
+def test_pq_topk_recall_and_determinism(spark, emb):
+    """PQ + exact re-rank must recover most of the true top-10 (the random
+    corpus has near-tied neighbors, so ADC-only recall is inherently
+    partial) and always put the query's own vector first; codebook training
+    is deterministic, so two runs agree exactly."""
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head().embedding]
+    exact = [r.id for r in similarity.brute_force_topk(emb, qv, k=10).collect()]
+    books = similarity.train_pq_codebooks(emb, m=8, k=256, sample_rows=5000)
+    enc = similarity.encode_pq(emb, books)
+    rr = similarity.pq_topk(enc, books, qv, k=10, rerank=emb, rerank_factor=5)
+    got = [r.id for r in rr.collect()]
+    assert got[0] == 0  # self-similarity wins after exact re-rank
+    assert len(set(exact) & set(got)) >= 6
+    # determinism: retrain + requery -> identical result set and order
+    books2 = similarity.train_pq_codebooks(emb, m=8, k=256, sample_rows=5000)
+    enc2 = similarity.encode_pq(emb, books2)
+    got2 = [
+        r.id
+        for r in similarity.pq_topk(
+            enc2, books2, qv, k=10, rerank=emb, rerank_factor=5
+        ).collect()
+    ]
+    assert got == got2
+
+
+def test_pq_codes_compress(spark, emb):
+    """Encoded rows are m small ints — the 32x hot-scan compression claim."""
+    books = similarity.train_pq_codebooks(emb, m=8, k=256, sample_rows=2000)
+    enc = similarity.encode_pq(emb, books).collect()
+    assert all(len(r.codes) == 8 for r in enc)
+    assert all(0 <= c < 256 for r in enc for c in r.codes)
+    assert len(enc) == emb.count()
+
+
 def test_auto_planes_scales_bucket_count():
     """Bucket count must grow with the corpus so within-bucket pair joins
     stay bounded: 2^planes ~ n/target, clamped to [min, max]."""
