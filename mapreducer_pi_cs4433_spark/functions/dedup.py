@@ -281,19 +281,26 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     planes: int | str = 8,
     target_bucket_rows: int = 4096,
+    bucketings: int = 1,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= threshold.
 
     Random-hyperplane LSH bucketing: each vector gets a `planes`-bit sign
     key from a fixed deterministic hyperplane matrix; exact cosine is
     computed only within buckets, so the pair join never goes all-pairs.
-    True near-dups (cosine ~ 1) collide with probability
-    (1 - theta/pi)^planes ~= 0.9 per bucket at tau=0.95; for
-    recall-critical runs lower `planes` or union multiple bucketings.
+    A pair at angle theta collides with probability p = (1-theta/pi)^planes
+    per bucketing (~0.9 at tau=0.95, planes=8).
 
     planes="auto" sizes 2^planes to the corpus (one count() job) via
     similarity.auto_planes, bounding the expected within-bucket population
     (and therefore the bucket-join quadratic) at any scale.
+
+    bucketings=R unions candidates from R independent hyperplane draws
+    before scoring: recall becomes 1-(1-p)^R at R× the candidate-join cost
+    — the way to buy recall back after auto_planes raises the plane count
+    (rather than coarsening buckets and re-exploding the quadratic).
+    Candidate pairs are deduplicated across draws before the cosine kernel
+    runs, so each surviving pair is scored exactly once.
 
     Vector math is Arrow-batched numpy (similarity.unit_vector /
     pair_dot): vectors are normalized ONCE before the join, so the
@@ -305,19 +312,43 @@ def embedding_neardup_pairs(
 
     if planes == "auto":
         planes = auto_planes(df.count(), target_bucket_rows)
-    vecs = df.select(
-        F.col(id_col).alias("id"),
-        unit_vector(vec_col).alias("u"),
-        sign_bucket(vec_col, planes).alias("bucket"),
-    )
-    a = vecs.select("bucket", F.col("id").alias("id_a"), F.col("u").alias("u_a"))
-    b_ = vecs.select(
-        F.col("bucket").alias("bucket_b"),
-        F.col("id").alias("id_b"),
-        F.col("u").alias("u_b"),
-    )
+    if bucketings == 1:
+        vecs = df.select(
+            F.col(id_col).alias("id"),
+            unit_vector(vec_col).alias("u"),
+            sign_bucket(vec_col, planes).alias("bucket"),
+        )
+        a = vecs.select("bucket", F.col("id").alias("id_a"), F.col("u").alias("u_a"))
+        b_ = vecs.select(
+            F.col("bucket").alias("bucket_b"),
+            F.col("id").alias("id_b"),
+            F.col("u").alias("u_b"),
+        )
+        return (
+            a.join(b_, (a["bucket"] == b_["bucket_b"]) & (a["id_a"] < b_["id_b"]))
+            .withColumn("cosine", pair_dot("u_a", "u_b"))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine")
+        )
+    # multi-draw: thin candidate pairs per draw, distinct across draws,
+    # then one join-back for the unit vectors and one scoring pass
+    ids = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
+    cand = None
+    for r in range(bucketings):
+        br = ids.select("id", sign_bucket("__v", planes, draw=r).alias("bk"))
+        a = br.select("bk", F.col("id").alias("id_a"))
+        b_ = br.select(F.col("bk").alias("bk_b"), F.col("id").alias("id_b"))
+        pairs_r = a.join(
+            b_, (a["bk"] == b_["bk_b"]) & (a["id_a"] < b_["id_b"])
+        ).select("id_a", "id_b")
+        cand = pairs_r if cand is None else cand.unionByName(pairs_r)
+    cand = cand.distinct()
+    units = df.select(F.col(id_col).alias("id"), unit_vector(vec_col).alias("u"))
+    ua = units.select(F.col("id").alias("id_a"), F.col("u").alias("u_a"))
+    ub = units.select(F.col("id").alias("id_b"), F.col("u").alias("u_b"))
     return (
-        a.join(b_, (a["bucket"] == b_["bucket_b"]) & (a["id_a"] < b_["id_b"]))
+        cand.join(ua, "id_a")
+        .join(ub, "id_b")
         .withColumn("cosine", pair_dot("u_a", "u_b"))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

@@ -43,26 +43,28 @@ from pyspark.sql import functions as F
 _HYPERPLANE_SEED = 0x51AB5  # fixed: buckets must be stable across jobs/runs
 
 
-def _sign_matrix(planes: int, dim: int) -> np.ndarray:
+def _sign_matrix(planes: int, dim: int, draw: int = 0) -> np.ndarray:
     """Deterministic (planes, dim) ±1 hyperplane matrix. Row-major draw from
     a fixed seed, so smaller `planes` is a prefix of larger — re-indexing
-    with more planes refines buckets without reshuffling their prefix."""
-    rng = np.random.default_rng(_HYPERPLANE_SEED)
+    with more planes refines buckets without reshuffling their prefix.
+    `draw` selects an independent hyperplane family (seed offset) for
+    multi-bucketing recall unions."""
+    rng = np.random.default_rng(_HYPERPLANE_SEED + draw)
     return (rng.integers(0, 2, size=(planes, dim)) * 2 - 1).astype(np.float64)
 
 
-def _np_buckets(mat: np.ndarray, planes: int) -> np.ndarray:
+def _np_buckets(mat: np.ndarray, planes: int, draw: int = 0) -> np.ndarray:
     """Bucket ids (int64) for a (n, dim) batch: bit p = sign of the
     projection onto hyperplane p."""
-    proj = mat @ _sign_matrix(planes, mat.shape[1]).T  # (n, planes)
+    proj = mat @ _sign_matrix(planes, mat.shape[1], draw).T  # (n, planes)
     bits = (proj >= 0).astype(np.int64)
     return bits @ (1 << np.arange(planes, dtype=np.int64))
 
 
-def query_bucket(query_vec: list[float], planes: int) -> int:
+def query_bucket(query_vec: list[float], planes: int, draw: int = 0) -> int:
     """Driver-side bucket of a query vector — same hyperplanes as the UDF."""
     q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
-    return int(_np_buckets(q[None, :], planes)[0])
+    return int(_np_buckets(q[None, :], planes, draw)[0])
 
 
 def cosine_to_query(vec_col: str | Column, query_vec: list[float]) -> Column:
@@ -125,8 +127,11 @@ def pair_dot(a_col: str | Column, b_col: str | Column) -> Column:
     )
 
 
-def sign_bucket(vec_col: str | Column, planes: int = 8) -> Column:
-    """Deterministic random-hyperplane sign bucket (shared with dedup)."""
+def sign_bucket(vec_col: str | Column, planes: int = 8, draw: int = 0) -> Column:
+    """Deterministic random-hyperplane sign bucket (shared with dedup).
+    `draw` selects an independent hyperplane family — unioning candidate
+    pairs over several draws trades one extra narrow pass for recall
+    1-(1-p)^draws instead of p."""
 
     @F.pandas_udf("long")
     def _bucket(v: pd.Series) -> pd.Series:
@@ -139,7 +144,7 @@ def sign_bucket(vec_col: str | Column, planes: int = 8) -> Column:
         # inline twin of _sign_matrix (same seed/draw): the closure must be
         # self-contained — referencing the module helper would pickle it by
         # reference to a package the executor can't import
-        rng = np.random.default_rng(0x51AB5)
+        rng = np.random.default_rng(0x51AB5 + draw)
         signs = (rng.integers(0, 2, size=(planes, mat.shape[1])) * 2 - 1).astype(
             np.float64
         )

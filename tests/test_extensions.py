@@ -107,6 +107,35 @@ def test_embedding_neardup_finds_planted_duplicate(spark):
         assert r.id_a < r.id_b
 
 
+def test_embedding_neardup_multi_bucketing_recovers_missed_pair(spark):
+    """Recall union: this planted pair straddles a draw-0 hyperplane at
+    planes=4 (verified numerically — single-bucketing misses it), but
+    draw 1 buckets it together, so bucketings=2 must report it. Also: no
+    pair may be reported twice after the cross-draw distinct."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((30, 16))
+    dup = base[3] + 0.02 * rng.standard_normal(16)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    rows.append((1000, [float(x) for x in dup]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    single = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_neardup_pairs(df, threshold=0.95, planes=4).collect()
+    }
+    assert (3, 1000) not in single  # the draw-0 miss this test is built on
+    multi = [
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_neardup_pairs(
+            df, threshold=0.95, planes=4, bucketings=2
+        ).collect()
+    ]
+    assert (3, 1000) in set(multi)
+    assert len(multi) == len(set(multi))
+    assert set(multi) >= single  # union only ever adds candidates
+
+
 @pytest.mark.parametrize("sf_dir", [SF_SMOKE, SF_CORRECTNESS])
 def test_embedding_neardup_catalog_emits_rows(spark, sf_dir):
     """The catalog entry (threshold 0.3) must emit real pairs on the driver
