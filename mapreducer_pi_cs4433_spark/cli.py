@@ -27,9 +27,12 @@ from .session import get_spark
 from .sources import loaders
 
 
-def _write(df: DataFrame, out: str, single_file: bool) -> None:
+def _write(df: DataFrame, out: str, single_file: bool, output_format: str) -> None:
     if single_file:
         df = df.coalesce(1)
+    if output_format == "parquet":
+        df.write.mode("overwrite").parquet(out)
+        return
     # timestampFormat matches the reference's output rendering (TaskG.java:123)
     df.write.mode("overwrite").option("sep", "\t").option(
         "timestampFormat", "yyyy-MM-dd HH:mm:ss"
@@ -42,6 +45,13 @@ def main(argv: list[str] | None = None) -> int:
         description="PySpark re-implementation of the reference's analytics tasks",
     )
     p.add_argument("--single-file", action="store_true", help="coalesce output to one file")
+    p.add_argument(
+        "--output-format",
+        choices=["tsv", "parquet"],
+        default="tsv",
+        help="tsv mirrors the reference's part-r-* text files; parquet is "
+        "the columnar form downstream Spark jobs should prefer",
+    )
     sub = p.add_subparsers(dest="task", required=True)
 
     sp = sub.add_parser("taskA", help="filter by nationality -> (Name, Hobby)")
@@ -73,6 +83,18 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--seed", type=int, default=42)
 
     args = p.parse_args(argv)
+
+    # exit-code fidelity: a missing input path is exit 2 with a one-line
+    # message (the reference's hadoop job dies with a stack trace; a CLI
+    # should say which path is wrong)
+    import os
+
+    for name in ("pages", "friends", "access_logs", "corpus"):
+        path = getattr(args, name, None)
+        if path is not None and not os.path.exists(path):
+            print(f"{args.task}: input not found: {path}", file=sys.stderr)
+            return 2
+
     spark = get_spark(f"cli-{args.task}")
 
     if args.task == "pi":
@@ -129,7 +151,14 @@ def main(argv: list[str] | None = None) -> int:
         p.error(f"unknown task {args.task}")
         return 2
 
-    _write(df, args.out, args.single_file)
+    _write(df, args.out, args.single_file, args.output_format)
+    # empty results are FLAGGED on stderr but still exit 0 — the reference
+    # silently writes empty part files, and a non-zero code would break
+    # pipelines that legitimately expect empty (e.g. Task F on a
+    # fully-visited graph). isEmpty() probes the first partition only —
+    # no full recount of a large output.
+    if df.isEmpty():
+        print(f"{args.task}: result is EMPTY ({args.out})", file=sys.stderr)
     print(f"{args.task}: wrote {df.columns} to {args.out}")
     return 0
 

@@ -50,6 +50,31 @@ def test_cli_unknown_task_fails_cleanly():
     assert "invalid choice" in r.stderr
 
 
+def test_cli_missing_input_exits_2_without_traceback():
+    r = _run("taskC", "/no/such/pages.csv", "/tmp/never_written")
+    assert r.returncode == 2
+    assert "input not found" in r.stderr
+    assert "Traceback" not in r.stderr
+
+
+def test_cli_parquet_output(tmp_path):
+    out = tmp_path / "c_parquet"
+    r = _run(
+        "--output-format",
+        "parquet",
+        "taskC",
+        f"{REFERENCE_DATA}/pages.csv",
+        str(out),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    import pandas as pd
+
+    rows = pd.read_parquet(out)
+    got = dict(zip(rows.iloc[:, 0], rows.iloc[:, 1]))
+    assert got["Netherlands"] == 2 and got["Russia"] == 1
+    assert sum(got.values()) == 20  # every sample row counted exactly once
+
+
 def test_cli_pi():
     r = _run("pi", "--samples", "100000", "--partitions", "4")
     assert r.returncode == 0
