@@ -364,6 +364,92 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Composed training-data cleaning pipeline
+# ---------------------------------------------------------------------------
+
+
+_PIPELINE_ORACLE = f"""
+    WITH q AS (
+        SELECT doc_id, text,
+               len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))::BIGINT
+                 AS n_tokens
+        FROM documents
+    ), f AS (
+        SELECT doc_id, text, n_tokens FROM q
+        WHERE n_tokens >= 25
+          AND len(list_filter(
+                list_transform(regexp_split_to_array(text, '\\s+'), x -> lower(x)),
+                x -> list_contains(['the','and','of','to','is','in','that','it'], x))) >= 1
+    ), e AS (
+        SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(text)
+    ), fe AS (
+        SELECT f.* FROM f JOIN e USING (doc_id)
+    ), d AS (
+        SELECT doc_id, regexp_replace(text, '\\s+', ' ', 'g') AS norm FROM fe
+    ), sh AS (
+        SELECT doc_id AS id,
+               unnest(list_distinct([substr(norm, i::INT, {_SHINGLE_K})
+                      for i in range(1, greatest(length(norm) - {_SHINGLE_K - 1}, 1) + 1)]))
+                 AS shingle
+        FROM d
+    ), sz AS (
+        SELECT id, count(*) AS n FROM sh GROUP BY id
+    ), i AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    ), dup_b AS (
+        SELECT DISTINCT id_b
+        FROM i JOIN sz sa ON id_a = sa.id JOIN sz sb ON id_b = sb.id
+        WHERE c / (sa.n + sb.n - c) >= {_JACCARD_T}
+    )
+    SELECT doc_id, n_tokens FROM fe
+    WHERE doc_id NOT IN (SELECT id_b FROM dup_b)
+    """
+
+
+@query("pipeline_clean_corpus", oracle=_PIPELINE_ORACLE)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed LLM training-data cleaning flow, end to end:
+
+      quality gate (n_tokens >= 25) -> language gate (>= 1 English marker)
+      -> exact dedup (min-id winner per content digest)
+      -> near-dup removal (drop the higher id of every Jaccard >= 0.5 pair
+         among survivors, candidates via banded LSH, verified exactly)
+
+    One lazy plan: gates are scalar codegen predicates evaluated in the
+    scan pass, dedup is a digest-keyed semi join, near-dup reuses the LSH
+    machinery on the already-filtered corpus. The oracle recomputes the
+    identical pipeline in SQL with the exact pair join, so the driver
+    checks the whole composition, not just the pieces. Thresholds are
+    calibrated to the synthetic corpus so every stage actually removes
+    rows (sf0.01: 500 -> ~290 docs)."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        "text",
+        text.token_count("text").cast("long").alias("n_tokens"),
+        text._marker_count(F.col("text"), text._LANG_MARKERS["en"]).alias("en_score"),
+    )
+    kept = feats.filter((F.col("n_tokens") >= 25) & (F.col("en_score") >= 1))
+    winners = (
+        kept.groupBy(F.md5("text").alias("digest"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    fe = kept.join(winners, "doc_id", "left_semi")
+    pairs = dedup.minhash_lsh_pairs(
+        fe.select("doc_id", "text"),
+        k=_SHINGLE_K,
+        num_perm=64,
+        bands=32,
+        threshold=_JACCARD_T,
+    )
+    dup_b = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return fe.join(dup_b, "doc_id", "left_anti").select("doc_id", "n_tokens")
+
+
+# ---------------------------------------------------------------------------
 # Time-series rollup over the events stream table
 # ---------------------------------------------------------------------------
 
