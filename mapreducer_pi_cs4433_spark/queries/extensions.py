@@ -283,6 +283,39 @@ def json_props_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sample_deterministic_hash",
+    oracle="""
+    SELECT source,
+           count(*) AS n_sampled,
+           CAST(sum(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                    x -> x <> ''))) AS BIGINT) AS sample_tokens
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '2'
+    GROUP BY source
+    """,
+)
+def sample_deterministic_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~19% (3/16) corpus sample by content-free hash gate:
+    keep documents whose md5(doc_id) hex starts with 0/1/2, then per-source
+    sample counts + token budget. THE sampling idiom at 100 TB: a narrow
+    codegen predicate on a hash of the key — no orderBy(rand()) global
+    sort, no engine-specific RNG seed, reproducible across engines/runs/
+    retries by construction, and stratification falls out of the group-by.
+    Hex-prefix string comparison keeps the gate engine-neutral (md5 is
+    standardized; integer parsing of hex is not uniformly available)."""
+    docs = _t(spark, sf_dir, "documents")
+    gate = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) <= "2"
+    return (
+        docs.filter(gate)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum(text.token_count("text")).cast("long").alias("sample_tokens"),
+        )
+    )
+
+
 @query("dedup_approx_distinct")
 def dedup_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based cardinality: HyperLogLog++ distinct-document estimate

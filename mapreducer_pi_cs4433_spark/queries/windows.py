@@ -99,6 +99,43 @@ def window_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_trailing_7d_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY epoch(date_trunc('second', o_orderdate))
+               RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+           ) AS DECIMAL(18,2)) AS DOUBLE) AS spend_7d
+    FROM orders
+    """,
+)
+def window_trailing_7d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day spend per customer — the RANGE-interval frame family
+    (value-based frames, distinct from ROWS frames: all orders within
+    604800 epoch-seconds of the current one, ties included as peers, so no
+    tie-break column is needed for determinism). The frame bound is on
+    integer epoch seconds, the cross-engine-safe idiom; sums aggregate in
+    decimal and project as double (driver-canonicalization rule)."""
+    orders = _t(spark, sf_dir, "orders")
+    epoch = F.col("o_orderdate").cast("timestamp_ltz").cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch)
+        .rangeBetween(-604800, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("spend_7d"),
+    )
+
+
+@query(
     "window_running_spend",
     oracle="""
     SELECT o_custkey, o_orderkey,
