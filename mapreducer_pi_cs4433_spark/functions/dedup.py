@@ -224,6 +224,79 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list by iterative
+    min-label propagation: comp(v) <- min(comp(v), min over neighbors u of
+    comp(u)) until fixpoint. Returns (id, comp) where comp is the minimum
+    node id in v's component — the canonical cluster id for dedup (every
+    member of a near-dup cluster maps to the same keeper).
+
+    Scale shape: each superstep is one shuffle join (edges x labels) + one
+    grouped MIN + one outer merge — all relational, whole-stage codegen.
+    Labels are eagerly localCheckpoint-ed every superstep so the plan/lineage
+    stays O(1) deep instead of growing by three operators per iteration
+    (without truncation the fixpoint loop re-executes every prior superstep
+    and analysis cost grows quadratically). Convergence needs O(diameter)
+    supersteps; near-dup graphs are overwhelmingly pairs/stars (diameter
+    1-2), so 2-3 supersteps in practice. For adversarial long-chain graphs
+    the O(log n)-round alternating-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") is the drop-in upgrade;
+    propagation is used here because each step is purely relational and the
+    fixpoint test is a single count of changed labels.
+
+    This is deliberately an iterative driver-side loop — the one operator
+    family (transitive closure) that a single declarative plan cannot
+    express; each iteration's `changed` count is the only driver readback.
+    """
+    # Materialize the edge list ONCE, before symmetrizing: every superstep
+    # joins against it, and without truncation each iteration (and both
+    # union branches) would re-execute the full upstream edge-producing
+    # plan (e.g. the entire MinHash-LSH pipeline) from scratch.
+    e = edges.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).localCheckpoint(eager=True)
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        sym.select("src")
+        .distinct()
+        .select(F.col("src").alias("id"), F.col("src").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("comp").alias("c_dst")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("c_dst").alias("nbr_min"))
+        )
+        merged = labels.join(
+            nbr_min, labels["id"] == nbr_min["src"], "left"
+        ).select(
+            "id",
+            F.least(F.col("comp"), F.coalesce("nbr_min", F.col("comp"))).alias(
+                "comp"
+            ),
+            (F.col("nbr_min") < F.col("comp")).alias("_changed"),
+        )
+        merged = merged.localCheckpoint(eager=True)
+        changed = merged.filter(F.col("_changed")).count()
+        labels = merged.select("id", "comp")
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash64(
     df: DataFrame,
     text_col: str = "text",

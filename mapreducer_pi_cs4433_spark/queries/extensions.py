@@ -228,6 +228,54 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CLUSTER_ORACLE = f"""
+    WITH RECURSIVE pairs AS (
+        {_NGRAM_JACCARD_ORACLE}
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach(id, r) AS (
+        SELECT src, src FROM edges GROUP BY src
+        UNION
+        SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+    ), comp AS (
+        SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+    ), sizes AS (
+        SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id
+    )
+    SELECT comp.id AS doc_id, comp.cluster_id, sizes.cluster_size
+    FROM comp JOIN sizes USING (cluster_id)
+    """
+
+
+@query("dedup_clusters", oracle=_CLUSTER_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: LSH-candidate pairs (exact-verified)
+    contracted to connected components, so transitively-linked documents
+    (A~B, B~C but not A~C) share one canonical cluster id — the step exact
+    pair lists can't express and every production dedup pipeline needs
+    before it can pick one keeper per cluster. Emits (doc_id, cluster_id,
+    cluster_size) for every clustered document; cluster_id is the minimum
+    member id. Oracle: DuckDB recursive CTE computing min-reachable-id over
+    the same exact-Jaccard pair set — a genuinely iterative algorithm
+    checked end-to-end against a declarative transitive closure."""
+    pairs = dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        k=_SHINGLE_K,
+        num_perm=64,
+        bands=16,
+        threshold=_JACCARD_T,
+    )
+    comp = dedup.connected_components(pairs)
+    sizes = comp.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    return comp.join(sizes, "comp").select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        F.col("cluster_size"),
+    )
+
+
 @query("dedup_simhash")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprints (rows-only: engine-private xxhash64).

@@ -88,11 +88,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     reader unless nanos are surfaced as long; they are then converted to a
     proper microsecond TimestampType with exact integer division (a double
     division at epoch-nanos magnitude loses ~256ns of precision).
+
+    The returned logical plan is memoized per (session, sf_dir, name):
+    DataFrames are immutable, so reuse is safe, and it spares each of the
+    ~40 catalog queries a driver round trip of file listing + footer schema
+    read (~0.1 s each). The cache lives ON the session object, so it dies
+    with the session and never leaks plans across sessions.
     """
+    cache = getattr(spark, "_graft_table_plans", None)
+    if cache is None:
+        cache = {}
+        spark._graft_table_plans = cache
+    key = (sf_dir, name)
+    if key in cache:
+        return cache[key]
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    cache[key] = df
+    return df

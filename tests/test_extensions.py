@@ -46,6 +46,44 @@ def test_lsh_catalog_entries_equal_exact_jaccard(spark, sf_dir):
         )
 
 
+def test_connected_components_transitive_chains(spark):
+    """Min-label propagation must contract transitive chains (A-B, B-C, ...)
+    into one component — the case a pair list can't express and the synthetic
+    corpus (disjoint planted pairs) doesn't exercise. A 9-node path needs
+    multiple supersteps (diameter 8 under per-step neighbor-min), so this
+    also pins the fixpoint loop + localCheckpoint lineage truncation."""
+    chain = [(i, i + 1) for i in range(1, 9)]  # path 1-2-...-9
+    extra = [(20, 21), (30, 31), (31, 32), (30, 32)]  # pair + triangle
+    edges = spark.createDataFrame(chain + extra, ["id_a", "id_b"])
+    got = {
+        (r.id, r.comp) for r in dedup.connected_components(edges).collect()
+    }
+    want = (
+        {(i, 1) for i in range(1, 10)}
+        | {(20, 20), (21, 20)}
+        | {(i, 30) for i in (30, 31, 32)}
+    )
+    assert got == want
+
+
+@pytest.mark.parametrize("sf_dir", [SF_SMOKE])
+def test_dedup_clusters_covers_all_pair_members(spark, sf_dir):
+    """Every doc in a near-dup pair appears in exactly one cluster, every
+    cluster id is the minimum member id, and sizes add up."""
+    docs = load_table(spark, sf_dir, "documents")
+    pair_rows = dedup.ngram_jaccard_pairs(docs, k=12, threshold=0.5).collect()
+    members = {r.id_a for r in pair_rows} | {r.id_b for r in pair_rows}
+    out = QUERIES["dedup_clusters"](spark, sf_dir).collect()
+    assert {r.doc_id for r in out} == members
+    by_cluster: dict[int, set[int]] = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.doc_id)
+        assert r.cluster_size >= 2
+    for cid, mem in by_cluster.items():
+        assert cid == min(mem)
+    assert sum(len(m) for m in by_cluster.values()) == len(out)
+
+
 def test_exact_dedup_properties(spark, docs):
     out = dedup.exact_dedup(docs).collect()
     n_docs = docs.count()
