@@ -300,6 +300,74 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DECON_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id, regexp_replace(text, '\\s+', ' ', 'g') AS norm,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'c' AS is_bench
+        FROM documents
+    ), sh AS (
+        SELECT doc_id AS id, is_bench,
+               unnest(list_distinct([substr(norm, i::INT, {_SHINGLE_K})
+                      for i in range(1, greatest(length(norm) - {_SHINGLE_K - 1}, 1) + 1)]))
+                 AS shingle
+        FROM d
+    ), tr AS (
+        SELECT id, shingle FROM sh WHERE NOT is_bench
+    ), be AS (
+        SELECT id, shingle FROM sh WHERE is_bench
+    ), sz AS (
+        SELECT id, count(*) AS n FROM tr GROUP BY id
+    ), pair AS (
+        SELECT t.id AS doc_id, b.id AS bench_doc_id, count(*) AS c
+        FROM tr t JOIN be b USING (shingle) GROUP BY 1, 2
+    )
+    SELECT doc_id, bench_doc_id, c / sz.n AS containment
+    FROM pair JOIN sz ON pair.doc_id = sz.id
+    WHERE c / sz.n >= 0.5
+    """
+
+
+@query("decontaminate_training_set", oracle=_DECON_ORACLE)
+def decontaminate_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents that are
+    near-copies of any eval/benchmark document, by n-gram containment
+    |shingles(train) ∩ shingles(bench)| / |shingles(train)| >= 0.5 per
+    (train, bench) PAIR. The benchmark set is a deterministic hash split
+    (md5(doc_id) hex >= 'c', ~25%) so both engines and every run carve the
+    same split.
+
+    Pairwise containment, NOT any-shared-n-gram set membership: measured on
+    this corpus, the fraction of a random train doc's shingles that appear
+    SOMEWHERE in the benchmark union has median 0.46 (the 31-word
+    vocabulary makes every shingle high-df), so set-level thresholds
+    degenerate; per-pair containment has p99 0.08 for unrelated pairs vs
+    ~1.0 for planted copies — a clean margin.
+
+    Scale shape: distinct (id, shingle-hash) posting streams on both sides
+    (8-byte hashed keys, never the text); production benchmark suites are
+    tiny relative to the corpus, so the bench posting side broadcasts (AQE
+    picks this up from size estimates) and the probe is shuffle-free over
+    the training stream; the per-pair count then partial-aggregates
+    map-side. Emits (doc_id, bench_doc_id, containment).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) >= "c"
+    tr = dedup._hashed_postings(docs.filter(~is_bench), "text", "doc_id", _SHINGLE_K)
+    be = dedup._hashed_postings(docs.filter(is_bench), "text", "doc_id", _SHINGLE_K)
+    sz = tr.groupBy("id").agg(F.count("*").alias("n"))
+    pair = (
+        tr.join(be.select(F.col("id").alias("bench_doc_id"), "h"), "h")
+        .groupBy("id", "bench_doc_id")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        pair.join(sz, "id")
+        .withColumn("containment", F.col("c") / F.col("n"))
+        .filter(F.col("containment") >= 0.5)
+        .select(F.col("id").alias("doc_id"), "bench_doc_id", "containment")
+    )
+
+
 @query(
     "json_props_extraction",
     oracle="""

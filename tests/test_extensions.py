@@ -84,6 +84,19 @@ def test_dedup_clusters_covers_all_pair_members(spark, sf_dir):
     assert sum(len(m) for m in by_cluster.values()) == len(out)
 
 
+def test_decontamination_catches_planted_copies_not_background(spark):
+    """At sf0.01 the hash split (25% benchmark) strands some planted
+    near-dup partners across the train/bench boundary: the query must flag
+    those (rows > 0) while containment stays >= 0.5 only for them — i.e.
+    it must not degenerate to 'everything collides' on this high-df corpus
+    (measured background pairwise containment p99 ~0.08)."""
+    out = QUERIES["decontaminate_training_set"](spark, SF_CORRECTNESS).collect()
+    assert len(out) > 0
+    assert all(r.containment >= 0.5 for r in out)
+    # flagged pairs must be a small fraction of the ~35k co-occurring pairs
+    assert len(out) < 100
+
+
 def test_exact_dedup_properties(spark, docs):
     out = dedup.exact_dedup(docs).collect()
     n_docs = docs.count()
