@@ -135,6 +135,84 @@ def window_trailing_7d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SESSION_GAP_US = 7_200_000_000  # 2 h — calibrated: events are sparse
+# (median per-user inter-event gap ~7 h at sf0.01), so 2 h yields ~8.3k
+# sessions from 10k events with ~1.7k genuinely multi-event — the smallest
+# standard-looking gap that doesn't degenerate to one session per event.
+
+
+@query(
+    "sessionize_events",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS tus
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ), l AS (
+        SELECT user_id, tus,
+               LAG(tus) OVER (PARTITION BY user_id ORDER BY tus) AS ptus
+        FROM e
+    ), f AS (
+        SELECT user_id, tus,
+               CASE WHEN ptus IS NULL OR tus - ptus > {_SESSION_GAP_US}::BIGINT
+                    THEN 1 ELSE 0 END AS is_new
+        FROM l
+    ), s AS (
+        SELECT user_id, tus,
+               CAST(SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY tus
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_idx
+        FROM f
+    )
+    SELECT user_id, session_idx,
+           MIN(tus) AS session_start_us,
+           MAX(tus) AS session_end_us,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, session_idx
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based batch sessionization — the batch twin of the streaming
+    applyInPandasWithState sessionizer (streaming/sessions.py), expressed
+    purely relationally: LAG marks boundaries (gap > 2 h), a running SUM
+    numbers sessions, a final group-by emits per-session bounds + counts.
+
+    One shuffle total: both window specs share (PARTITION BY user_id ORDER
+    BY tus) so they ride one exchange+sort, and the trailing groupBy
+    (user_id, session_idx) is satisfied by the existing user_id hash
+    partitioning (grouping on a superset of the partitioning key needs no
+    re-exchange; pinned in tests/test_plan_shapes.py). Timestamps compare
+    as integer epoch-microseconds (unix_micros / epoch_us — both truncate
+    parquet ns identically; memory rule #8). Tied timestamps are safe: a
+    zero gap is never a boundary, so tie order cannot change any session's
+    stats."""
+    events = _t(spark, sf_dir, "events")
+    e = events.filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).select("user_id", F.unix_micros(F.col("ts")).alias("tus"))
+    w = Window.partitionBy("user_id").orderBy("tus")
+    prev = F.lag("tus").over(w)
+    flagged = e.select(
+        "user_id",
+        "tus",
+        F.when(
+            prev.isNull() | ((F.col("tus") - prev) > F.lit(_SESSION_GAP_US)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_new"),
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = flagged.select(
+        "user_id", "tus", F.sum("is_new").over(run).alias("session_idx")
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.min("tus").alias("session_start_us"),
+        F.max("tus").alias("session_end_us"),
+        F.count("*").alias("n_events"),
+    )
+
+
 @query(
     "window_running_spend",
     oracle="""

@@ -119,6 +119,15 @@ def test_exact_dedup_single_shuffle(spark):
     assert count_exchanges(df) == 1
 
 
+def test_sessionize_single_shuffle(spark):
+    """Both window specs (LAG boundary-flag, running-sum numbering) and the
+    final per-session groupBy must share ONE user_id exchange: the windows
+    ride a single sort, and grouping on (user_id, session_idx) is satisfied
+    by the existing user_id hash partitioning."""
+    df = QUERIES["sessionize_events"](spark, SF_SMOKE)
+    assert count_exchanges(df) == 1
+
+
 def test_no_interpreted_hofs_or_row_udfs_anywhere(spark):
     """Suite-wide round-2 invariant: NO catalog query may contain an array
     higher-order function (visible as `lambdafunction` in the plan — they
