@@ -148,6 +148,166 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint(docs, k=_SHINGLE_K).select("doc_id", "fingerprint")
 
 
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  x -> x <> '')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), dfreq AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), n AS (
+        SELECT count(DISTINCT doc_id) AS n_docs FROM tok
+    ), scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               (tf.tf * n.n_docs) / dfreq.df AS score
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, score, rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term ASC
+        ) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf-idf-style weighting.
+
+    Score is the rational variant tf * N / df — the logarithm of classic
+    idf is deliberately omitted: ln() is a transcendental whose last-ulp
+    value differs between libm and the JVM, so log-based scores can never
+    hash-match a foreign engine, while (tf*N)/df is one exact integer
+    product followed by one correctly-rounded double division — bit
+    identical everywhere (computed as (tf*N)/df in BOTH engines; the
+    operation order is part of the contract).
+
+    Scale shape: token explode -> tf aggregate (shuffle on (doc_id, term)),
+    document frequencies from the tf stream (shuffle on term — output is
+    vocabulary-sized, zipf-bounded, so the df side of the final join
+    BROADCASTS), corpus size N rides the 1-row crossJoin broadcast (the
+    task_g/h idiom — no driver readback), and the top-3 runs as a
+    WindowGroupLimit that discards rows below rank 3 before sorting.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            ((F.col("tf") * F.col("n_docs")) / F.col("df")).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.select(
+            "doc_id", "term", "tf", "score", F.row_number().over(w).alias("rnk")
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "text_repetition",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ), g AS (
+        SELECT doc_id, toks,
+               [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                for i in range(1, greatest(len(toks) - 1, 1))] AS grams
+        FROM t
+    )
+    SELECT doc_id,
+           len(toks)::BIGINT AS n_tokens,
+           (len(toks) - len(list_distinct(toks))) / len(toks) AS dup_token_ratio,
+           CASE WHEN len(grams) > 0
+                THEN (len(grams) - len(list_distinct(grams))) / len(grams)
+                ELSE 0.0 END AS dup_3gram_ratio
+    FROM g
+    WHERE len(toks) > 0
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: the fraction
+    of duplicate tokens and duplicate word-3-grams (high values flag
+    boilerplate / degenerate generations for corpus filtering). Ratios are
+    int/int double divisions (cross-engine bit-identical).
+
+    Scale shape: posexplode the token stream once, build 3-grams with two
+    LEADs over (doc_id, pos) — ONE shuffle, and the per-doc aggregate
+    (count / countDistinct of tokens and grams) reuses the same doc_id
+    partitioning, so the whole query is a single exchange like
+    sessionize_events. No arrays survive past the scan: token and gram
+    streams are rows, aggregated relationally (the round-1 HOF rule).
+    Token-less documents are dropped by construction in both engines.
+    """
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), r"\s+")).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    lead1 = F.lead("tok", 1).over(w)
+    lead2 = F.lead("tok", 2).over(w)
+    grams = tok.select(
+        "doc_id",
+        "tok",
+        F.when(
+            lead2.isNotNull(),
+            F.concat_ws(" ", F.col("tok"), lead1, lead2),
+        ).alias("gram"),
+    )
+    # size(collect_set(...)) instead of countDistinct: two countDistincts
+    # in one aggregate plan an Expand (2x the token stream) plus two extra
+    # exchanges; collect_set is a plain partial-aggregatable aggregate whose
+    # per-group state is bounded by the document's own vocabulary, so the
+    # aggregate reuses the window's doc_id partitioning — one exchange total.
+    agg = grams.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.size(F.collect_set("tok")).alias("n_dtok"),
+        F.count("gram").alias("n_grams"),
+        F.size(F.collect_set("gram")).alias("n_dgram"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        ((F.col("n_tokens") - F.col("n_dtok")) / F.col("n_tokens")).alias(
+            "dup_token_ratio"
+        ),
+        F.when(
+            F.col("n_grams") > 0,
+            (F.col("n_grams") - F.col("n_dgram")) / F.col("n_grams"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_3gram_ratio"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------

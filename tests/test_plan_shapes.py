@@ -128,6 +128,14 @@ def test_sessionize_single_shuffle(spark):
     assert count_exchanges(df) == 1
 
 
+def test_text_repetition_single_shuffle(spark):
+    """Token posexplode -> LEAD 3-grams -> per-doc dedup ratios must stay
+    on ONE doc_id exchange: collect_set (not countDistinct) keeps the
+    aggregate Expand-free so it reuses the window's partitioning."""
+    df = QUERIES["text_repetition"](spark, SF_SMOKE)
+    assert count_exchanges(df) == 1
+
+
 def test_no_interpreted_hofs_or_row_udfs_anywhere(spark):
     """Suite-wide round-2 invariant: NO catalog query may contain an array
     higher-order function (visible as `lambdafunction` in the plan — they
