@@ -140,6 +140,101 @@ def minhash_signatures(
     )
 
 
+def _banded_keys(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, band, bkey) — one row per LSH band; bkey hashes the band's
+    signature slice, so docs sharing any (band, bkey) are candidates."""
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("sig")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.bkey")
+
+
+def cross_containment_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 32,
+) -> DataFrame:
+    """Directional near-copy pairs ACROSS two corpora: (id_l, id_r,
+    containment) with containment = |shingles(L) ∩ shingles(R)| /
+    |shingles(L)| >= threshold — the decontamination kernel (left = training
+    corpus, right = benchmark set).
+
+    Candidate generation is banded MinHash LSH across the two sides (each
+    side signs its own documents; the band join only ever crosses sides),
+    then candidates are exact-verified by posting intersection, so output
+    precision is exact. The direct cross posting join costs
+    sum_s df_left(s)*df_right(s) — quadratic in document frequency and
+    ~43 M intermediate rows on this high-df corpus at sf0.1 — while the
+    banded path is linear in corpus size plus candidate count. Recall: a
+    containment-τ pair of similarly-sized documents has Jaccard ≳ τ/(2-τ)
+    (≥ 1/3 at τ=0.5), missed by r=2/b=32 banding with p ≤ (1-j²)^32
+    (≤ 2.6% at the j=1/3 boundary, ~1e-14 for the near-identical copies
+    decontamination targets); equality with the exhaustive DuckDB oracle
+    is re-checked at every driver round.
+    """
+    rows_per_band = num_perm // bands
+    lb = _banded_keys(
+        minhash_signatures(left, text_col, id_col, k, num_perm),
+        bands,
+        rows_per_band,
+    ).select("band", "bkey", F.col("id").alias("id_l"))
+    rb = _banded_keys(
+        minhash_signatures(right, text_col, id_col, k, num_perm),
+        bands,
+        rows_per_band,
+    ).select(
+        F.col("band").alias("band_r"),
+        F.col("bkey").alias("bkey_r"),
+        F.col("id").alias("id_r"),
+    )
+    cand = (
+        lb.join(
+            rb,
+            (lb["band"] == rb["band_r"]) & (lb["bkey"] == rb["bkey_r"]),
+        )
+        .select("id_l", "id_r")
+        .distinct()
+    )
+    pl = _hashed_postings(left, text_col, id_col, k)
+    pr = _hashed_postings(right, text_col, id_col, k)
+    sz = pl.groupBy("id").agg(F.count("*").alias("n_l"))
+    inter = (
+        cand.join(pl.select(F.col("id").alias("id_l"), "h"), "id_l")
+        .join(
+            pr.select(F.col("id").alias("_idr"), F.col("h").alias("h_r")),
+            (F.col("id_r") == F.col("_idr")) & (F.col("h") == F.col("h_r")),
+        )
+        .groupBy("id_l", "id_r")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        inter.join(sz.select(F.col("id").alias("id_l"), "n_l"), "id_l")
+        .withColumn("containment", F.col("c") / F.col("n_l"))
+        .filter(F.col("containment") >= threshold)
+        .select("id_l", "id_r", "containment")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -161,25 +256,7 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(df, text_col, id_col, k, num_perm)
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col("sig")[b * rows_per_band + r]
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bkey"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "bk.band", "bk.bkey")
+    banded = _banded_keys(sigs, bands, rows_per_band)
     left = banded.select("band", "bkey", F.col("id").alias("id_a"))
     right = banded.select(
         F.col("band").alias("band_b"),

@@ -160,9 +160,21 @@ def exploded_shingles(
     text, matching char_shingles.
     """
     norm = F.regexp_replace(F.col(text_col), r"\s+", " ")
+    slim = df.select(F.col(id_col).alias("id"), norm.alias("_norm"))
+    # Explode amplification is ~len(text) rows per input row, so input-split
+    # sizing (128 MB default) under-parallelizes small corpora badly: at
+    # sf0.1 the whole documents table is ONE split and the explode ran on 1
+    # of 32 cores (3.5 s of the round-1 shingle-query cost). Repartition the
+    # slim (id, norm) projection ONLY when the scan yields fewer splits than
+    # cores — shuffling a handful of small partitions is ~free, and at real
+    # corpus scale (thousands of splits) this no-ops, so the full text is
+    # never shuffled on the 100 TB path.
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if slim.rdd.getNumPartitions() < target:
+        slim = slim.repartition(target)
     out = (
-        df.select(F.col(id_col).alias("id"), norm.alias("_norm"))
-        .select(
+        slim.select(
             "id",
             "_norm",
             F.explode(
