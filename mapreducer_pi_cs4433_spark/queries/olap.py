@@ -273,3 +273,152 @@ def olap_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("spend"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+_DORMANT_SINCE = "1998-06-01"
+
+
+@query(
+    "olap_rich_dormant_customers",
+    oracle=f"""
+    WITH avg_bal AS (
+        SELECT CAST(AVG(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,6)) AS a
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer CROSS JOIN avg_bal
+    WHERE CAST(c_acctbal AS DECIMAL(18,2)) > a
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '{_DORMANT_SINCE} 00:00:00')
+    """,
+)
+def olap_rich_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery predicate (balance above the
+    positive-balance average) + NOT EXISTS anti-join against a filtered
+    order window (no orders since mid-1998 — 'rich but dormant'; the date
+    is calibrated so the result is non-empty at every driver scale, the
+    round-1 lesson that an always-empty query proves nothing).
+    The average is computed in DECIMAL so both engines derive the exact
+    same cutoff (a float average's last ulp depends on reduction order and
+    could flip a boundary row); it rides the 1-row broadcast crossJoin —
+    no driver readback. The anti-join's order side is pre-filtered and
+    pre-projected to its key column, so the date predicate pushes into the
+    parquet scan and the shuffle carries keys only."""
+    customer = _t(spark, sf_dir, "customer")
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate")
+            >= F.lit(f"{_DORMANT_SINCE} 00:00:00").cast("timestamp")
+        )
+        .select("o_custkey")
+    )
+    avg_bal = (
+        customer.filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.avg(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("decimal(18,6)")
+            .alias("a")
+        )
+    )
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal").cast("decimal(18,2)") > F.col("a"))
+        .join(recent, F.col("c_custkey") == recent["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+@query(
+    "olap_small_quantity_revenue",
+    oracle="""
+    WITH pa AS (
+        SELECT l_partkey AS pk,
+               CAST(0.5 * CAST(AVG(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                    AS DECIMAL(18,6)) AS cutoff
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS small_lot_revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN pa ON l_partkey = pk
+    WHERE CAST(l_quantity AS DECIMAL(18,2)) < cutoff
+    """,
+)
+def olap_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-group scalar (half the part's average
+    quantity) applied back to the fact rows, global single-row rollup.
+    Decomposed as aggregate-then-self-join — the distributed rewrite of a
+    correlated subquery: the per-part cutoff table is orders of magnitude
+    smaller than the fact stream. The 0.5*avg cutoff is DECIMAL-quantized
+    identically in both engines before comparing (avg itself is exact
+    decimal; one double multiply then re-quantize), so no boundary row can
+    flip on float noise. Exercises: self-join on the grouping key +
+    aggregate-derived predicate + 1-row output."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.lit(0.5)
+            * F.avg(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+        )
+        .cast("decimal(18,6)")
+        .alias("cutoff")
+    )
+    return (
+        li.join(pa, li["l_partkey"] == pa["pk"])
+        .filter(F.col("l_quantity").cast("decimal(18,2)") < F.col("cutoff"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("small_lot_revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "olap_revenue_share_parts",
+    oracle="""
+    WITH pr AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+        FROM lineitem GROUP BY l_partkey
+    ), tot AS (
+        SELECT SUM(rev) AS t, COUNT(*) AS np FROM pr
+    )
+    SELECT l_partkey, CAST(CAST(rev AS DECIMAL(18,4)) AS DOUBLE) AS part_revenue
+    FROM pr CROSS JOIN tot
+    WHERE rev * 4 * np > 5 * t
+    """,
+)
+def olap_revenue_share_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: grouped decimal revenue filtered against the GLOBAL
+    total — keep parts whose revenue exceeds 1.25x the mean part revenue,
+    written as rev*4*np > 5*t. Mean-relative (not a fixed corpus fraction)
+    so the selectivity is scale-invariant (~1-5% of parts at every sf —
+    a fixed 1/500-of-total threshold returns zero rows at any sf where
+    parts number more than ~500); and expressed as exact integer-scaled
+    decimal products — no division, no floats — so the boundary is
+    bit-deterministic in both engines. The total and part count
+    re-aggregate the per-part stream (no second fact scan) and ride the
+    1-row broadcast crossJoin."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    pr = li.groupBy("l_partkey").agg(F.sum(rev).alias("rev"))
+    tot = pr.agg(F.sum("rev").alias("t"), F.count("*").alias("np"))
+    return (
+        pr.crossJoin(F.broadcast(tot))
+        .filter(F.col("rev") * 4 * F.col("np") > F.col("t") * 5)
+        .select(
+            "l_partkey",
+            F.col("rev").cast("decimal(18,4)").cast("double").alias("part_revenue"),
+        )
+    )

@@ -32,6 +32,26 @@ def test_query_matches_oracle_sf0001(spark, duck, name):
     compare(df, duck, ORACLE[name])
 
 
+# Queries whose predicates were calibrated against the corpus so their
+# result is NON-empty at every driver scale (an always-empty result
+# exercises nothing — the round-1 embedding-neardup lesson). Empty output
+# from any of these means the calibration broke, even if the oracle still
+# "matches" on the empty set.
+_MUST_EMIT_ROWS = [
+    "olap_rich_dormant_customers",
+    "olap_revenue_share_parts",
+    "olap_small_quantity_revenue",
+    "decontaminate_training_set",
+    "dedup_clusters",
+    "dedup_embedding_neardup",
+]
+
+
+@pytest.mark.parametrize("name", sorted(_MUST_EMIT_ROWS))
+def test_calibrated_queries_emit_rows(spark, name):
+    assert QUERIES[name](spark, SF_SMOKE).count() > 0, name
+
+
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))
 def test_rows_only_queries_run(spark, name):
     df = QUERIES[name](spark, SF_SMOKE)
