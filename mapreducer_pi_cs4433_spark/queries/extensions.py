@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import dedup, similarity, text
+from ..functions import dedup, multimodal, similarity, text
 from ..pi import estimate_pi_df
 from .catalog import _t, query
 
@@ -589,6 +589,36 @@ def sample_deterministic_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(text.token_count("text")).cast("long").alias("sample_tokens"),
         )
     )
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'application/octet-stream' AS media_type,
+           strlen(text)::BIGINT AS n_bytes,
+           64 + (ascii(substr(text, 1, 1)) % 192) AS width,
+           64 + (ascii(substr(text, length(text), 1)) % 192) AS height
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction end-to-end THROUGH the Arrow
+    mapInPandas path: text bytes stand in for media payloads
+    (attach_payload), the stub decoder derives (width, height) from the
+    first/last payload byte, and — because the corpus is pure ASCII — the
+    DuckDB oracle reproduces the decode exactly with ascii()/substr(), so
+    the whole Python-batch pipeline (closure shipping, Arrow batches,
+    schema contract) is value-checked, not just smoke-tested. The
+    byte_entropy_q feature stays out of the projection: its Python round()
+    is banker's rounding, which no SQL engine matches at .5 boundaries.
+    The decoder closure is a LOCAL function (pickled by value) — a
+    module-level reference would need this package importable on executor
+    workers, which a foreign launch directory doesn't guarantee."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.attach_payload(docs)
+    feats = multimodal.extract_features(media)
+    return feats.select("media_id", "media_type", "n_bytes", "width", "height")
 
 
 @query("dedup_approx_distinct")

@@ -275,6 +275,48 @@ def olap_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "olap_best_order_per_customer",
+    oracle="""
+    WITH b AS (
+        SELECT o_custkey,
+               max(struct_pack(
+                   p := CAST(o_totalprice AS DECIMAL(18,2)),
+                   k := o_orderkey)) AS best
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           (best).k AS best_orderkey,
+           CAST((best).p AS DOUBLE) AS best_price
+    FROM b
+    """,
+)
+def olap_best_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1 per group as an AGGREGATE (the max_by family), not a window:
+    max over a (price, orderkey) struct compares lexicographically in both
+    engines, so the orderkey tie-break is baked into the aggregate value
+    itself and the result is deterministic without any sort. One shuffle,
+    partial-aggregated map-side — at 100 TB this is strictly cheaper than
+    the ROW_NUMBER()=1 window (no per-group sort buffer, no
+    WindowGroupLimit), which is why per-group argmax should compile to
+    max(struct) whenever k=1. (Raw max_by/arg_max is NOT used: both
+    engines leave its tie behavior unspecified.)"""
+    orders = _t(spark, sf_dir, "orders")
+    best = orders.groupBy("o_custkey").agg(
+        F.max(
+            F.struct(
+                F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+                F.col("o_orderkey").alias("k"),
+            )
+        ).alias("best")
+    )
+    return best.select(
+        "o_custkey",
+        F.col("best.k").alias("best_orderkey"),
+        F.col("best.p").cast("double").alias("best_price"),
+    )
+
+
 _DORMANT_SINCE = "1998-06-01"
 
 
