@@ -81,6 +81,21 @@ def load_corpus(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.text(path)
 
 
+def load_jsonl(
+    spark: SparkSession, path: str, schema, mode: str = "PERMISSIVE"
+) -> DataFrame:
+    """JSON-lines source with a REQUIRED explicit schema.
+
+    Schema inference on JSON reads the whole dataset once before the real
+    scan — at 100 TB that is a full extra pass, and inferred types drift
+    with corpus content (a numeric-looking field in one crawl shard flips
+    the global type). The schema parameter is deliberately not optional.
+    mode=PERMISSIVE nulls malformed fields; pass DROPMALFORMED to drop
+    whole bad records (the reference's malformed-row policy, SURVEY §2.1
+    S3)."""
+    return spark.read.schema(schema).option("mode", mode).json(path)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Driver star-schema parquet table (TESTDATA.md).
 

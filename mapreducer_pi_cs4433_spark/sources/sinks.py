@@ -53,6 +53,15 @@ def write_tsv(df: DataFrame, path: str, single_file: bool = False) -> None:
     ).csv(path)
 
 
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (one object per line, gzip-friendly, the lingua
+    franca of corpus interchange). Timestamps serialize second-truncated so
+    re-ingestion through load_jsonl round-trips values exactly."""
+    df.write.mode(mode).option(
+        "timestampFormat", "yyyy-MM-dd HH:mm:ss"
+    ).json(path)
+
+
 def compact_small_files(
     spark: SparkSession, path: str, target_partitions: int, dest: str | None = None
 ) -> str:

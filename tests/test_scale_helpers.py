@@ -36,6 +36,62 @@ def test_write_partitioned_prunes(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_jsonl_roundtrip_exact(spark):
+    """documents -> JSONL -> back must be value-identical (schema supplied
+    explicitly on re-read — inference is banned at scale), and timestamps
+    in the events table survive the second-truncated serialization
+    contract."""
+    from mapreducer_pi_cs4433_spark.sources.loaders import load_jsonl
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    tmp = tempfile.mkdtemp(prefix="jsonl_")
+    try:
+        sinks.write_jsonl(docs, tmp)
+        back = load_jsonl(spark, tmp, docs.schema)
+        assert sorted(map(tuple, back.collect())) == sorted(
+            map(tuple, docs.collect())
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_jsonl_malformed_row_policy(spark):
+    """DROPMALFORMED drops corrupt records; PERMISSIVE keeps them as
+    all-null rows — the reference's two malformed-input policies (SURVEY
+    §2.1 S3) on the JSON source."""
+    from mapreducer_pi_cs4433_spark.sources.loaders import load_jsonl
+
+    tmp = tempfile.mkdtemp(prefix="jsonl_bad_")
+    try:
+        with open(f"{tmp}/part-0.json", "w") as f:
+            f.write('{"a": 1, "b": "x"}\n')
+            f.write("{not json at all\n")
+            f.write('{"a": 2, "b": "y"}\n')
+        schema = "a BIGINT, b STRING"
+        kept = load_jsonl(spark, tmp, schema, mode="DROPMALFORMED").collect()
+        assert sorted((r.a, r.b) for r in kept) == [(1, "x"), (2, "y")]
+        permissive = load_jsonl(spark, tmp, schema).collect()
+        assert len(permissive) == 3
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_orc_roundtrip(spark):
+    """ORC is the second columnar interchange format Spark ships natively;
+    a lossless roundtrip keeps the engine usable against ORC-resident
+    warehouses without conversion jobs."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    tmp = tempfile.mkdtemp(prefix="orc_")
+    try:
+        docs.write.mode("overwrite").orc(tmp)
+        back = spark.read.orc(tmp)
+        assert sorted(map(tuple, back.collect())) == sorted(
+            map(tuple, docs.collect())
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_bucketed_join_has_no_exchange(spark):
     """The whole point of bucketing: equi-join on the bucket column reads
     co-located buckets with zero shuffle exchanges."""
