@@ -92,6 +92,43 @@ def test_orc_roundtrip(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """Spark's runtime row-level bloom filter: a selective dimension-side
+    predicate materializes as a might_contain() pre-filter on the FACT scan,
+    discarding non-joining rows before the shuffle — at 100 TB this is the
+    difference between shuffling the whole fact table and shuffling the
+    ~matching fraction. On (default-on) since Spark 3.5, but gated by an
+    applicationSideScanSizeThreshold of 10 GB, so at bench scale it must be
+    lowered to observe the plan; production corpora clear it naturally."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_SMOKE, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        orders = (
+            load_table(spark, SF_SMOKE, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        j = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy()
+            .agg(F.sum("l_extendedprice").alias("s"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
 def test_bucketed_join_has_no_exchange(spark):
     """The whole point of bucketing: equi-join on the bucket column reads
     co-located buckets with zero shuffle exchanges."""
