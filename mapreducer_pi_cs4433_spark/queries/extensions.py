@@ -636,6 +636,54 @@ def dedup_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embedding_centroids",
+    oracle="""
+    SELECT label, i AS dim,
+           CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000)
+                         AS BIGINT)) AS BIGINT) AS sum_micro,
+           COUNT(*) AS n_vectors,
+           CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000)
+                         AS BIGINT)) AS BIGINT) / COUNT(*) AS centroid_micro
+    FROM embeddings CROSS JOIN range(1, 65) t(i)
+    WHERE embedding IS NOT NULL
+    GROUP BY label, i
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (the class-centroid primitive behind
+    clustering-based curation and nearest-centroid labeling), aggregated
+    EXACTLY: float summation is reduction-order-dependent, so each
+    component is floor-quantized to integer micro-units first (floor, not
+    round — round's .5 tie rule differs between engines) and the integer
+    sums are exact in any order; the centroid is then one int/int double
+    division. Output unit is 1e-6 of the embedding unit — quantization
+    bias (up to 1e-6 per component) is orders below the corpus noise floor
+    and a fixed, documented contract.
+
+    Scale shape: posexplode to (label, dim, value) rows and ONE grouped
+    aggregation on the (label, dim) key — 64 rows per vector through a
+    partial-aggregated shuffle of integer pairs; no arrays survive the
+    explode, no Python anywhere. (The oracle's range(1,65) hardcodes this
+    corpus's 64-dim embeddings.)"""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    comp = emb.select(
+        "label",
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.floor(F.col("v").cast("double") * 1_000_000)
+        .cast("long")
+        .alias("q"),
+    )
+    return comp.groupBy("label", "dim").agg(
+        F.sum("q").alias("sum_micro"),
+        F.count("*").alias("n_vectors"),
+        (F.sum("q") / F.count("*")).alias("centroid_micro"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
