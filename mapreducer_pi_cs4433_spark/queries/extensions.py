@@ -684,9 +684,82 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# Similarity search
-# ---------------------------------------------------------------------------
+@query(
+    "embedding_nearest_centroid",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, label, i AS dim,
+               CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS vq
+        FROM embeddings CROSS JOIN range(1, 65) t(i)
+        WHERE embedding IS NOT NULL
+    ), cent AS (
+        SELECT label AS cand, dim,
+               CAST(SUM(vq) AS BIGINT) AS sm, COUNT(*) AS n
+        FROM q GROUP BY 1, 2
+    ), diff AS (
+        SELECT q.vec_id, q.label, c.cand,
+               CAST(q.vq AS HUGEINT) * c.n - c.sm AS e
+        FROM q JOIN cent c USING (dim)
+    ), dist AS (
+        SELECT vec_id, label, cand, SUM(e * e) AS d
+        FROM diff GROUP BY 1, 2, 3
+    ), pred AS (
+        SELECT vec_id, label,
+               (min(struct_pack(d := d, c := cand))).c AS pred_label
+        FROM dist GROUP BY 1, 2
+    )
+    SELECT label, pred_label, COUNT(*) AS n_vectors
+    FROM pred GROUP BY 1, 2
+    """,
+)
+def embedding_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification confusion matrix — the composition
+    capstone of the embedding family: exact per-label centroids (see
+    embedding_centroids) -> squared-euclidean argmin per vector -> (label,
+    pred_label) counts.
+
+    Every step is EXACT, which is what makes a distance argmin
+    oracle-checkable at all: with centroid = sm/n kept rational, the
+    comparison d(v, c) = sum_dims (vq*n - sm)^2 / n^2 shares one
+    denominator per candidate, so the numerator — an integer — decides the
+    argmin. Spark sums it in DECIMAL(38,0) (vq*n ~ 1e9-scale, squared
+    ~1e18, 64-dim sum ~1e20: overflows int64, fits decimal), DuckDB in
+    HUGEINT; ties break on the candidate label via min(struct). No float
+    ever enters a comparison.
+
+    Scale shape: the vector-component stream joins a BROADCAST centroid
+    table (labels x 64 rows), squares JVM-side, and aggregates on
+    (vec_id, cand) — one data-sized shuffle; the argmin is another
+    min(struct) aggregate on vec_id (no window, no sort)."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.floor(F.col("v").cast("double") * 1_000_000).cast("long").alias("vq"),
+    )
+    cent = q.groupBy(F.col("label").alias("cand"), "dim").agg(
+        F.sum("vq").alias("sm"), F.count("*").alias("n")
+    )
+    e = (
+        F.col("vq").cast("decimal(20,0)") * F.col("n") - F.col("sm")
+    ).cast("decimal(19,0)")
+    dist = (
+        q.join(F.broadcast(cent), "dim")
+        .select("vec_id", "label", "cand", (e * e).cast("decimal(38,0)").alias("e2"))
+        .groupBy("vec_id", "label", "cand")
+        .agg(F.sum("e2").alias("d"))
+    )
+    pred = dist.groupBy("vec_id", "label").agg(
+        F.min(F.struct(F.col("d"), F.col("cand"))).alias("b")
+    )
+    return pred.groupBy(
+        "label", F.col("b.cand").alias("pred_label")
+    ).agg(F.count("*").alias("n_vectors"))
 
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
