@@ -621,6 +621,25 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "media_type", "n_bytes", "width", "height")
 
 
+@query("events_value_quantiles")
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p95/p99 of events.value per event type, next to the
+    exact percentiles (rows-only: the GK sketch's outputs are
+    engine-private). At 100 TB approx_percentile is THE quantile tool: it
+    shuffles fixed-size mergeable sketches instead of sorting the value
+    stream (the exact percentile needs a per-group sort — fine here, ruinous
+    at scale; accuracy vs the exact answer is asserted in tests at 1e-4
+    relative accuracy)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx(
+            "value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), 10000
+        ).alias("q_approx"),
+        F.expr("percentile(value, array(0.5D, 0.95D, 0.99D))").alias("q_exact"),
+        F.count("*").alias("n_events"),
+    )
+
+
 @query("dedup_approx_distinct")
 def dedup_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based cardinality: HyperLogLog++ distinct-document estimate

@@ -97,6 +97,33 @@ def test_decontamination_catches_planted_copies_not_background(spark):
     assert len(out) < 100
 
 
+def test_approx_quantiles_track_exact(spark):
+    """Accuracy is a RANK guarantee, not a value guarantee: the sketch
+    returns an actual element within ~1e-4 of the requested rank, while
+    percentile() interpolates between order stats — so assert each approx
+    answer lies inside the exact value band at ±2% rank around its
+    quantile (generous vs the 1e-4 guarantee, tight vs real error)."""
+    out = QUERIES["events_value_quantiles"](spark, SF_SMOKE).collect()
+    assert out
+    ev = load_table(spark, SF_SMOKE, "events")
+    bands = {
+        r.event_type: r.b
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.expr(
+                "percentile(value, array(0.48D, 0.52D, 0.93D, 0.97D, 0.97D, 1.0D))"
+            ).alias("b")
+        )
+        .collect()
+    }
+    for r in out:
+        b = bands[r.event_type]
+        for i, (lo, hi) in enumerate([(b[0], b[1]), (b[2], b[3]), (b[4], b[5])]):
+            assert lo - 1e-9 <= r.q_approx[i] <= hi + 1e-9, (
+                r.event_type, i, r.q_approx[i], lo, hi,
+            )
+
+
 def test_exact_dedup_properties(spark, docs):
     out = dedup.exact_dedup(docs).collect()
     n_docs = docs.count()

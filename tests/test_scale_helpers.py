@@ -92,6 +92,54 @@ def test_orc_roundtrip(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE's skew-join handling must actually fire on a hot key: with one
+    key carrying ~100x the median partition bytes, the post-execution
+    adaptive plan rewrites the sort-merge join with skew=true (the hot
+    partition is split and the matching side replicated). This is the
+    engine's first line of defense before manual salting (operators/skew)."""
+    confs = {
+        # thresholds sized to COMPRESSED shuffle bytes (what skew detection
+        # measures); the pad is md5 hex — incompressible, or the hot
+        # partition shrinks below any sane threshold and the rewrite
+        # correctly declines. forceOptimizeSkewedJoin because the global
+        # aggregate downstream would otherwise veto the extra shuffle.
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = (
+            spark.range(0, 200_000)
+            .select(
+                F.when(F.col("id") % 10 < 9, F.lit(0))
+                .otherwise(F.col("id") % 1000)
+                .alias("k"),
+                F.md5(F.col("id").cast("string")).alias("pad"),
+            )
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.col("id").alias("rv")
+        )
+        j = left.join(right, "k").groupBy().agg(F.count("*").alias("n"))
+        [row] = j.collect()
+        assert row.n == 200_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_runtime_bloom_filter_injects_on_selective_join(spark):
     """Spark's runtime row-level bloom filter: a selective dimension-side
     predicate materializes as a might_contain() pre-filter on the FACT scan,
