@@ -87,6 +87,48 @@ def compact_small_files(
     return out
 
 
+def merge_upsert_snapshot(
+    spark: SparkSession,
+    base_path: str,
+    incoming: DataFrame,
+    key: str,
+    version_col: str,
+    dest: str | None = None,
+) -> str:
+    """Copy-on-write upsert: merge an incoming batch into a parquet
+    snapshot, latest `version_col` per `key` wins (ties go to the incoming
+    side), and write a NEW snapshot directory — the table-format-free core
+    of what Delta/Iceberg MERGE does, usable anywhere plain parquet lives.
+
+    The winner per key is one max(struct(version, is_incoming, payload))
+    aggregate — deterministic tie-break baked into the comparison, single
+    shuffle on the key, no window/sort, no join (the two sides just union).
+    Like compact_small_files, the swap (pointer flip / metadata commit) is
+    left to the caller: in-place rewrites race readers on object stores.
+
+    Returns the new snapshot path.
+    """
+    base = spark.read.parquet(base_path)
+    cols = base.columns
+    assert set(incoming.columns) == set(cols), "schema drift between snapshots"
+    tagged = base.select(*cols).withColumn(
+        "_inc", F.lit(0)
+    ).unionByName(incoming.select(*cols).withColumn("_inc", F.lit(1)))
+    payload = F.struct(*[F.col(c) for c in cols])
+    best = tagged.groupBy(key).agg(
+        F.max(
+            F.struct(
+                F.col(version_col).alias("v"),
+                F.col("_inc").alias("i"),
+                payload.alias("p"),
+            )
+        ).alias("b")
+    )
+    out = dest or (base_path.rstrip("/") + "__merged")
+    best.select("b.p.*").write.mode("overwrite").parquet(out)
+    return out
+
+
 def repartition_for_join(df: DataFrame, key: str, partitions: int) -> DataFrame:
     """Pre-shuffle a DataFrame on its join key so several downstream joins
     on the same key reuse one exchange (ReusedExchange in the plan)."""

@@ -36,6 +36,45 @@ def test_write_partitioned_prunes(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_merge_upsert_snapshot(spark):
+    """Latest-version-wins upsert: newer incoming rows replace base rows,
+    stale incoming rows lose, new keys insert, and an incoming row at the
+    SAME version as base wins the tie (incoming flag is the second struct
+    comparison field)."""
+    base_df = spark.createDataFrame(
+        [(1, "a-v1", 1), (2, "b-v1", 1), (3, "c-v1", 1)],
+        ["doc_id", "text", "version"],
+    )
+    incoming = spark.createDataFrame(
+        [
+            (2, "b-v2", 2),   # newer: replaces
+            (3, "c-stale", 0),  # older: loses
+            (4, "d-v1", 1),   # new key: inserts
+            (1, "a-v1-inc", 1),  # same version: incoming wins the tie
+        ],
+        ["doc_id", "text", "version"],
+    )
+    tmp = tempfile.mkdtemp(prefix="merge_base_")
+    try:
+        base_df.write.mode("overwrite").parquet(tmp)
+        out = sinks.merge_upsert_snapshot(
+            spark, tmp, incoming, key="doc_id", version_col="version"
+        )
+        got = {
+            (r.doc_id, r.text, r.version)
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got == {
+            (1, "a-v1-inc", 1),
+            (2, "b-v2", 2),
+            (3, "c-v1", 1),
+            (4, "d-v1", 1),
+        }
+        shutil.rmtree(out, ignore_errors=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_jsonl_roundtrip_exact(spark):
     """documents -> JSONL -> back must be value-identical (schema supplied
     explicitly on re-read — inference is banned at scale), and timestamps
