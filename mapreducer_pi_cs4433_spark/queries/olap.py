@@ -464,3 +464,38 @@ def olap_revenue_share_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rev").cast("decimal(18,4)").cast("double").alias("part_revenue"),
         )
     )
+
+
+@query(
+    "olap_calendar_breakdown",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(isodow(o_orderdate) AS INT) AS dow_iso,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+)
+def olap_calendar_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-dimension rollup (year x quarter x ISO weekday) — the
+    date-function family over the order stream. Cross-engine trap: the
+    engines disagree on week-day numbering (Spark dayofweek is 1=Sunday,
+    DuckDB dayofweek is 0=Sunday) — ISO numbering is the portable contract,
+    spelled weekday()+1 in Spark and isodow() in DuckDB (both 1=Monday).
+    Narrow scan (one date + one money column), grouped decimal sum."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+            (F.weekday("o_orderdate") + 1).alias("dow_iso"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

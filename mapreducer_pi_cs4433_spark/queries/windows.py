@@ -135,6 +135,41 @@ def window_trailing_7d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "window_order_quartiles",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           NTILE(4) OVER w AS price_quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+    FROM orders
+    WINDOW w AS (
+        PARTITION BY o_custkey
+        ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey ASC
+    )
+    """,
+)
+def window_order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distribution-rank window family (NTILE / PERCENT_RANK /
+    CUME_DIST) over each customer's orders by price. Partitioned on the
+    natural high-cardinality key (never a global single-partition window);
+    the decimal order key + orderkey tie-break makes every rank value
+    deterministic, and percent_rank/cume_dist are int/int divisions —
+    bit-identical cross-engine."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").cast("decimal(18,2)").desc(),
+        F.col("o_orderkey").asc(),
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
 _SESSION_GAP_US = 7_200_000_000  # 2 h — calibrated: events are sparse
 # (median per-user inter-event gap ~7 h at sf0.01), so 2 h yields ~8.3k
 # sessions from 10k events with ~1.7k genuinely multi-event — the smallest

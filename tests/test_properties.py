@@ -158,3 +158,54 @@ def test_prop_nationality_counts(spark, duck, people):
         duck,
         "SELECT Nationality, COUNT(*) AS Citizens FROM pages GROUP BY 1",
     )
+
+
+# --- connected components vs a driver-side union-find reference -------------
+
+_cc_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=20),
+        st.integers(min_value=0, max_value=20),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _union_find_components(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id of the component
+    comp: dict[int, int] = {}
+    for n in parent:
+        root = find(n)
+        comp.setdefault(root, root)
+    return {n: min(m for m in parent if find(m) == find(n)) for n in parent}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(edges=_cc_edges)
+def test_prop_connected_components_match_union_find(spark, edges):
+    """Min-label propagation must agree with a classical union-find on
+    arbitrary graphs: self-loops, duplicate edges, long chains, forests."""
+    from mapreducer_pi_cs4433_spark.functions.dedup import connected_components
+
+    df = spark.createDataFrame(edges, "id_a int, id_b int")
+    got = {(r.id, r.comp) for r in connected_components(df).collect()}
+    want = set(_union_find_components(edges).items())
+    assert got == want
