@@ -87,6 +87,53 @@ def test_interval_join_stream_equals_batch_join(spark):
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def test_stream_static_enrichment_join(spark):
+    """Stream-static join — dimension enrichment on a moving fact stream:
+    the static side needs NO watermark and holds no state (it is re-read /
+    broadcast per micro-batch), so this is the zero-state way to decorate
+    events with dimension attributes. Result must equal the batch join."""
+    from mapreducer_pi_cs4433_spark.sources.loaders import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    customers = load_table(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    batch = (
+        ev.join(customers, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    expected = {(r.c_mktsegment, r.n) for r in batch}
+    assert expected
+
+    src = tempfile.mkdtemp(prefix="ss_src_")
+    ckpt = tempfile.mkdtemp(prefix="ss_ck_")
+    try:
+        ev.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        joined = stream.join(F.broadcast(customers), "user_id")
+        q = (
+            joined.groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n"))
+            .writeStream.format("memory")
+            .queryName("ss_join")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.c_mktsegment, r.n)
+            for r in spark.sql("select * from ss_join").collect()
+        }
+        assert got == expected
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def test_interval_join_plan_has_bounded_state_condition(spark):
     """The streaming plan must carry the event-time range in the join
     condition (that is what lets the engine evict join state); a bare
