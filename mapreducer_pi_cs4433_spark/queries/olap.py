@@ -499,3 +499,68 @@ def olap_calendar_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+@query(
+    "olap_status_unpivot",
+    oracle="""
+    WITH wide AS (
+        SELECT o_orderpriority,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_done,
+               CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+        FROM orders GROUP BY 1
+    )
+    SELECT o_orderpriority, status, n
+    FROM wide UNPIVOT (n FOR status IN (n_open, n_done, n_pending))
+    """,
+)
+def olap_status_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshaping (UNPIVOT/melt) — the inverse of
+    olap_status_pivot: conditional-aggregate the status counts wide, then
+    melt the measure columns back into (priority, status, n) rows. Spark's
+    unpivot and DuckDB's UNPIVOT both emit the source column NAME as the
+    variable value, so the engines agree on the label column without any
+    mapping table. Reshaping is metadata-only on top of the aggregate —
+    no extra shuffle beyond the group-by."""
+    orders = _t(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderpriority").agg(
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
+        .cast("long")
+        .alias("n_open"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("long")
+        .alias("n_done"),
+        F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0))
+        .cast("long")
+        .alias("n_pending"),
+    )
+    return wide.unpivot(
+        ["o_orderpriority"],
+        ["n_open", "n_done", "n_pending"],
+        "status",
+        "n",
+    )
+
+
+@query(
+    "olap_customer_order_years",
+    oracle="""
+    SELECT o_custkey,
+           list_sort(list(DISTINCT CAST(year(o_orderdate) AS INT))) AS years,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def olap_customer_order_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-valued aggregation done deterministically: collect_set gathers
+    in arrival order (non-deterministic under parallelism), so the output
+    contract is sort_array(collect_set(...)) — same canonical form DuckDB
+    reaches via list_sort(list(DISTINCT ...)). The one array-typed output
+    column in the catalog; stringified identically by both fetch paths."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_set(F.year("o_orderdate"))).alias("years"),
+        F.count("*").alias("n_orders"),
+    )
