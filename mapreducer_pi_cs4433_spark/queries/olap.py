@@ -564,3 +564,36 @@ def olap_customer_order_years(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_set(F.year("o_orderdate"))).alias("years"),
         F.count("*").alias("n_orders"),
     )
+
+
+@query(
+    "olap_calendar_rollup",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(GROUPING(quarter(o_orderdate)) AS INT) AS is_year_subtotal,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (year(o_orderdate), quarter(o_orderdate))
+    """,
+)
+def olap_calendar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP (year -> quarter -> grand total) with the
+    GROUPING() indicator — the subtotal-marking family CUBE queries don't
+    exercise: GROUPING(qtr)=1 distinguishes a genuine NULL group key from
+    a rolled-up subtotal row, which is the only reliable way to consume
+    rollup output (checking qtr IS NULL conflates the two). Same
+    pre-shuffle grouping-set expansion as CUBE, one pass."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+        "o_totalprice",
+    )
+    return orders.rollup("yr", "qtr").agg(
+        F.grouping("qtr").cast("int").alias("is_year_subtotal"),
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
