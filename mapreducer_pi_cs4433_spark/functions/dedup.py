@@ -321,10 +321,10 @@ def connected_components(
     and analysis cost grows quadratically). Convergence needs O(diameter)
     supersteps; near-dup graphs are overwhelmingly pairs/stars (diameter
     1-2), so 2-3 supersteps in practice. For adversarial long-chain graphs
-    the O(log n)-round alternating-star contraction (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond") is the drop-in upgrade;
-    propagation is used here because each step is purely relational and the
-    fixpoint test is a single count of changed labels.
+    use connected_components_star (the O(log n)-round alternating-star
+    contraction, implemented below); propagation is the catalog default
+    because each superstep is 3 jobs vs the star rounds' ~6, which wins
+    whenever the diameter is small — the near-dup regime.
 
     This is deliberately an iterative driver-side loop — the one operator
     family (transitive closure) that a single declarative plan cannot
@@ -372,6 +372,97 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def connected_components_star(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond"): converges in O(log n) rounds on ANY graph — including the
+    long-chain adversarial cases where per-step min-label propagation
+    (connected_components) needs O(diameter) rounds.
+
+    Per round, with m(u) = min of u's closed neighborhood:
+      large-star: for every edge (u, v) with v > u, rewire to (v, m(u));
+      small-star: direct every edge large->small, group by the large end,
+        rewire each smaller neighbor (and u itself) to (?, m(u)).
+    Both operations preserve connectivity and strictly flatten the graph
+    toward stars rooted at component minima; at the fixed point every edge
+    is (member, root). Each operation is one shuffle (groupBy the pivot
+    node) plus a broadcast-size min table; the edge set is checkpointed per
+    round to truncate lineage, and convergence is an exact edge-set
+    equality check (count + left_anti). Returns (id, comp) like
+    connected_components — equality between the two algorithms is
+    property-tested against a classical union-find.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("s"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("b"),
+        )
+        .filter(F.col("s") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )  # canonical undirected edges (s < b)
+
+    def _canon(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.least(F.col("x"), F.col("y")).alias("s"),
+                F.greatest(F.col("x"), F.col("y")).alias("b"),
+            )
+            .filter(F.col("s") != F.col("b"))
+            .distinct()
+        )
+
+    for _ in range(max_iter):
+        # ---- large-star ---------------------------------------------------
+        sym = e.select(F.col("s").alias("u"), F.col("b").alias("v")).unionByName(
+            e.select(F.col("b").alias("u"), F.col("s").alias("v"))
+        )
+        m = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = _canon(
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+        )
+        # ---- small-star ---------------------------------------------------
+        directed = large.select(
+            F.col("b").alias("u"), F.col("s").alias("v")
+        )  # large -> small
+        m2 = directed.groupBy("u").agg(F.min("v").alias("m"))
+        small = _canon(
+            directed.join(m2, "u")
+            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+            .unionByName(
+                m2.select(F.col("u").alias("x"), F.col("m").alias("y"))
+            )
+        )
+        new_e = small.localCheckpoint(eager=True)
+        n_new = new_e.count()
+        changed = (
+            new_e.join(e, ["s", "b"], "left_anti").count()
+            if n_new == e.count()
+            else 1
+        )
+        e = new_e
+        if changed == 0:
+            break
+    # fixed point: every edge is (root=s, member=b); roots label themselves
+    members = e.select(F.col("b").alias("id"), F.col("s").alias("comp"))
+    roots = (
+        e.select(F.col("s").alias("id"))
+        .distinct()
+        .join(members.select("id"), "id", "left_anti")
+        .select("id", F.col("id").alias("comp"))
+    )
+    return members.unionByName(roots)
 
 
 def simhash64(
