@@ -621,6 +621,66 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "media_type", "n_bytes", "width", "height")
 
 
+@query(
+    "events_value_quartiles_disc",
+    oracle="""
+    SELECT event_type,
+           quantile_disc(value, 0.25) AS p25,
+           quantile_disc(value, 0.5) AS p50,
+           quantile_disc(value, 0.75) AS p75,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def events_value_quartiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentiles (percentile_disc / quantile_disc): selection of
+    an actual element at the quantile rank, never interpolation — which is
+    exactly what makes an exact float-column percentile oracle-checkable
+    (both engines pick the same stored double; an interpolated percentile
+    would manufacture new floats whose rounding could differ). The
+    order-statistic selection family, complementing the interpolating
+    olap_quantity_median and the sketched events_value_quantiles."""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_ev_disc")
+    return spark.sql(
+        """
+        SELECT event_type,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS p25,
+               percentile_disc(0.5)  WITHIN GROUP (ORDER BY value) AS p50,
+               percentile_disc(0.75) WITHIN GROUP (ORDER BY value) AS p75,
+               COUNT(*) AS n_events
+        FROM _ev_disc GROUP BY event_type
+        """
+    )
+
+
+@query(
+    "events_value_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(value / 50) AS BIGINT) AS bucket,
+           COUNT(*) AS n_events
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram by computed numeric bucket — grouping on a
+    derived key (floor division: engine-neutral, unlike width_bucket whose
+    edge conventions differ across engines). The narrow histogram pattern:
+    one scan, one partial-aggregated shuffle of (type, bucket, count)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.floor(F.col("value") / 50).cast("long").alias("bucket"),
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
 @query("events_value_quantiles")
 def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate p50/p95/p99 of events.value per event type, next to the

@@ -136,6 +136,27 @@ def test_text_repetition_single_shuffle(spark):
     assert count_exchanges(df) == 1
 
 
+def test_join_strategy_hints_are_honored(spark):
+    """The three join-strategy hints must each produce their physical join:
+    broadcast -> BroadcastHashJoin, merge -> SortMergeJoin, shuffle_hash ->
+    ShuffledHashJoin. At 100 TB these are the manual overrides when stats
+    mislead the optimizer (a 'small' side that isn't, or a build side that
+    fits memory when AQE's estimate says otherwise)."""
+    from mapreducer_pi_cs4433_spark.plans.inspect import formatted_plan
+    from mapreducer_pi_cs4433_spark.sources.loaders import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey")
+    orders = load_table(spark, SF_SMOKE, "orders").select("o_orderkey")
+    cond = li["l_orderkey"] == orders["o_orderkey"]
+    for hint, node in [
+        ("broadcast", "BroadcastHashJoin"),
+        ("merge", "SortMergeJoin"),
+        ("shuffle_hash", "ShuffledHashJoin"),
+    ]:
+        plan = formatted_plan(li.join(orders.hint(hint), cond))
+        assert node in plan, (hint, plan[:500])
+
+
 def test_no_interpreted_hofs_or_row_udfs_anywhere(spark):
     """Suite-wide round-2 invariant: NO catalog query may contain an array
     higher-order function (visible as `lambdafunction` in the plan — they
