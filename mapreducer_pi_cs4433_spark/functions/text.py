@@ -127,6 +127,35 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("lang_pred", pred)
 
 
+# Redaction patterns — deliberately conservative (precision over recall:
+# a training corpus survives a missed phone number; it does not survive
+# mass-redacting legitimate text). Each is a plain Java/RE2-compatible
+# regex so the scrub stays inside whole-stage codegen.
+_PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "phone": r"\+?\d[\d\s().-]{7,}\d",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+}
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact email / URL / phone / IPv4 patterns, replacing each match
+    with a typed token (`<EMAIL>`, `<URL>`, ...), and count per-kind hits.
+
+    Adds `{text_col}_scrubbed` plus one `n_<kind>` column per pattern.
+    Pure scalar regexp_replace/regexp_count chain — zero shuffles, whole
+    Spark-side codegen; order matters (emails before phones, so digits
+    inside a redacted email aren't re-matched) and is fixed."""
+    c = F.col(text_col)
+    out_cols: dict[str, Column] = {}
+    scrubbed = c
+    for kind, pat in _PII_PATTERNS.items():
+        out_cols[f"n_{kind}"] = F.regexp_count(c, F.lit(pat)).cast("long")
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
+    return df.withColumns({f"{text_col}_scrubbed": scrubbed, **out_cols})
+
+
 def char_shingles(col: Column | str, k: int = 5) -> Column:
     """All k-character shingles of the (whitespace-normalized) text as an
     array. Expression-only: sequence + transform + substring."""

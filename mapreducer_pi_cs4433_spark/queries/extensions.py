@@ -308,6 +308,71 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_pii_scrub",
+    oracle="""
+    WITH doctored AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@mail.example or http://ex.example/d/'
+                    || CAST(doc_id AS VARCHAR)
+                    || ' call +1555010' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    || ' from 10.0.0.' || CAST(doc_id % 10 AS VARCHAR) AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t, 'https?://[^\\s]+')) AS BIGINT) AS n_url,
+           CAST(len(regexp_extract_all(t, '\\+?\\d[\\d\\s().-]{7,}\\d')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(t, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+           md5(regexp_replace(
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(t,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       'https?://[^\\s]+', '<URL>', 'g'),
+                   '\\+?\\d[\\d\\s().-]{7,}\\d', '<PHONE>', 'g'),
+               '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IPV4>', 'g')) AS scrubbed_md5
+    FROM doctored
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction end-to-end with a value oracle: the corpus carries no
+    natural identifiers (word salad), so the query plants one deterministic
+    email + URL + phone + IPv4 per document, derived from doc_id — the
+    SAME construction in both engines — then scrubs and fingerprints. The
+    redacted-text md5 proves byte-identical replacement behavior, not just
+    matching counts; the planted last-octet stays a single digit so the
+    8-char IP can never also match the >=9-char phone pattern (pattern
+    ORDER is fixed: email, url, phone, ipv4 — and DuckDB regexp_replace
+    needs the 'g' flag to mean replace-all like Spark's). All scalar
+    regexp codegen — zero shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    doctored = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example or http://ex.example/d/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" call +1555010"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0.0."),
+            (F.col("doc_id") % 10).cast("string"),
+        ).alias("text"),
+    )
+    scrubbed = text.scrub_pii(doctored)
+    return scrubbed.select(
+        "doc_id",
+        "n_email",
+        "n_url",
+        "n_phone",
+        "n_ipv4",
+        F.md5("text_scrubbed").alias("scrubbed_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------

@@ -97,6 +97,28 @@ def test_decontamination_catches_planted_copies_not_background(spark):
     assert len(out) < 100
 
 
+def test_scrub_pii_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob.smith+x@corp.example thanks"),
+            (2, "see https://ex.example/path?q=1 and http://plain.example"),
+            (3, "call +1 (555) 010-1234 now"),
+            (4, "server at 10.0.0.7 responded"),
+            (5, "clean text with no identifiers at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in text.scrub_pii(df).collect()}
+    assert out[1].n_email == 1 and "<EMAIL>" in out[1].text_scrubbed
+    assert "bob.smith" not in out[1].text_scrubbed
+    assert out[2].n_url == 2 and out[2].text_scrubbed.count("<URL>") == 2
+    assert out[3].n_phone == 1 and "<PHONE>" in out[3].text_scrubbed
+    assert out[4].n_ipv4 == 1 and "<IPV4>" in out[4].text_scrubbed
+    r5 = out[5]
+    assert (r5.n_email, r5.n_url, r5.n_phone, r5.n_ipv4) == (0, 0, 0, 0)
+    assert r5.text_scrubbed == r5.text
+
+
 def test_approx_quantiles_track_exact(spark):
     """Accuracy is a RANK guarantee, not a value guarantee: the sketch
     returns an actual element within ~1e-4 of the requested rank, while
