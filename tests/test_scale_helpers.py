@@ -36,6 +36,38 @@ def test_write_partitioned_prunes(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_dynamic_partition_overwrite_replaces_only_touched_partitions(spark):
+    """partitionOverwriteMode=dynamic: an overwrite write must replace ONLY
+    the partitions present in the incoming frame — static mode (the
+    default) clobbers the whole table root, which at 100 TB turns an
+    hourly backfill into a table wipe."""
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    tmp = tempfile.mkdtemp(prefix="dyn_part_")
+    try:
+        events = load_table(spark, SF_SMOKE, "events")
+        sinks.write_partitioned(events, tmp, ["event_type"])
+        total_before = spark.read.parquet(tmp).count()
+        one_type = spark.read.parquet(tmp).filter(
+            F.col("event_type") == "click"
+        )
+        n_click = one_type.count()
+        assert 0 < n_click < total_before
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # rewrite ONLY the click partition (halved), others must survive
+        one_type.limit(n_click // 2).write.mode("overwrite").partitionBy(
+            "event_type"
+        ).parquet(tmp)
+        after = spark.read.parquet(tmp)
+        assert after.filter(F.col("event_type") == "click").count() == n_click // 2
+        assert (
+            after.filter(F.col("event_type") != "click").count()
+            == total_before - n_click
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_merge_upsert_snapshot(spark):
     """Latest-version-wins upsert: newer incoming rows replace base rows,
     stale incoming rows lose, new keys insert, and an incoming row at the
