@@ -141,3 +141,49 @@ def test_digest_merge_no_duplicates_across_restarts(spark):
         assert tbl.select("digest").distinct().count() == 3
     finally:
         shutil.rmtree(table, ignore_errors=True)
+
+
+def test_foreach_batch_digest_merge_exactly_once(spark):
+    """The production wiring: stream -> foreachBatch(merge_into_digest_table)
+    -> corpus sink. Micro-batch boundaries must not re-admit duplicates
+    (file 2 replays half of file 1's documents), and the admitted corpus
+    equals the distinct-digest set of everything ingested."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    first = docs.filter(F.col("doc_id") < 25)
+    second = docs.filter((F.col("doc_id") >= 25) & (F.col("doc_id") < 50)).unionByName(
+        first.filter(F.col("doc_id") < 12)  # replayed duplicates
+    )
+    src = tempfile.mkdtemp(prefix="fbm_src_")
+    table = tempfile.mkdtemp(prefix="fbm_tab_") + "/digests"
+    out = tempfile.mkdtemp(prefix="fbm_out_")
+    ckpt = tempfile.mkdtemp(prefix="fbm_ck_")
+    try:
+        first.coalesce(1).write.mode("overwrite").parquet(src + "/b1")
+        second.coalesce(1).write.mode("overwrite").parquet(src + "/b2")
+        stream = (
+            spark.readStream.schema(first.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/b*")
+        )
+
+        def admit(batch_df, batch_id):
+            admitted = merge_into_digest_table(spark, batch_df, table)
+            admitted.write.mode("append").parquet(out)
+
+        q = (
+            stream.writeStream.foreachBatch(admit)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        admitted = spark.read.parquet(out)
+        n_unique = (
+            first.unionByName(second).select(F.md5("text")).distinct().count()
+        )
+        assert admitted.count() == n_unique
+        assert admitted.select("digest").distinct().count() == n_unique
+    finally:
+        for d in (src, out, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(table.rsplit("/", 1)[0], ignore_errors=True)
