@@ -906,6 +906,88 @@ def embedding_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("n_vectors"))
 
 
+_PR_ITERS = 4
+_PR_SCALE = 1_000_000  # ranks as scaled integers: micro-rank units
+
+
+def _pagerank_oracle() -> str:
+    # unrolled fixed-iteration integer PageRank; // is floor division on
+    # positives in DuckDB, matching Spark's `div` on bigints
+    its = []
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        its.append(
+            f"""it{i} AS (
+        SELECT s.dst AS node,
+               (15 * {_PR_SCALE} + 85 * SUM(p.r // d.d)) // 100 AS r
+        FROM sym s JOIN {prev} p ON s.src = p.node JOIN deg d ON s.src = d.src
+        GROUP BY s.dst
+    )"""
+        )
+        prev = f"it{i}"
+    return f"""
+    WITH edges AS (
+        SELECT DISTINCT l_partkey AS a, 1000000 + l_suppkey AS b FROM lineitem
+    ), sym AS (
+        SELECT a AS src, b AS dst FROM edges
+        UNION ALL
+        SELECT b AS src, a AS dst FROM edges
+    ), deg AS (
+        SELECT src, COUNT(*) AS d FROM sym GROUP BY src
+    ), r0 AS (
+        SELECT src AS node, {_PR_SCALE}::BIGINT AS r FROM deg
+    ), {', '.join(its)}
+    SELECT node - 1000000 AS s_suppkey, CAST(r AS BIGINT) AS rank_micro
+    FROM {prev} WHERE node >= 1000000
+    """
+
+
+@query("graph_pagerank_suppliers", oracle=_pagerank_oracle())
+def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the (part)-(supplier) co-purchase graph — the graph-
+    analytics family beyond connected components, and a fixed-depth
+    iterative algorithm expressed as ONE lazy plan (4 unrolled iterations;
+    no driver actions, unlike the fixpoint-converged dedup_clusters).
+
+    Exact integer arithmetic end to end: ranks are scaled to micro-units,
+    each contribution is a floor division (`div` / `//` agree on
+    positives), and the damping step is (15*SCALE + 85*sum) div 100 — so
+    the oracle matches bit-for-bit, which float PageRank never could
+    (summation order). The graph is symmetrized so no node dangles (a
+    supplier with zero out-links would otherwise leak rank mass).
+
+    Scale shape per iteration: one edges⋈ranks join (the rank table is
+    node-sized and broadcast-able, edges are fact-sized) + one grouped
+    integer SUM — the canonical distributed PageRank step; unrolling keeps
+    it a single Catalyst plan, so the optimizer shares the edge/degree
+    scans across iterations via exchange reuse."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    edges = li.select(
+        F.col("l_partkey").alias("a"),
+        (F.col("l_suppkey") + 1_000_000).alias("b"),
+    ).distinct()
+    sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("d"))
+    r = deg.select(
+        F.col("src").alias("node"), F.lit(_PR_SCALE).cast("long").alias("r")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            sym.join(r, sym["src"] == r["node"])
+            .join(deg, "src")
+            .select("dst", F.expr("r div d").alias("c"))
+        )
+        r = contrib.groupBy(F.col("dst").alias("node")).agg(
+            F.expr(f"(15 * {_PR_SCALE} + 85 * sum(c)) div 100").alias("r")
+        )
+    return r.filter(F.col("node") >= 1_000_000).select(
+        (F.col("node") - 1_000_000).alias("s_suppkey"),
+        F.col("r").cast("long").alias("rank_micro"),
+    )
+
+
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     row = (
         _t(spark, sf_dir, "embeddings")

@@ -97,6 +97,19 @@ def test_decontamination_catches_planted_copies_not_background(spark):
     assert len(out) < 100
 
 
+def test_pagerank_invariants(spark):
+    """Every rank respects the damping floor (0.15*SCALE after any
+    iteration) and total mass stays ~conserved on the symmetric graph
+    (floor divisions only ever LOSE sub-unit mass, never create it)."""
+    from mapreducer_pi_cs4433_spark.queries.extensions import _PR_SCALE
+
+    rows = QUERIES["graph_pagerank_suppliers"](spark, SF_SMOKE).collect()
+    assert rows
+    assert all(r.rank_micro >= 15 * _PR_SCALE // 100 for r in rows)
+    # suppliers see different part fan-in -> ranks must actually differ
+    assert len({r.rank_micro for r in rows}) > 1
+
+
 def test_scrub_pii_redacts_and_counts(spark):
     df = spark.createDataFrame(
         [
