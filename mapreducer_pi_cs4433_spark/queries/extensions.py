@@ -988,6 +988,31 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "graph_degree_distribution",
+    oracle="""
+    WITH d AS (
+        SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS degree
+        FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT degree, COUNT(*) AS n_suppliers
+    FROM d GROUP BY degree
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the supplier side of the co-purchase graph —
+    aggregation OF an aggregation (the two-level rollup pattern: per-key
+    distinct count, then histogram of those counts). First level shuffles
+    (suppkey, partkey) pairs with partial dedup; second level is
+    histogram-sized. The first question to ask of any graph before picking
+    join/partition strategies: how skewed is the degree?"""
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("degree")
+    )
+    return d.groupBy("degree").agg(F.count("*").alias("n_suppliers"))
+
+
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     row = (
         _t(spark, sf_dir, "embeddings")
