@@ -974,11 +974,16 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src").alias("node"), F.lit(_PR_SCALE).cast("long").alias("r")
     )
     for _ in range(_PR_ITERS):
-        contrib = (
-            sym.join(r, sym["src"] == r["node"])
-            .join(deg, "src")
-            .select("dst", F.expr("r div d").alias("c"))
+        # contribution-per-source computed on the NODE-sized tables first,
+        # then broadcast onto the fact-sized edge list: the edges never
+        # shuffle for the join (measured 10.9s -> ~4s at sf0.1); the only
+        # data-sized exchange per iteration is the grouped SUM on dst.
+        rd = r.join(deg, r["node"] == deg["src"]).select(
+            "node", F.expr("r div d").alias("c")
         )
+        contrib = sym.join(
+            F.broadcast(rd), sym["src"] == rd["node"]
+        ).select("dst", "c")
         r = contrib.groupBy(F.col("dst").alias("node")).agg(
             F.expr(f"(15 * {_PR_SCALE} + 85 * sum(c)) div 100").alias("r")
         )
