@@ -597,3 +597,58 @@ def olap_calendar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+@query(
+    "olap_profit_by_nation_year",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS DOUBLE)
+             AS profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_type = 'PROMO'
+    GROUP BY 1, 2
+    """,
+)
+def olap_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: the driver schema has no partsupp, so
+    profit = discounted revenue of PROMO-type parts): the widest join tree
+    in the suite — lineitem x part x supplier x nation x orders.
+
+    Plan discipline at 100 TB: the selective dimension (part, p_type filter
+    keeps ~1/6) broadcasts and prunes lineitem BEFORE the only big-big
+    shuffle (lineitem-orders on the orderkey); supplier broadcasts too, and
+    aggregation runs on the compact (s_nationkey, year) key with the
+    25-row nation name joined AFTER the agg, so the wide strings never
+    travel through a shuffle. Catalyst is free to reorder the broadcasts;
+    the shape test pins one shuffle join + three broadcasts."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    per_key = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supplier), li["l_suppkey"] == supplier["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("s_nationkey", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.sum(revenue).cast("decimal(18,4)").cast("double").alias("profit"))
+    )
+    return per_key.join(
+        F.broadcast(nation), per_key["s_nationkey"] == nation["n_nationkey"]
+    ).select(F.col("n_name").alias("nation"), "o_year", "profit")

@@ -280,3 +280,43 @@ def window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("running_spend"),
     )
+
+
+@query(
+    "window_monthly_growth",
+    oracle="""
+    WITH m AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT month, revenue,
+           lag(revenue) OVER (ORDER BY month) AS prev_revenue,
+           revenue / lag(revenue) OVER (ORDER BY month) - 1 AS growth
+    FROM m
+    """,
+)
+def window_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: grouped rollup feeding a LAG window
+    over the aggregated series — the aggregate-then-window composition
+    (time-series trend family). The window is global but runs over
+    |months| rows (dozens), never the fact table, so the single-partition
+    window is safe at any scale; the growth ratio divides two exactly
+    decimal-determined doubles — one IEEE division, bit-identical
+    cross-engine."""
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month"
+        )
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month", "revenue", prev.alias("prev_revenue"), (F.col("revenue") / prev - 1).alias("growth")
+    )

@@ -203,3 +203,36 @@ def test_filter_pushdown_reaches_parquet(spark):
     assert any(
         "o_custkey" in s and "o_totalprice" not in s for s in scan_read_schemas(df)
     )
+
+
+def test_profit_query_broadcasts_dims_single_big_shuffle_join(spark):
+    """Q9-shape: all three dimensions (part, supplier, nation) must ride
+    broadcasts; the only shuffle-side join is lineitem-orders; the p_type
+    filter must push into the part scan so lineitem shrinks ~6x before the
+    big shuffle."""
+    df = QUERIES["olap_profit_by_nation_year"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    # 3 explicit dim broadcasts (at smoke scale AQE may broadcast the
+    # orders side of the big join too — that one is allowed either way)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+    assert any("p_type" in f for f in pushed_filters(df))
+    # lineitem scan pruned to the 5 needed columns
+    schemas = scan_read_schemas(df)
+    assert any(
+        "l_partkey" in s and "l_quantity" not in s and "l_tax" not in s
+        for s in schemas
+    )
+
+
+def test_monthly_growth_window_runs_over_aggregated_rows(spark):
+    """The LAG window must sit above the month aggregate (window input is
+    |months| rows, not the fact table): plan order is scan -> partial agg ->
+    exchange -> final agg -> window, with no window below the aggregate."""
+    df = QUERIES["window_monthly_growth"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    # the tree section prints root-first: the Window node must sit ABOVE
+    # the aggregate (earlier in the string), i.e. it consumes the
+    # aggregated months, not the fact rows
+    assert plan.index("Window") < plan.index("HashAggregate")
+    assert plan.count("+- Window") == 1
