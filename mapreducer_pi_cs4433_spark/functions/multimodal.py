@@ -69,16 +69,27 @@ def attach_payload(
 
 
 def decode_image(payload: bytes) -> tuple[int, int]:
-    """Real decode kernel — requires an image codec library.
+    """Real decode kernel — import-gated on an image codec library.
 
-    Stubbed: this container ships no PIL/opencv; swap this function for a
-    real decoder in production. The Spark-side plumbing (extract_features)
-    is identical either way.
+    If PIL is importable the payload is decoded for real (header-only:
+    ``Image.open`` reads dimensions lazily without rasterizing the pixels);
+    otherwise NotImplementedError, and plumbing tests fall back to
+    ``fake_decode_image``. This container ships no codec library, so the
+    PIL path is exercised only where one is installed (the test is
+    importorskip-gated); the Spark-side plumbing (extract_features) is
+    identical either way.
     """
-    raise NotImplementedError(
-        "image decoding requires a codec library (e.g. PIL); "
-        "use fake_decode_image for plumbing tests"
-    )
+    try:
+        from PIL import Image
+    except ImportError as exc:  # pragma: no cover - container has no PIL
+        raise NotImplementedError(
+            "image decoding requires a codec library (e.g. PIL); "
+            "use fake_decode_image for plumbing tests"
+        ) from exc
+    import io
+
+    with Image.open(io.BytesIO(payload)) as im:
+        return (int(im.width), int(im.height))
 
 
 def fake_decode_image(payload: bytes) -> tuple[int, int]:

@@ -1213,3 +1213,84 @@ def pi_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monte Carlo pi on the RDD path (rows-only; no SQL equivalent).
     Deterministic per (seed, partitions)."""
     return estimate_pi_df(spark, num_samples=1_000_000, partitions=32, seed=42)
+
+
+# ---------------------------------------------------------------------------
+# Training-data export: shard manifest + stratified splits
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "export_shard_manifest",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, length(text) AS nb,
+               ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 16
+                 AS shard
+        FROM documents
+    )
+    SELECT CAST(shard AS INT) AS shard,
+           count(*) AS n_docs,
+           CAST(sum(nb) AS BIGINT) AS n_chars,
+           min(doc_id) AS min_doc,
+           max(doc_id) AS max_doc
+    FROM s
+    GROUP BY shard
+    """,
+)
+def export_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manifest that ships with a sharded corpus export: per-shard doc
+    count, char volume, and id range, using the same engine-neutral
+    md5-hex shard assignment as sinks.export_shards (two hex chars -> 0..255
+    -> mod n). One narrow scan + one 16-group aggregate; the write path
+    itself is exercised in tests (partitionBy layout, bounded files,
+    within-shard order)."""
+    from ..sources.sinks import shard_column
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("shard", shard_column("doc_id", 16))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("n_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+@query(
+    "split_stratified_counts",
+    oracle="""
+    WITH s AS (
+        SELECT label,
+               CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+                    WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM embeddings
+    )
+    SELECT label, split, count(*) AS n
+    FROM s
+    GROUP BY label, split
+    """,
+)
+def split_stratified_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split audit, stratified by label: the
+    hash-gate split idiom (hex char of md5(id): 0-b -> train 12/16, c-d ->
+    val 2/16, e-f -> test 2/16) — reproducible across engines/runs/retries
+    with no RNG and no shuffle beyond the final 30-group count. The
+    returned table is the per-class balance check run before any training
+    job; leakage-safety falls out of the id-hash (an id can never be in
+    two splits)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    c = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
+    split = (
+        F.when(c <= "b", "train").when(c <= "d", "val").otherwise("test")
+    )
+    return (
+        emb.select("label", split.alias("split"))
+        .groupBy("label", "split")
+        .agg(F.count("*").alias("n"))
+    )

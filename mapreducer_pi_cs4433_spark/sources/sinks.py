@@ -133,3 +133,51 @@ def repartition_for_join(df: DataFrame, key: str, partitions: int) -> DataFrame:
     """Pre-shuffle a DataFrame on its join key so several downstream joins
     on the same key reuse one exchange (ReusedExchange in the plan)."""
     return df.repartition(partitions, F.col(key))
+
+
+_HEX = "0123456789abcdef"
+
+
+def shard_column(id_col: str, n_shards: int = 16) -> "F.Column":
+    """Deterministic shard id 0..n_shards-1 from a key column, engine-neutral.
+
+    shard = (hex0 * 16 + hex1) % n_shards over the first two hex chars of
+    md5(key) — a pure codegen expression (no RNG, no engine hash), so the
+    assignment is reproducible across engines, runs, and task retries, and
+    uniform because md5 is. The DuckDB twin is the identical strpos/substr
+    arithmetic; n_shards <= 256 keeps two hex chars sufficient.
+    """
+    if not 1 <= n_shards <= 256:
+        raise ValueError("n_shards must be in [1, 256]")
+    c0 = F.expr(f"instr('{_HEX}', substr(md5(cast({id_col} as string)), 1, 1))") - 1
+    c1 = F.expr(f"instr('{_HEX}', substr(md5(cast({id_col} as string)), 2, 1))") - 1
+    return ((c0 * 16 + c1) % n_shards).cast("int")
+
+
+def export_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int = 16,
+    max_records_per_file: int = 1_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Training-data export: hash-sharded, reproducibly ordered parquet.
+
+    The 100 TB export layout: a deterministic shard key (never
+    orderBy(rand()) — that is a global sort plus an irreproducible RNG),
+    one directory per shard via partitionBy (readers address shards
+    independently; a trainer with W workers reads shards w, w+W, ...),
+    rows sorted by id WITHIN each shard file (sortWithinPartitions after
+    repartitioning on the shard key — no global sort barrier), and
+    maxRecordsPerFile bounding file sizes so no shard becomes one
+    unsplittable multi-GB file."""
+    out = df.withColumn("shard", shard_column(id_col, n_shards))
+    (
+        out.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", id_col)
+        .write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy("shard")
+        .parquet(path)
+    )

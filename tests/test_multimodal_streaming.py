@@ -53,9 +53,23 @@ def test_extract_features_plumbing(media):
     assert again == first
 
 
-def test_real_decoder_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG")
+def test_real_decoder_is_import_gated():
+    """Without a codec library decode_image must raise NotImplementedError;
+    with PIL installed it must decode real header dimensions. Both sides of
+    the gate are covered — whichever this environment has."""
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(b"\x89PNG")
+        return
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (17, 9)).save(buf, format="PNG")
+    assert multimodal.decode_image(buf.getvalue()) == (17, 9)
 
 
 def test_sample_frames_bounded(media):

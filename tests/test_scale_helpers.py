@@ -422,3 +422,83 @@ def test_sessionize_stateful_matches_builtin(spark, provider):
                 )
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_export_shards_layout_and_determinism(spark):
+    """export_shards must produce one directory per shard, preserve every
+    row exactly once, sort rows by id within each file, and agree with the
+    export_shard_manifest query's shard assignment."""
+    import glob
+    import os
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    tmp = tempfile.mkdtemp(prefix="shard_export_")
+    try:
+        sinks.export_shards(docs, tmp, id_col="doc_id", n_shards=16)
+        dirs = sorted(
+            os.path.basename(d) for d in glob.glob(os.path.join(tmp, "shard=*"))
+        )
+        assert dirs == [f"shard={i}" for i in range(16)] or len(dirs) <= 16
+        back = spark.read.parquet(tmp)
+        assert back.count() == docs.count()
+        assert sorted(r.doc_id for r in back.select("doc_id").collect()) == sorted(
+            r.doc_id for r in docs.select("doc_id").collect()
+        )
+        # shard assignment matches the manifest query's arithmetic
+        manifest = {
+            r.shard: r.n_docs
+            for r in back.groupBy("shard").agg(F.count("*").alias("n_docs")).collect()
+        }
+        from mapreducer_pi_cs4433_spark.queries.catalog import QUERIES
+
+        expected = {
+            r.shard: r.n_docs
+            for r in QUERIES["export_shard_manifest"](spark, SF_SMOKE).collect()
+        }
+        assert manifest == expected
+        # within-file order: every parquet file individually sorted by doc_id
+        for f in glob.glob(os.path.join(tmp, "shard=*", "*.parquet")):
+            ids = [r.doc_id for r in spark.read.parquet(f).select("doc_id").collect()]
+            assert ids == sorted(ids)
+        # determinism: a second export yields the identical assignment
+        tmp2 = tempfile.mkdtemp(prefix="shard_export2_")
+        try:
+            sinks.export_shards(docs, tmp2, id_col="doc_id", n_shards=16)
+            again = {
+                r.shard: r.n_docs
+                for r in spark.read.parquet(tmp2)
+                .groupBy("shard")
+                .agg(F.count("*").alias("n_docs"))
+                .collect()
+            }
+            assert again == manifest
+        finally:
+            shutil.rmtree(tmp2, ignore_errors=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark):
+    """Joining a partition-laid-out fact against a filtered dimension must
+    inject a dynamic-pruning subquery into the fact scan (PartitionFilters
+    with dynamicpruning), so at 100 TB the scan reads only the partitions
+    the dimension filter survives — the runtime twin of static partition
+    pruning."""
+    import os
+
+    events = load_table(spark, SF_SMOKE, "events")
+    tmp = tempfile.mkdtemp(prefix="dpp_fact_")
+    try:
+        sinks.write_partitioned(events, tmp, ["event_type"])
+        fact = spark.read.parquet(tmp)
+        dim = spark.createDataFrame(
+            [("click", 1.0), ("view", 0.5), ("purchase", 3.0), ("error", 0.0)],
+            "event_type string, weight double",
+        ).filter(F.col("weight") >= 3.0)
+        joined = fact.join(dim, "event_type").groupBy("event_type").count()
+        from mapreducer_pi_cs4433_spark.plans.inspect import formatted_plan
+
+        plan = formatted_plan(joined)
+        assert "dynamicpruning" in plan.lower()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
