@@ -754,14 +754,31 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles fixed-size mergeable sketches instead of sorting the value
     stream (the exact percentile needs a per-group sort — fine here, ruinous
     at scale; accuracy vs the exact answer is asserted in tests at 1e-4
-    relative accuracy)."""
+    relative accuracy).
+
+    Output is one row per (event_type, quantile) with SCALAR columns only —
+    array-typed output columns are banned from catalog entries because
+    downstream canonicalizers (pandas sort/factorize) cannot hash lists."""
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.percentile_approx(
-            "value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), 10000
-        ).alias("q_approx"),
+    qs = F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))
+    agg = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", qs, 10000).alias("q_approx"),
         F.expr("percentile(value, array(0.5D, 0.95D, 0.99D))").alias("q_exact"),
         F.count("*").alias("n_events"),
+    )
+    return (
+        agg.select(
+            "event_type",
+            "n_events",
+            F.posexplode(F.arrays_zip("q_approx", "q_exact")).alias("pos", "qz"),
+        )
+        .select(
+            "event_type",
+            F.element_at(qs, F.col("pos") + 1).alias("q"),
+            F.col("qz.q_approx").alias("approx_value"),
+            F.col("qz.q_exact").alias("exact_value"),
+            "n_events",
+        )
     )
 
 
@@ -840,10 +857,13 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT label AS cand, dim,
                CAST(SUM(vq) AS BIGINT) AS sm, COUNT(*) AS n
         FROM q GROUP BY 1, 2
+    ), cq AS (
+        SELECT cand, dim,
+               CAST((sm - ((sm % n) + n) % n) // n AS BIGINT) AS cd
+        FROM cent
     ), diff AS (
-        SELECT q.vec_id, q.label, c.cand,
-               CAST(q.vq AS HUGEINT) * c.n - c.sm AS e
-        FROM q JOIN cent c USING (dim)
+        SELECT q.vec_id, q.label, c.cand, (q.vq - c.cd) AS e
+        FROM q JOIN cq c USING (dim)
     ), dist AS (
         SELECT vec_id, label, cand, SUM(e * e) AS d
         FROM diff GROUP BY 1, 2, 3
@@ -858,21 +878,25 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-centroid classification confusion matrix — the composition
-    capstone of the embedding family: exact per-label centroids (see
+    capstone of the embedding family: per-label centroids (see
     embedding_centroids) -> squared-euclidean argmin per vector -> (label,
     pred_label) counts.
 
-    Every step is EXACT, which is what makes a distance argmin
-    oracle-checkable at all: with centroid = sm/n kept rational, the
-    comparison d(v, c) = sum_dims (vq*n - sm)^2 / n^2 shares one
-    denominator per candidate, so the numerator — an integer — decides the
-    argmin. Spark sums it in DECIMAL(38,0) (vq*n ~ 1e9-scale, squared
-    ~1e18, 64-dim sum ~1e20: overflows int64, fits decimal), DuckDB in
-    HUGEINT; ties break on the candidate label via min(struct). No float
-    ever enters a comparison.
+    The centroid is QUANTIZED to integer micro-units via exact floor
+    division cd = floor(sm/n) (pmod-then-truncate — `div` truncates toward
+    zero, DuckDB's `//` likewise, so subtracting the positive remainder
+    first makes both compute the true floor even for negative sums). That
+    puts every candidate's distance on the SAME integer scale:
+    d(v, c) = sum_dims (vq - cd)^2 with no per-candidate denominator —
+    an earlier revision compared sum((vq*n - sm)^2) whose implicit 1/n^2
+    biased the argmin toward small labels. The 1 micro-unit centroid
+    quantization (components ~0.1) is orders below corpus noise and a
+    fixed, documented contract; the arithmetic itself is exact int64, so
+    both engines compute bit-identical distances and ties break on the
+    candidate label via min(struct).
 
-    Scale shape: the vector-component stream joins a BROADCAST centroid
-    table (labels x 64 rows), squares JVM-side, and aggregates on
+    Scale shape: the vector-component stream joins a BROADCAST quantized
+    centroid table (labels x 64 rows), squares JVM-side, and aggregates on
     (vec_id, cand) — one data-sized shuffle; the argmin is another
     min(struct) aggregate on vec_id (no window, no sort)."""
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
@@ -889,12 +913,15 @@ def embedding_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = q.groupBy(F.col("label").alias("cand"), "dim").agg(
         F.sum("vq").alias("sm"), F.count("*").alias("n")
     )
-    e = (
-        F.col("vq").cast("decimal(20,0)") * F.col("n") - F.col("sm")
-    ).cast("decimal(19,0)")
+    cq = cent.select(
+        "cand",
+        "dim",
+        F.expr("(sm - pmod(sm, n)) div n").cast("long").alias("cd"),
+    )
+    e = F.col("vq") - F.col("cd")
     dist = (
-        q.join(F.broadcast(cent), "dim")
-        .select("vec_id", "label", "cand", (e * e).cast("decimal(38,0)").alias("e2"))
+        q.join(F.broadcast(cq), "dim")
+        .select("vec_id", "label", "cand", (e * e).alias("e2"))
         .groupBy("vec_id", "label", "cand")
         .agg(F.sum("e2").alias("d"))
     )

@@ -120,8 +120,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Newer parquet readers surface TIMESTAMP(NANOS) as TIMESTAMP_NTZ
+            # (micro-truncated) and ignore the legacy nanosAsLong conf. NTZ
+            # forbids direct numeric casts (cast NTZ->BIGINT is a type error),
+            # so normalize to session-zoned TimestampType; the session is
+            # pinned to UTC, making the reinterpretation value-preserving and
+            # keeping epoch arithmetic in parity with DuckDB's naive-as-UTC.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     cache[key] = df

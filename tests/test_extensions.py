@@ -140,6 +140,8 @@ def test_approx_quantiles_track_exact(spark):
     quantile (generous vs the 1e-4 guarantee, tight vs real error)."""
     out = QUERIES["events_value_quantiles"](spark, SF_SMOKE).collect()
     assert out
+    # one row per (event_type, quantile): scalar columns only (driver
+    # canonicalizers cannot hash array cells — r2 lesson)
     ev = load_table(spark, SF_SMOKE, "events")
     bands = {
         r.event_type: r.b
@@ -151,12 +153,17 @@ def test_approx_quantiles_track_exact(spark):
         )
         .collect()
     }
+    band_idx = {0.5: 0, 0.95: 1, 0.99: 2}
+    seen = set()
     for r in out:
         b = bands[r.event_type]
-        for i, (lo, hi) in enumerate([(b[0], b[1]), (b[2], b[3]), (b[4], b[5])]):
-            assert lo - 1e-9 <= r.q_approx[i] <= hi + 1e-9, (
-                r.event_type, i, r.q_approx[i], lo, hi,
-            )
+        i = band_idx[r.q]
+        lo, hi = [(b[0], b[1]), (b[2], b[3]), (b[4], b[5])][i]
+        assert lo - 1e-9 <= r.approx_value <= hi + 1e-9, (
+            r.event_type, r.q, r.approx_value, lo, hi,
+        )
+        seen.add((r.event_type, r.q))
+    assert len(seen) == len(bands) * 3
 
 
 def test_exact_dedup_properties(spark, docs):
@@ -410,3 +417,46 @@ def test_language_id_deterministic_argmax(spark):
     out = {r.doc_id: r.lang_pred for r in text.language_id(df).collect()}
     assert out[1] == "en"
     assert out[2] == "de"
+
+
+def test_nearest_centroid_matches_numpy_reference(spark):
+    """The catalog query must compute TRUE nearest-quantized-centroid
+    classification — an independent numpy implementation of the documented
+    rule (micro-quantized components, floor-divided integer centroid,
+    int64 squared distance, label tie-break) must agree on every vector.
+    Guards the r2 bug where an un-normalized 1/n^2 denominator biased the
+    argmin toward small labels."""
+    import numpy as np
+
+    emb_rows = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    vq = {
+        r.vec_id: np.floor(np.asarray(r.embedding, dtype=np.float64) * 1_000_000)
+        .astype(np.int64)
+        for r in emb_rows
+    }
+    labels = {r.vec_id: r.label for r in emb_rows}
+    by_label: dict[str, list] = {}
+    for vid, lab in labels.items():
+        by_label.setdefault(lab, []).append(vq[vid])
+    cents = {
+        lab: np.floor_divide(np.sum(np.stack(vs), axis=0), len(vs))
+        for lab, vs in by_label.items()
+    }
+    expected: dict[tuple, int] = {}
+    for vid, v in vq.items():
+        best = min(
+            (int(np.sum((v - cd) ** 2)), lab) for lab, cd in sorted(cents.items())
+        )
+        key = (labels[vid], best[1])
+        expected[key] = expected.get(key, 0) + 1
+
+    out = {
+        (r.label, r.pred_label): r.n_vectors
+        for r in QUERIES["embedding_nearest_centroid"](spark, SF_SMOKE).collect()
+    }
+    assert out == expected
