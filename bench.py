@@ -26,6 +26,40 @@ def _sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def _prev_round_timings(here: str) -> dict[str, float]:
+    """Per-query timings from the latest committed BENCH_r{N}.json, so a
+    round-over-round slowdown surfaces IN the bench output instead of
+    waiting for the next judge pass (r2 shipped a 7x pi regression nobody
+    saw until the verdict)."""
+    best_n, best = -1, {}
+    for f in os.listdir(here):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", f)
+        if not m:
+            continue
+        try:
+            with open(os.path.join(here, f)) as fh:
+                data = json.load(fh)
+            if int(m.group(1)) > best_n and isinstance(data.get("queries"), dict):
+                best_n, best = int(m.group(1)), data["queries"]
+        except (OSError, json.JSONDecodeError):
+            continue
+    return best
+
+
+def _regressions(
+    prev: dict[str, float], now: dict[str, float], ratio: float = 1.5,
+    min_prev_sec: float = 0.5,
+) -> dict[str, dict]:
+    """Queries >= ratio slower than last round (ignoring sub-0.5s entries,
+    which are dominated by fixed job overhead at bench scale)."""
+    out = {}
+    for name, t in now.items():
+        p = prev.get(name)
+        if p and p >= min_prev_sec and t > p * ratio:
+            out[name] = {"prev": p, "now": t, "ratio": round(t / p, 2)}
+    return out
+
+
 def _bucketed_join_extra(spark, sf_dir: str) -> dict:
     """Quantify the zero-exchange bucketed-join path (ROADMAP #4).
 
@@ -108,6 +142,10 @@ def main() -> None:
                 "queries": timings,
                 "sf": _sf_from_dir(sf_dir),
                 "extra": extra,
+                "regressions": _regressions(
+                    _prev_round_timings(os.path.dirname(os.path.abspath(__file__))),
+                    timings,
+                ),
             }
         )
     )

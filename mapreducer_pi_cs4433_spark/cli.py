@@ -86,12 +86,14 @@ def main(argv: list[str] | None = None) -> int:
 
     # exit-code fidelity: a missing input path is exit 2 with a one-line
     # message (the reference's hadoop job dies with a stack trace; a CLI
-    # should say which path is wrong)
+    # should say which path is wrong). Scheme-less LOCAL paths only: any
+    # URI (hdfs://, s3a://, file:...) is for Spark's Hadoop FileSystem to
+    # resolve — os.path.exists would wrongly reject every valid remote path.
     import os
 
     for name in ("pages", "friends", "access_logs", "corpus"):
         path = getattr(args, name, None)
-        if path is not None and not os.path.exists(path):
+        if path is not None and "://" not in path and not os.path.exists(path):
             print(f"{args.task}: input not found: {path}", file=sys.stderr)
             return 2
 

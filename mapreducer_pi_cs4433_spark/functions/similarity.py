@@ -33,14 +33,32 @@ cannot import.
 
 from __future__ import annotations
 
+import hashlib
+import itertools
 import math
+import os
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _HYPERPLANE_SEED = 0x51AB5  # fixed: buckets must be stable across jobs/runs
+
+# Root for persisted ANN index artifacts (IVF bucket assignments, PQ
+# codebooks + codes). At 100 TB these are BUILD outputs written next to the
+# corpus (a partitioned parquet table + a tiny codebook artifact) and reused
+# by every query; locally they land under a scratch dir keyed by
+# (source dir, build params). Tables are assumed static per key — the same
+# contract sources/loaders.py documents for its plan memoization.
+_INDEX_ROOT_ENV = "SPARK_GRAFT_INDEX_DIR"
+_INDEX_ROOT_DEFAULT = "/tmp/spark_graft_indexes"
+
+
+def _artifact_dir(sf_dir: str, kind: str) -> str:
+    root = os.environ.get(_INDEX_ROOT_ENV, _INDEX_ROOT_DEFAULT)
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(root, key, kind)
 
 
 def _sign_matrix(planes: int, dim: int, draw: int = 0) -> np.ndarray:
@@ -228,6 +246,66 @@ def build_ivf_index(
     )
 
 
+def ensure_ivf_index(
+    spark: SparkSession,
+    df: DataFrame,
+    sf_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes: int = 8,
+) -> DataFrame:
+    """Build-once/reuse IVF index: the (id, vec, bucket) table PERSISTED as
+    parquet partitioned by bucket, so a probe's `bucket IN (...)` filter
+    becomes partition PRUNING at the source — the scan physically touches
+    only the probed fraction. r2 recomputed bucket assignments per query
+    (a full corpus pass each invocation); an index is a build artifact with
+    a lifecycle, not per-query work. First call per (sf_dir, planes) pays
+    one build job; every later call is a pruned parquet read."""
+    path = _artifact_dir(sf_dir, f"ivf_p{planes}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        build_ivf_index(df, vec_col, id_col, planes).write.mode(
+            "overwrite"
+        ).partitionBy("bucket").parquet(path)
+    return spark.read.parquet(path)
+
+
+def ensure_pq_artifacts(
+    spark: SparkSession,
+    df: DataFrame,
+    sf_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    k: int = 256,
+    sample_rows: int = 10_000,
+) -> tuple[np.ndarray, DataFrame]:
+    """Build-once/reuse PQ artifacts: (codebooks ndarray, codes DataFrame).
+
+    Training (bounded driver sample + Lloyd iterations) and corpus encoding
+    run ONCE per (sf_dir, m, k) and persist — codes as parquet (the 8-byte
+    hot scan table), codebooks as an .npy sidecar (~m*k*dsub doubles; on a
+    cluster this would be a tiny parquet/object-store artifact). r2
+    retrained codebooks and re-encoded the corpus inside every query
+    invocation, including a driver-side collect of the training sample —
+    the wrong lifecycle at any scale beyond a demo."""
+    path = _artifact_dir(sf_dir, f"pq_m{m}_k{k}")
+    books_file = os.path.join(path, "codebooks.npy")
+    codes_path = os.path.join(path, "codes")
+    if not (
+        os.path.exists(books_file)
+        and os.path.exists(os.path.join(codes_path, "_SUCCESS"))
+    ):
+        books = train_pq_codebooks(df, vec_col, m=m, k=k, sample_rows=sample_rows)
+        encode_pq(df, books, vec_col, id_col).write.mode("overwrite").parquet(
+            codes_path
+        )
+        os.makedirs(path, exist_ok=True)
+        tmp = books_file + ".tmp.npy"
+        np.save(tmp, books)
+        os.replace(tmp, books_file)
+    return np.load(books_file), spark.read.parquet(codes_path)
+
+
 def train_pq_codebooks(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -408,7 +486,16 @@ def ivf_topk(
     """
     q = [float(x) for x in query_vec]
     qb = query_bucket(q, planes)
-    near = [b for b in range(1 << planes) if bin(b ^ qb).count("1") <= probe_hamming]
+    # Enumerate the Hamming ball directly (sum of C(planes, i) buckets for
+    # i <= probe_hamming) instead of scanning all 2^planes candidates: with
+    # auto_planes indexes up to 24 planes, the full scan is a 16M-iteration
+    # driver loop and a multi-million-element isin list; the ball at h=1 is
+    # just 25 values.
+    near = [
+        qb ^ sum(1 << b for b in bits)
+        for h in range(probe_hamming + 1)
+        for bits in itertools.combinations(range(planes), h)
+    ]
     return (
         index.filter(F.col("bucket").isin(near))
         .select(

@@ -29,11 +29,18 @@ _LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 def tokens(col: Column | str) -> Column:
     """Whitespace tokens with empties removed (StringTokenizer semantics,
-    generalizing the reference WordCount.java:24-28). Convenience/array
-    form — counting paths use token_count (scalar regex, codegen); the
-    F.filter HOF here is interpreted and must stay off hot paths."""
+    generalizing the reference WordCount.java:24-28). Array form for
+    explode paths; counting paths use token_count (scalar regex).
+    Pure codegen: trimming first means split can never emit an empty
+    token (Java split drops trailing empties; a leading empty needs a
+    leading separator, which trim removed) — no interpreted F.filter HOF
+    (this helper previously carried one, gated off hot paths; now there is
+    nothing to gate)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+    t = F.trim(c)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
 
 
 def token_count(col: Column | str) -> Column:

@@ -11,8 +11,6 @@ with (seed, partition_index) so results don't depend on scheduling order.
 
 from __future__ import annotations
 
-import random
-
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -22,19 +20,30 @@ def estimate_pi(
     partitions: int = 32,
     seed: int = 42,
 ) -> float:
-    """Classic dartboard estimate: 4 * P(x^2 + y^2 <= 1) on [0,1)^2."""
+    """Classic dartboard estimate: 4 * P(x^2 + y^2 <= 1) on [0,1)^2.
+
+    The partition kernel is a vectorized numpy batch — one
+    Generator.random((n, 2)) draw and one boolean reduction per partition —
+    not a per-sample Python loop (r2 ran 1M scalar rng.random() calls
+    row-at-a-time; ~50x slower for identical statistics). Determinism
+    contract unchanged: each partition seeds PCG64 with (seed, index), so
+    the estimate depends only on (seed, num_samples, partitions), never on
+    scheduling order. Memory stays bounded by drawing in <=1M-sample
+    chunks per partition regardless of num_samples."""
     per_part = num_samples // partitions
     sc = spark.sparkContext
 
     def count_hits(idx: int, _it):
-        # Random() only accepts scalar seeds; mix partition index in with a
-        # large odd multiplier so partition streams don't overlap
-        rng = random.Random(seed * 1_000_003 + idx)
+        import numpy as np
+
+        rng = np.random.Generator(np.random.PCG64([seed, idx]))
         hits = 0
-        for _ in range(per_part):
-            x, y = rng.random(), rng.random()
-            if x * x + y * y <= 1.0:
-                hits += 1
+        remaining = per_part
+        while remaining > 0:
+            n = min(remaining, 1_000_000)
+            xy = rng.random((n, 2))
+            hits += int(((xy * xy).sum(axis=1) <= 1.0).sum())
+            remaining -= n
         yield hits
 
     total_hits = (

@@ -109,6 +109,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ~40 catalog queries a driver round trip of file listing + footer schema
     read (~0.1 s each). The cache lives ON the session object, so it dies
     with the session and never leaks plans across sessions.
+
+    STATIC-TABLE ASSUMPTION: the parquet file listing is snapshotted at
+    first read, so a caller that rewrites a table directory mid-session
+    (compaction, snapshot swap) would silently read stale or deleted
+    files through the memoized plan. The driver testdata is immutable, so
+    catalog queries are safe by construction; maintenance flows that
+    rewrite paths must call invalidate_table_cache() (below) after the
+    swap — it also refreshes Spark's own file-index cache for the path.
     """
     cache = getattr(spark, "_graft_table_plans", None)
     if cache is None:
@@ -135,3 +143,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     cache[key] = df
     return df
+
+
+def invalidate_table_cache(
+    spark: SparkSession, sf_dir: str | None = None, name: str | None = None
+) -> None:
+    """Drop memoized load_table plans (all, per-dir, or per-table) and
+    refresh Spark's cached file listings for the affected paths. Required
+    after any in-place rewrite of a table directory (see load_table's
+    static-table assumption)."""
+    cache = getattr(spark, "_graft_table_plans", None)
+    if not cache:
+        return
+    doomed = [
+        k
+        for k in cache
+        if (sf_dir is None or k[0] == sf_dir) and (name is None or k[1] == name)
+    ]
+    for k in doomed:
+        cache.pop(k)
+        try:
+            spark.catalog.refreshByPath(f"{k[0]}/{k[1]}.parquet")
+        except Exception:
+            pass  # path may be gone entirely; the next read re-lists anyway

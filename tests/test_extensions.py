@@ -303,6 +303,24 @@ def test_ivf_topk_recall(spark, emb):
     assert len(set(exact) & set(approx)) >= 3
 
 
+@pytest.mark.parametrize("sf_dir", [SF_SMOKE, SF_CORRECTNESS])
+def test_ivf_catalog_equals_bruteforce(spark, sf_dir):
+    """The similarity_topk_ivf catalog entry shares the exact brute-force
+    oracle; that is only sound if the probe set (planes=4, hamming=2)
+    covers the true top-10 at the driver's scale factors. Assert exact
+    output equality — ids AND rounded cosines (the dedup_minhash_lsh
+    oracle-sharing precedent)."""
+    bf = [
+        (r.id, r.cosine_sim)
+        for r in QUERIES["similarity_topk_bruteforce"](spark, sf_dir).collect()
+    ]
+    ivf = [
+        (r.id, r.cosine_sim)
+        for r in QUERIES["similarity_topk_ivf"](spark, sf_dir).collect()
+    ]
+    assert ivf == bf
+
+
 def test_pq_topk_recall_and_determinism(spark, emb):
     """PQ + exact re-rank must recover most of the true top-10 (the random
     corpus has near-tied neighbors, so ADC-only recall is inherently

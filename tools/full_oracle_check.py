@@ -1,0 +1,110 @@
+"""Full local replica of the driver's CORRECTNESS gate, over EVERY
+registered query (the driver itself records only the first 50 in
+registration order).
+
+Writes CORRECTNESS_FULL_r{N}.json next to the repo root: one row per
+catalog query with rows/schema/value-hash status against the DuckDB oracle
+at sf0.01 — the committed evidence for queries the driver's 50-entry
+window can't reach. Run:
+
+    python tools/full_oracle_check.py [--sf-dir /root/testdata/sf0.01] \
+        [--out CORRECTNESS_FULL_r03.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+from decimal import Decimal
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+from mapreducer_pi_cs4433_spark.queries.catalog import ORACLE, QUERIES  # noqa: E402
+from mapreducer_pi_cs4433_spark.schemas import DRIVER_TABLES  # noqa: E402
+from mapreducer_pi_cs4433_spark.session import get_spark  # noqa: E402
+
+
+def _norm_cell(v) -> str:
+    if v is None:
+        return "\0NULL"
+    if isinstance(v, Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        return "nan" if math.isnan(v) else repr(v)
+    return str(v)
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", default="CORRECTNESS_FULL_r03.json")
+    args = ap.parse_args()
+
+    spark = get_spark("full-oracle-check")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in DRIVER_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{args.sf_dir}/{t}.parquet')"
+        )
+
+    results: dict[str, dict] = {}
+    n_fail = 0
+    for name, fn in QUERIES.items():
+        row = {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        try:
+            sdf = fn(spark, args.sf_dir)
+            s_rows = [tuple(r) for r in sdf.collect()]
+            row["spark_rows"] = len(s_rows)
+            if name not in ORACLE:
+                row["err"] = "no_oracle"
+            else:
+                rel = con.sql(ORACLE[name])
+                d_rows = rel.fetchall()
+                row["oracle_rows"] = len(d_rows)
+                row["rows_match"] = len(s_rows) == len(d_rows)
+                row["schema_match"] = sorted(sdf.columns) == sorted(rel.columns)
+                row["hash_match"] = _canon(s_rows, sdf.columns) == _canon(
+                    d_rows, list(rel.columns)
+                )
+                if not all(
+                    (row["rows_match"], row["schema_match"], row["hash_match"])
+                ):
+                    n_fail += 1
+        except Exception as ex:  # record, keep going
+            row["err"] = f"{type(ex).__name__}: {ex}"[:500]
+            n_fail += 1
+        results[name] = row
+        status = row["err"] or ("ok" if row["hash_match"] else "rows-only")
+        print(f"{name}: {status}", file=sys.stderr)
+
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), args.out), "w") as fh:
+        json.dump(results, fh, indent=2)
+    print(f"{len(results)} queries, {n_fail} failures -> {args.out}")
+    spark.stop()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
