@@ -1,0 +1,49 @@
+"""Build-once/reuse artifact store for derived index tables.
+
+At 100 TB, shingle postings (the inverted index), MinHash signatures, IVF
+bucket assignments, and PQ codes are BUILD outputs written next to the
+corpus and reused by every query — recomputing them per query re-scans
+the corpus each time. Locally they land under a scratch root keyed by
+(source dir, build params).
+
+Static-table contract (same as sources/loaders.load_table): the corpus a
+key was built from is assumed immutable; a rewritten corpus needs its
+artifact subtree deleted (or a new key).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_INDEX_ROOT_ENV = "SPARK_GRAFT_INDEX_DIR"
+_INDEX_ROOT_DEFAULT = "/tmp/spark_graft_indexes"
+
+
+def artifact_dir(sf_dir: str, kind: str) -> str:
+    root = os.environ.get(_INDEX_ROOT_ENV, _INDEX_ROOT_DEFAULT)
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(root, key, kind)
+
+
+def ensure_table(
+    spark: SparkSession,
+    sf_dir: str,
+    kind: str,
+    build: Callable[[], DataFrame],
+    partition_by: str | None = None,
+) -> DataFrame:
+    """Return the persisted artifact table, building it on first use.
+
+    The parquet _SUCCESS marker is the build-complete signal (a killed
+    build leaves no marker and is simply rebuilt)."""
+    path = artifact_dir(sf_dir, kind)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        w = build().write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(partition_by)
+        w.parquet(path)
+    return spark.read.parquet(path)

@@ -33,7 +33,6 @@ cannot import.
 
 from __future__ import annotations
 
-import hashlib
 import itertools
 import math
 import os
@@ -43,22 +42,9 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .artifacts import artifact_dir as _artifact_dir
+
 _HYPERPLANE_SEED = 0x51AB5  # fixed: buckets must be stable across jobs/runs
-
-# Root for persisted ANN index artifacts (IVF bucket assignments, PQ
-# codebooks + codes). At 100 TB these are BUILD outputs written next to the
-# corpus (a partitioned parquet table + a tiny codebook artifact) and reused
-# by every query; locally they land under a scratch dir keyed by
-# (source dir, build params). Tables are assumed static per key — the same
-# contract sources/loaders.py documents for its plan memoization.
-_INDEX_ROOT_ENV = "SPARK_GRAFT_INDEX_DIR"
-_INDEX_ROOT_DEFAULT = "/tmp/spark_graft_indexes"
-
-
-def _artifact_dir(sf_dir: str, kind: str) -> str:
-    root = os.environ.get(_INDEX_ROOT_ENV, _INDEX_ROOT_DEFAULT)
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    return os.path.join(root, key, kind)
 
 
 def _sign_matrix(planes: int, dim: int, draw: int = 0) -> np.ndarray:

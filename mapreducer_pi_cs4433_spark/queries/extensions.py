@@ -428,13 +428,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     j~0.8: ~1e-14), so the output still equals the exact full join — the
     DuckDB oracle IS that full join, checked every round; equality with the
     direct operator is additionally pinned in tests at sf0.001/sf0.01.
+
+    Signatures and postings come from the persisted corpus artifacts
+    (dedup.ensure_minhash_signatures / ensure_postings): built once per
+    corpus, shared by every LSH consumer in the suite.
     """
+    docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"),
+        docs,
         k=_SHINGLE_K,
         num_perm=64,
         bands=32,
         threshold=_JACCARD_T,
+        sigs=dedup.ensure_minhash_signatures(spark, docs, sf_dir, k=_SHINGLE_K),
+        posting=dedup.ensure_postings(spark, docs, sf_dir, k=_SHINGLE_K),
     )
 
 
@@ -443,13 +450,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidates, exact-verified. Output equals the exact
     Jaccard pairs as long as banding recall is total on this corpus
     (64 perms / 16 bands: miss probability ~2e-4 per 0.8-pair; asserted
-    against the exact result in tests at the driver's scale factors)."""
+    against the exact result in tests at the driver's scale factors).
+    Reads the persisted signature/posting artifacts."""
+    docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"),
+        docs,
         k=_SHINGLE_K,
         num_perm=64,
         bands=16,
         threshold=_JACCARD_T,
+        sigs=dedup.ensure_minhash_signatures(spark, docs, sf_dir, k=_SHINGLE_K),
+        posting=dedup.ensure_postings(spark, docs, sf_dir, k=_SHINGLE_K),
     )
 
 
@@ -491,12 +502,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair at a new scale factor reshapes whole clusters, so the per-pair
     miss bound must be the tightest available (~1e-4 even at the j=0.5
     boundary vs ~35% for r=4 boundary pairs)."""
+    docs = _t(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"),
+        docs,
         k=_SHINGLE_K,
         num_perm=64,
         bands=32,
         threshold=_JACCARD_T,
+        sigs=dedup.ensure_minhash_signatures(spark, docs, sf_dir, k=_SHINGLE_K),
+        posting=dedup.ensure_postings(spark, docs, sf_dir, k=_SHINGLE_K),
     )
     comp = dedup.connected_components(pairs)
     sizes = comp.groupBy("comp").agg(F.count("*").alias("cluster_size"))
@@ -630,6 +644,12 @@ def decontaminate_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _t(spark, sf_dir, "documents")
     is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) >= "c"
+    # both sides are hash-gated slices of the same corpus, so they slice
+    # the persisted signature/posting artifacts directly (the gate is a
+    # function of the id column the artifacts carry)
+    sigs = dedup.ensure_minhash_signatures(spark, docs, sf_dir, k=_SHINGLE_K)
+    posting = dedup.ensure_postings(spark, docs, sf_dir, k=_SHINGLE_K)
+    art_bench = F.substring(F.md5(F.col("id").cast("string")), 1, 1) >= "c"
     return dedup.cross_containment_pairs(
         docs.filter(~is_bench),
         docs.filter(is_bench),
@@ -637,6 +657,10 @@ def decontaminate_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.5,
         num_perm=64,
         bands=32,
+        sigs_left=sigs.filter(~art_bench),
+        sigs_right=sigs.filter(art_bench),
+        posting_left=posting.filter(~art_bench),
+        posting_right=posting.filter(art_bench),
     ).select(
         F.col("id_l").alias("doc_id"),
         F.col("id_r").alias("bench_doc_id"),
@@ -1287,12 +1311,25 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint materializes it once and truncates lineage. At 100 TB
     # this intermediate is a persisted table between pipeline stages.
     fe = fe.localCheckpoint()
+    # Signatures/postings are per-doc content-determined values, so the
+    # survivors' slice of the persisted corpus artifacts equals
+    # recomputation on fe — the near-dup stage re-shingles nothing.
+    fe_ids = fe.select(F.col("doc_id").alias("id"))
+    docs_for_idx = _t(spark, sf_dir, "documents")
+    sigs = dedup.ensure_minhash_signatures(
+        spark, docs_for_idx, sf_dir, k=_SHINGLE_K
+    ).join(fe_ids, "id", "left_semi")
+    posting = dedup.ensure_postings(spark, docs_for_idx, sf_dir, k=_SHINGLE_K).join(
+        fe_ids, "id", "left_semi"
+    )
     pairs = dedup.minhash_lsh_pairs(
         fe.select("doc_id", "text"),
         k=_SHINGLE_K,
         num_perm=64,
         bands=32,
         threshold=_JACCARD_T,
+        sigs=sigs,
+        posting=posting,
     )
     dup_b = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     return fe.join(dup_b, "doc_id", "left_anti").select("doc_id", "n_tokens")
