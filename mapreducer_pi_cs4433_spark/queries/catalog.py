@@ -480,6 +480,11 @@ _DRIVER_PRIORITY = [
     "events_hourly_rollup",
     "export_shard_manifest",
     "split_stratified_counts",
+    # New in r3 (oracle-backed; outside the driver window — evidence via
+    # tools/full_oracle_check.py and the sf0.001/sf0.01 test passes)
+    "pack_sequences",
+    "events_user_retention",
+    "neardup_rate_by_source",
     # Rows-only, stable
     "dedup_approx_distinct",
     "dedup_embedding_neardup",

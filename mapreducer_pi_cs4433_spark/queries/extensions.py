@@ -1336,6 +1336,176 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-shard assembly + cohort analytics + dedup composition (round 3)
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 512  # tokens per training pack
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+        SELECT source, doc_id,
+               len(list_filter(regexp_split_to_array(text, '\\s+'),
+                               x -> x <> ''))::BIGINT AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT source, doc_id, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum
+        FROM t
+    )
+    SELECT source,
+           CAST((cum - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM c GROUP BY 1, 2
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed token-budget training
+    packs — the shard-assembly step between a cleaned corpus and a
+    training run. Deterministic streaming rule (no bin-packing search): in
+    doc_id order within a source, a document joins pack
+    floor(tokens_before_it / budget), so packs fill to >= budget with at
+    most one straddling document — the cumsum formulation every engine's
+    window operator can execute.
+
+    Scale shape: ONE window partitioned by source (at corpus scale the
+    pack partition key is the ingest shard, giving thousands-way window
+    parallelism — never a global unpartitioned order), then one grouped
+    aggregation on (source, pack_id). Token counts are the codegen scalar
+    regexp_count — the window input is (source, doc_id, n_tokens), never
+    text."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", "doc_id", text.token_count("text").cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    return (
+        c.select(
+            "source",
+            "doc_id",
+            "n_tokens",
+            F.expr(f"(cum - n_tokens) div {_PACK_BUDGET}").alias("pack_id"),
+        )
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+@query(
+    "events_user_retention",
+    oracle="""
+    WITH f AS (
+        SELECT user_id,
+               strftime(date_trunc('week', MIN(ts)), '%Y-%m-%d') AS cohort_week
+        FROM events GROUP BY 1
+    ), a AS (
+        SELECT DISTINCT user_id,
+               strftime(date_trunc('week', ts), '%Y-%m-%d') AS active_week
+        FROM events
+    )
+    SELECT cohort_week, active_week, COUNT(*) AS n_users
+    FROM f JOIN a USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def events_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen week x the
+    weeks they were active — the standard product-analytics triangle.
+    Weekly cohorts (both engines truncate weeks to Monday, emitted as the
+    Monday's date string — a locale-proof key, unlike %W/%U week numbers
+    whose year-boundary conventions differ across engines). Two shuffles
+    on user_id (first-seen aggregate; distinct activity weeks) meet in an
+    equi-join already co-partitioned on the join key, then a weeks^2-sized
+    aggregate. The matrix never touches raw events after the two per-user
+    reductions."""
+    events = _t(spark, sf_dir, "events")
+    week = lambda c: F.date_format(F.date_trunc("week", c), "yyyy-MM-dd")  # noqa: E731
+    first = events.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts")
+    ).select("user_id", week(F.col("first_ts")).alias("cohort_week"))
+    active = events.select(
+        "user_id", week(F.col("ts")).alias("active_week")
+    ).distinct()
+    return (
+        first.join(active, "user_id")
+        .groupBy("cohort_week", "active_week")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@query(
+    "neardup_rate_by_source",
+    oracle=f"""
+    WITH pairs AS (
+        {_NGRAM_JACCARD_ORACLE}
+    ), m AS (
+        SELECT id_a AS doc_id FROM pairs
+        UNION
+        SELECT id_b FROM pairs
+    )
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           COUNT(m.doc_id) AS n_near_dup,
+           COUNT(m.doc_id) / COUNT(*) AS near_dup_rate
+    FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+    GROUP BY 1
+    """,
+)
+def neardup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health composition: per-source near-duplicate contamination
+    rate — the number every curation dashboard needs before deciding which
+    crawl/source to down-weight. Reuses the artifact-backed LSH pair
+    operator (same exact-verified pair set as dedup_ngram_jaccard), folds
+    membership (union of both pair sides), left-joins the doc dimension,
+    and emits exact int/int rates. The oracle recomputes the full exact
+    pair join in SQL, so the whole composition is hash-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs,
+        k=_SHINGLE_K,
+        num_perm=64,
+        bands=32,
+        threshold=_JACCARD_T,
+        sigs=dedup.ensure_minhash_signatures(spark, docs, sf_dir, k=_SHINGLE_K),
+        posting=dedup.ensure_postings(spark, docs, sf_dir, k=_SHINGLE_K),
+    )
+    members = (
+        pairs.select(F.col("id_a").alias("m_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("m_id")))
+        .distinct()
+    )
+    return (
+        docs.select("source", "doc_id")
+        .join(members, docs["doc_id"] == members["m_id"], "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("m_id").alias("n_near_dup"),
+            (F.count("m_id") / F.count("*")).alias("near_dup_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Time-series rollup over the events stream table
 # ---------------------------------------------------------------------------
 

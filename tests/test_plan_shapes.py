@@ -236,3 +236,33 @@ def test_monthly_growth_window_runs_over_aggregated_rows(spark):
     # aggregated months, not the fact rows
     assert plan.index("Window") < plan.index("HashAggregate")
     assert plan.count("+- Window") == 1
+
+
+def test_pack_sequences_window_is_partitioned(spark):
+    """The packing window must partition by source — a global unpartitioned
+    window forces every row through ONE partition, the classic scale
+    killer. The plan must show the window exchange hash-partitioning on
+    source, never a SinglePartition exchange, and the window input must be
+    the slim (source, doc_id, n_tokens) projection, not text."""
+    df = QUERIES["pack_sequences"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(source" in plan
+    # text never reaches the window: only the scan projects it
+    schemas = scan_read_schemas(df)
+    assert any("text" in s for s in schemas)  # token_count reads it at scan
+    window_section = plan[plan.index("Window"):]
+    assert "text#" not in window_section.split("Project")[0]
+
+
+def test_retention_joins_after_per_user_reduction(spark):
+    """The cohort join must run over per-user reductions (first-seen agg
+    and distinct (user, week)) — never raw events on either side; both
+    sides shuffle on user_id so the join itself adds no third exchange of
+    event-sized data."""
+    df = QUERIES["events_user_retention"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    # aggregation appears below the join on both inputs
+    assert plan.count("HashAggregate") >= 4  # partial+final per side min

@@ -502,3 +502,32 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark):
         assert "dynamicpruning" in plan.lower()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_artifact_tables_build_once(spark, tmp_path, monkeypatch):
+    """ensure_table builds on first call (no _SUCCESS) and afterwards only
+    reads — a rebuild would re-scan the corpus per query, the exact
+    lifecycle bug the artifact layer exists to prevent."""
+    import os
+
+    from mapreducer_pi_cs4433_spark.functions.artifacts import (
+        artifact_dir,
+        ensure_table,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(5).withColumnRenamed("id", "x")
+
+    for _ in range(3):
+        out = ensure_table(spark, "/some/corpus", "probe_k1", build)
+        assert out.count() == 5
+    assert calls["n"] == 1
+    path = artifact_dir("/some/corpus", "probe_k1")
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    # distinct params -> distinct artifact
+    ensure_table(spark, "/some/corpus", "probe_k2", build)
+    assert calls["n"] == 2
