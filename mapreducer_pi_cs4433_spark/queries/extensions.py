@@ -1072,7 +1072,13 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
         edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
-    deg = sym.groupBy("src").agg(F.count("*").alias("d"))
+    # materialize the graph structure once: the unrolled plan references
+    # sym in every iteration and deg twice per iteration, and ReuseExchange
+    # does not cover the distinct+union subtree across all of them — each
+    # iteration was re-scanning lineitem. At cluster scale these are the
+    # persisted edge/degree tables every iterative graph job starts from.
+    sym = sym.localCheckpoint()
+    deg = sym.groupBy("src").agg(F.count("*").alias("d")).localCheckpoint()
     r = deg.select(
         F.col("src").alias("node"), F.lit(_PR_SCALE).cast("long").alias("r")
     )
@@ -1371,9 +1377,11 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     packs — the shard-assembly step between a cleaned corpus and a
     training run. Deterministic streaming rule (no bin-packing search): in
     doc_id order within a source, a document joins pack
-    floor(tokens_before_it / budget), so packs fill to >= budget with at
-    most one straddling document — the cumsum formulation every engine's
-    window operator can execute.
+    floor(tokens_before_it / budget) — the cumsum formulation every
+    engine's window operator can execute (sources.sinks.pack_assignments;
+    exact semantics incl. the oversized-document overshoot case are
+    property-tested). On this corpus every document is far below the
+    512-token budget, so packs fill to >= budget with one straddler.
 
     Scale shape: ONE window partitioned by source (at corpus scale the
     pack partition key is the ingest shard, giving thousands-way window
@@ -1381,25 +1389,14 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation on (source, pack_id). Token counts are the codegen scalar
     regexp_count — the window input is (source, doc_id, n_tokens), never
     text."""
-    from pyspark.sql import Window
+    from ..sources.sinks import pack_assignments
 
     docs = _t(spark, sf_dir, "documents")
     t = docs.select(
         "source", "doc_id", text.token_count("text").cast("long").alias("n_tokens")
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    c = t.withColumn("cum", F.sum("n_tokens").over(w))
     return (
-        c.select(
-            "source",
-            "doc_id",
-            "n_tokens",
-            F.expr(f"(cum - n_tokens) div {_PACK_BUDGET}").alias("pack_id"),
-        )
+        pack_assignments(t, "n_tokens", "source", "doc_id", _PACK_BUDGET)
         .groupBy("source", "pack_id")
         .agg(
             F.count("*").alias("n_docs"),

@@ -154,6 +154,40 @@ def shard_column(id_col: str, n_shards: int = 16) -> "F.Column":
     return ((c0 * 16 + c1) % n_shards).cast("int")
 
 
+def pack_assignments(
+    df: DataFrame,
+    tokens_col: str,
+    partition_col: str,
+    order_col: str,
+    budget: int,
+) -> DataFrame:
+    """Assign each row a training-pack id: floor(tokens_before / budget)
+    within `partition_col`, rows taken in `order_col` order.
+
+    The deterministic streaming form of sequence packing: no bin-packing
+    search, one partitioned window cumsum — so it distributes
+    (parallelism = number of partitions; at corpus scale the partition key
+    is the ingest shard) and reproduces bit-identically in any engine with
+    window SUM. A pack normally fills to >= budget with one straddling
+    row; a single row larger than the budget overshoots boundaries, which
+    legally skips pack ids and can close the following pack early (the
+    property test pins the exact sequential-replay semantics). Adds
+    `pack_id` (bigint); input column set is preserved."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(tokens_col)).over(w)
+    return (
+        df.withColumn("_tokens_before", cum - F.col(tokens_col))
+        .withColumn("pack_id", F.expr(f"_tokens_before div {int(budget)}"))
+        .drop("_tokens_before")
+    )
+
+
 def export_shards(
     df: DataFrame,
     path: str,

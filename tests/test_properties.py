@@ -235,3 +235,64 @@ def test_prop_star_contraction_matches_union_find(spark, edges):
     # star contraction drops isolated self-loop-only nodes (no real edges);
     # union-find reference restricted to real edges accordingly
     assert got == want
+
+
+# --- sequence packing invariants over random corpora -------------------------
+_pack_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50),        # doc_id (unique)
+        st.sampled_from(["s0", "s1", "s2"]),           # source
+        st.integers(min_value=0, max_value=40),        # n_tokens
+    ),
+    max_size=30,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(deadline=None, max_examples=25, suppress_health_check=list(HealthCheck))
+@given(rows=_pack_rows, budget=st.integers(min_value=1, max_value=64))
+def test_pack_assignments_invariants(spark, rows, budget):
+    """For ANY corpus and budget the distributed window formulation must
+    equal the sequential replay pack_id = tokens_before // budget exactly
+    (ids start at 0 and never decrease; totals conserved). Deliberately
+    NOT asserted: pack-id density or closed-packs>=budget — a document
+    larger than the budget overshoots boundaries, legally skipping pack
+    ids and closing the next pack early (hypothesis found both)."""
+    from mapreducer_pi_cs4433_spark.sources.sinks import pack_assignments
+
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = pack_assignments(df, "n_tokens", "source", "doc_id", budget).collect()
+    by_src: dict[str, list] = {}
+    for r in sorted(out, key=lambda r: (r.source, r.doc_id)):
+        by_src.setdefault(r.source, []).append(r)
+    assert sum(r.n_tokens for r in out) == sum(t[2] for t in rows)
+    for src, rs in by_src.items():
+        assert rs[0].pack_id == 0
+        ids = [r.pack_id for r in rs]
+        assert all(b >= a for a, b in zip(ids, ids[1:]))
+        before = 0
+        for r in rs:
+            assert r.pack_id == before // budget, (src, r, before)
+            before += r.n_tokens
+
+
+@settings(deadline=None, max_examples=20, suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(st.text(max_size=24), min_size=1, max_size=12, unique=True))
+def test_md5_hash64_matches_hashlib(spark, texts):
+    """The engine-neutral 64-bit hash must equal the reference computation
+    (first 16 md5 hex chars as a signed big-endian int64) for arbitrary
+    unicode strings — the contract the DuckDB SimHash oracle rests on."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from mapreducer_pi_cs4433_spark.functions.dedup import md5_hash64
+
+    df = spark.createDataFrame([(t,) for t in texts], "s string")
+    got = {r.s: r.h for r in df.select("s", md5_hash64("s").alias("h")).collect()}
+    for t in texts:
+        u = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:16], 16)
+        want = u - (1 << 64) if u >= 1 << 63 else u
+        assert got[t] == want, t
