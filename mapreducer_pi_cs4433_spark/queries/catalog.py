@@ -485,6 +485,8 @@ _DRIVER_PRIORITY = [
     "pack_sequences",
     "events_user_retention",
     "neardup_rate_by_source",
+    "dedup_keeper_selection",
+    "text_quality_by_source",
     # Rows-only, stable
     "dedup_approx_distinct",
     "dedup_embedding_neardup",

@@ -521,6 +521,111 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KEEPER_ORACLE = f"""
+    WITH comp_full AS (
+        {_CLUSTER_ORACLE}
+    ), tok AS (
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(text, '\\s+'),
+                               x -> x <> ''))::BIGINT AS n_tokens
+        FROM documents
+    ), agg AS (
+        SELECT c.cluster_id,
+               min(struct_pack(a := -t.n_tokens, b := c.doc_id)) AS best,
+               COUNT(*) AS cluster_size
+        FROM comp_full c JOIN tok t ON c.doc_id = t.doc_id
+        GROUP BY c.cluster_id
+    )
+    SELECT cluster_id,
+           best.b AS keep_doc_id,
+           CAST(-best.a AS BIGINT) AS keep_tokens,
+           cluster_size,
+           cluster_size - 1 AS n_dropped
+    FROM agg
+    """
+
+
+@query("dedup_keeper_selection", oracle=_KEEPER_ORACLE)
+def dedup_keeper_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation decision near-dup clustering exists to feed: ONE keeper
+    per cluster — the member with the most tokens (ties to the lowest
+    doc_id), everything else dropped. Argmax as a min(struct(-tokens, id))
+    aggregate (no window, no sort), over the same exact-verified
+    cluster assignment as dedup_clusters; token counts are the codegen
+    scalar. Emits (cluster_id, keep_doc_id, keep_tokens, cluster_size,
+    n_dropped); the oracle recomputes the full recursive-CTE clustering
+    plus the identical argmax in SQL, so the entire keep/drop decision is
+    hash-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs,
+        k=_SHINGLE_K,
+        num_perm=64,
+        bands=32,
+        threshold=_JACCARD_T,
+        sigs=dedup.ensure_minhash_signatures(spark, docs, sf_dir, k=_SHINGLE_K),
+        posting=dedup.ensure_postings(spark, docs, sf_dir, k=_SHINGLE_K),
+    )
+    comp = dedup.connected_components(pairs)
+    tok = docs.select(
+        F.col("doc_id").alias("id"),
+        text.token_count("text").cast("long").alias("n_tokens"),
+    )
+    return (
+        comp.join(tok, "id")
+        .groupBy(F.col("comp").alias("cluster_id"))
+        .agg(
+            F.min(F.struct((-F.col("n_tokens")).alias("a"), F.col("id").alias("b")))
+            .alias("best"),
+            F.count("*").alias("cluster_size"),
+        )
+        .select(
+            "cluster_id",
+            F.col("best.b").alias("keep_doc_id"),
+            (-F.col("best.a")).cast("long").alias("keep_tokens"),
+            "cluster_size",
+            (F.col("cluster_size") - 1).alias("n_dropped"),
+        )
+    )
+
+
+@query(
+    "text_quality_by_source",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS total_tokens,
+           SUM(CASE WHEN tok < 25 THEN 1 ELSE 0 END) AS n_short,
+           CAST(SUM(tok) AS BIGINT) / COUNT(*) AS mean_tokens
+    FROM (
+        SELECT source,
+               len(list_filter(regexp_split_to_array(text, '\\s+'),
+                               x -> x <> ''))::BIGINT AS tok
+        FROM documents
+    )
+    GROUP BY source
+    """,
+)
+def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level corpus health rollup: doc count, token budget,
+    short-doc count, mean length — the numbers that decide per-source
+    sampling weights before a training run. One narrow scan (token counts
+    are the codegen scalar regexp_count) into one small grouped aggregate;
+    mean is an exact int/int double division."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = text.token_count("text").cast("long")
+    return (
+        docs.select("source", tok.alias("tok"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tok").alias("total_tokens"),
+            F.sum(F.when(F.col("tok") < 25, 1).otherwise(0)).alias("n_short"),
+            (F.sum("tok") / F.count("*")).alias("mean_tokens"),
+        )
+    )
+
+
 _SIMHASH_VOTES = ", ".join(f"SUM((h >> {b}) & 1) AS v{b}" for b in range(64))
 _SIMHASH_ASSEMBLE = " + ".join(
     f"(CASE WHEN v{b} * 2 > n THEN (1::HUGEINT << {b}) ELSE 0::HUGEINT END)"
