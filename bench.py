@@ -156,31 +156,38 @@ def main() -> None:
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            dt = round(time.perf_counter() - t0, 4)
+            dt = round(time.perf_counter() - t0, 2)
             ptotal += dt
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
-        pass_totals.append(round(ptotal, 4))
+        pass_totals.append(round(ptotal, 2))
 
     extra = _bucketed_join_extra(spark, sf_dir)
     extra["pass1_total_sec"] = pass_totals[0]
     extra["pass2_total_sec"] = pass_totals[1]
 
-    total = round(sum(timings.values()), 4)
+    total = round(sum(timings.values()), 2)
+    # One compact line; per-query timings FIRST and summary keys LAST —
+    # the round driver records only the tail of captured stdout, and in r2
+    # that window clipped the line's beginning, losing entries. Key order
+    # is irrelevant to JSON parsers but decides what a truncated fragment
+    # still shows: with this order a clipped line loses early per-query
+    # entries, never the totals/regressions.
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
                 "queries": timings,
-                "sf": _sf_from_dir(sf_dir),
                 "extra": extra,
                 "regressions": _regressions(
                     _prev_round_timings(os.path.dirname(os.path.abspath(__file__))),
                     timings,
                 ),
-            }
+                "metric": "headline_queries_total_wall",
+                "unit": "sec",
+                "sf": _sf_from_dir(sf_dir),
+                "value": total,
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

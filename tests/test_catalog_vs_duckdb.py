@@ -43,6 +43,7 @@ _MUST_EMIT_ROWS = [
     "olap_small_quantity_revenue",
     "decontaminate_training_set",
     "dedup_clusters",
+    "dedup_keeper_selection",
     "dedup_embedding_neardup",
 ]
 
