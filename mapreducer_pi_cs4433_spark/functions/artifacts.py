@@ -6,9 +6,12 @@ corpus and reused by every query — recomputing them per query re-scans
 the corpus each time. Locally they land under a scratch root keyed by
 (source dir, build params).
 
-Static-table contract (same as sources/loaders.load_table): the corpus a
-key was built from is assumed immutable; a rewritten corpus needs its
-artifact subtree deleted (or a new key).
+Staleness safety: the key hashes the corpus directory's file listing —
+(name, mtime_ns, size) of every data file — so a corpus rewritten in
+place gets a NEW key and artifacts rebuild instead of silently serving
+derived values of deleted data (the failure mode load_table's
+static-table memoization merely documents; here it is engineered away,
+at the cost of one directory stat per lookup).
 """
 
 from __future__ import annotations
@@ -23,9 +26,24 @@ _INDEX_ROOT_ENV = "SPARK_GRAFT_INDEX_DIR"
 _INDEX_ROOT_DEFAULT = "/tmp/spark_graft_indexes"
 
 
+def _source_signature(sf_dir: str) -> str:
+    sig = [os.path.abspath(sf_dir)]
+    try:
+        with os.scandir(sf_dir) as it:
+            for e in sorted(it, key=lambda e: e.name):
+                try:
+                    st = e.stat()
+                    sig.append(f"{e.name}:{st.st_mtime_ns}:{st.st_size}")
+                except OSError:
+                    continue
+    except OSError:
+        pass  # non-local or missing dir: fall back to the path-only key
+    return "\n".join(sig)
+
+
 def artifact_dir(sf_dir: str, kind: str) -> str:
     root = os.environ.get(_INDEX_ROOT_ENV, _INDEX_ROOT_DEFAULT)
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    key = hashlib.md5(_source_signature(sf_dir).encode()).hexdigest()[:12]
     return os.path.join(root, key, kind)
 
 

@@ -531,3 +531,25 @@ def test_artifact_tables_build_once(spark, tmp_path, monkeypatch):
     # distinct params -> distinct artifact
     ensure_table(spark, "/some/corpus", "probe_k2", build)
     assert calls["n"] == 2
+
+
+def test_artifact_key_changes_when_source_rewritten(spark, tmp_path, monkeypatch):
+    """A corpus rewritten in place must map to a NEW artifact key (rebuild),
+    never serve derived values of the old data."""
+    import os
+    import time
+
+    from mapreducer_pi_cs4433_spark.functions.artifacts import artifact_dir
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    f = corpus / "documents.parquet"
+    f.write_bytes(b"v1-bytes")
+    k1 = artifact_dir(str(corpus), "minhash_k12_p64")
+    # rewrite with different content/size -> different key
+    f.write_bytes(b"v2-bytes-longer")
+    k2 = artifact_dir(str(corpus), "minhash_k12_p64")
+    assert k1 != k2
+    # identical listing -> stable key
+    assert artifact_dir(str(corpus), "minhash_k12_p64") == k2
