@@ -553,3 +553,75 @@ def test_artifact_key_changes_when_source_rewritten(spark, tmp_path, monkeypatch
     assert k1 != k2
     # identical listing -> stable key
     assert artifact_dir(str(corpus), "minhash_k12_p64") == k2
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's Python driver worker requires protobuf, "
+    "not shipped in this container (operator is environment-gated like "
+    "the multimodal codecs; see sessionize_tws docstring)",
+)
+def test_sessionize_tws_matches_builtin(spark):
+    """The transformWithStateInPandas variant (Spark 4 StatefulProcessor
+    API) must emit exactly the built-in session_window sessions on a
+    bounded replay, like its GroupState twin. RocksDB provider required —
+    transformWithState does not run on the on-heap store."""
+    from mapreducer_pi_cs4433_spark.session import enable_rocksdb_state
+
+    events = load_table(spark, SF_SMOKE, "events")
+    src = tempfile.mkdtemp(prefix="tws_src_")
+    ckpt = tempfile.mkdtemp(prefix="tws_ck_")
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    enable_rocksdb_state(spark)
+    try:
+        events.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        out = sessions.sessionize_tws(
+            stream, gap_seconds=1800, flush_timeout_seconds=2
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tws_test")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        import time as _t
+
+        deadline = _t.time() + 120
+        while _t.time() < deadline:
+            p = q.lastProgress
+            if p and p["batchId"] >= 1:
+                ops = p.get("stateOperators") or []
+                if ops and ops[0].get("numRowsTotal") == 0:
+                    break
+            _t.sleep(1)
+        q.stop()
+        q.awaitTermination(30)
+        got = {
+            (r.user_id, r.session_start, r.n_events)
+            for r in spark.sql("select * from tws_test").collect()
+        }
+        want = {
+            (r.user_id, r.session_start, r.n_events)
+            for r in sessions.sessionize(events, gap="30 minutes").collect()
+        }
+        assert got == want
+        assert got
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
