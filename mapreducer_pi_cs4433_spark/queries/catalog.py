@@ -487,6 +487,7 @@ _DRIVER_PRIORITY = [
     "neardup_rate_by_source",
     "dedup_keeper_selection",
     "text_quality_by_source",
+    "events_funnel",
     # Rows-only, stable
     "dedup_approx_distinct",
     "dedup_embedding_neardup",

@@ -1555,6 +1555,64 @@ def events_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_funnel",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view'
+                   THEN epoch(date_trunc('second', ts)) END) AS view_s,
+               MIN(CASE WHEN event_type = 'click'
+                   THEN epoch(date_trunc('second', ts)) END) AS click_s,
+               MIN(CASE WHEN event_type = 'purchase'
+                   THEN epoch(date_trunc('second', ts)) END) AS purchase_s
+        FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+        GROUP BY user_id
+    )
+    SELECT COUNT(view_s) AS n_view,
+           SUM(CASE WHEN click_s > view_s THEN 1 ELSE 0 END) AS n_click_after_view,
+           SUM(CASE WHEN click_s > view_s AND purchase_s > click_s
+               THEN 1 ELSE 0 END) AS n_purchase_after_click,
+           SUM(CASE WHEN click_s > view_s AND purchase_s > click_s
+               THEN 1 ELSE 0 END) / COUNT(view_s) AS full_funnel_rate
+    FROM s
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: users whose
+    FIRST occurrence of each stage strictly follows the previous stage's
+    first occurrence. One grouped conditional-MIN pass per user (a single
+    shuffle on user_id; the funnel compare runs on the user-sized
+    aggregate, never raw events) into a 1-row summary. Stage times are
+    second-truncated integers in both engines (the repo's epoch-arithmetic
+    parity rule), with strict inequality so the comparison is
+    tie-deterministic; the rate is an exact int/int division."""
+    events = _t(spark, sf_dir, "events")
+    stage = lambda t: F.min(  # noqa: E731
+        F.when(F.col("event_type") == t, F.col("ts").cast("long"))
+    )
+    s = (
+        events.filter(F.col("event_type").isin("view", "click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            stage("view").alias("view_s"),
+            stage("click").alias("click_s"),
+            stage("purchase").alias("purchase_s"),
+        )
+    )
+    click_ok = F.col("click_s") > F.col("view_s")
+    purch_ok = click_ok & (F.col("purchase_s") > F.col("click_s"))
+    return s.agg(
+        F.count("view_s").alias("n_view"),
+        F.sum(F.when(click_ok, 1).otherwise(0)).alias("n_click_after_view"),
+        F.sum(F.when(purch_ok, 1).otherwise(0)).alias("n_purchase_after_click"),
+        (
+            F.sum(F.when(purch_ok, 1).otherwise(0)) / F.count("view_s")
+        ).alias("full_funnel_rate"),
+    )
+
+
+@query(
     "neardup_rate_by_source",
     oracle=f"""
     WITH pairs AS (
