@@ -107,3 +107,108 @@ def merge_into_digest_table(
         ).write.mode("append").parquet(digest_table_path)
     )
     return admitted
+
+
+def admit_new_documents(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    store_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 12,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 32,
+) -> DataFrame:
+    """Full incremental corpus admission — the production refresh loop that
+    merge_into_digest_table is the first stage of:
+
+      1. EXACT history dedup: digest-table anti-join (idempotent, 48 B/doc
+         state — merge_into_digest_table).
+      2. NEAR-DUP screen vs the EXISTING corpus: banded-LSH candidates +
+         exact n-gram containment (reject new docs whose shingles are
+         >= threshold contained in any historical doc). The historical
+         side is served ENTIRELY from the store's persisted signature and
+         posting tables — admission never re-shingles the corpus, so the
+         per-batch cost is O(batch) + candidate joins, independent of
+         corpus size.
+      3. WITHIN-BATCH near-dup: the same exact-verified LSH pair operator
+         over the batch; the higher id of each pair is dropped.
+      4. Survivors append to the corpus table, and their signature/posting
+         rows APPEND to the index artifacts — the indexes grow
+         incrementally with the corpus they describe.
+
+    Store layout under `store_dir`: digests/ corpus/ sigs/ postings/
+    (plain parquet; one writer at a time — the merge_into_digest_table
+    concurrency caveat applies to every table here).
+
+    Returns the admitted documents (original columns + digest).
+    """
+    from ..functions.dedup import (
+        _hashed_postings,
+        cross_containment_pairs,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    digests = f"{store_dir}/digests"
+    corpus = f"{store_dir}/corpus"
+    sigs_path = f"{store_dir}/sigs"
+    postings_path = f"{store_dir}/postings"
+
+    exact_ok = merge_into_digest_table(
+        spark, new_docs, digests, text_col, id_col
+    ).localCheckpoint()
+    sigs_new = minhash_signatures(
+        exact_ok, text_col, id_col, k, num_perm
+    ).localCheckpoint()
+    postings_new = _hashed_postings(exact_ok, text_col, id_col, k).localCheckpoint()
+
+    try:
+        sigs_old = spark.read.parquet(sigs_path)
+        postings_old = spark.read.parquet(postings_path)
+        have_history = True
+    except AnalysisException:
+        have_history = False
+
+    rejected = None
+    if have_history:
+        vs_history = cross_containment_pairs(
+            exact_ok,
+            exact_ok,  # placeholders: all four index inputs are supplied
+            text_col,
+            id_col,
+            k=k,
+            threshold=threshold,
+            num_perm=num_perm,
+            bands=bands,
+            sigs_left=sigs_new,
+            sigs_right=sigs_old,
+            posting_left=postings_new,
+            posting_right=postings_old,
+        )
+        rejected = vs_history.select(F.col("id_l").alias("_rid")).distinct()
+    in_batch = minhash_lsh_pairs(
+        exact_ok,
+        text_col,
+        id_col,
+        k=k,
+        num_perm=num_perm,
+        bands=bands,
+        threshold=threshold,
+        sigs=sigs_new,
+        posting=postings_new,
+    ).select(F.col("id_b").alias("_rid")).distinct()
+    rejected = in_batch if rejected is None else rejected.unionByName(in_batch).distinct()
+
+    admitted = exact_ok.join(
+        rejected, exact_ok[id_col] == rejected["_rid"], "left_anti"
+    ).localCheckpoint()
+    keep_ids = admitted.select(F.col(id_col).alias("id"))
+
+    admitted.write.mode("append").parquet(corpus)
+    sigs_new.join(keep_ids, "id", "left_semi").write.mode("append").parquet(sigs_path)
+    postings_new.join(keep_ids, "id", "left_semi").write.mode("append").parquet(
+        postings_path
+    )
+    return admitted

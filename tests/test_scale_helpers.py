@@ -625,3 +625,25 @@ def test_sessionize_tws_matches_builtin(spark):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_orc_roundtrip_schema_and_pushdown(spark):
+    """ORC round-trip must preserve schema + values exactly, and filters
+    must reach the ORC scan (searchArgument pushdown) like parquet."""
+    import os
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "source", "text"
+    )
+    tmp = tempfile.mkdtemp(prefix="orc_rt_")
+    try:
+        sinks.write_orc(docs, os.path.join(tmp, "docs"))
+        back = spark.read.orc(os.path.join(tmp, "docs"))
+        assert back.schema == docs.schema
+        assert sorted(r.doc_id for r in back.collect()) == sorted(
+            r.doc_id for r in docs.collect()
+        )
+        plan = back.filter(F.col("doc_id") == 7)._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan and "doc_id" in plan
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

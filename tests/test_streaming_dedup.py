@@ -187,3 +187,60 @@ def test_foreach_batch_digest_merge_exactly_once(spark):
         for d in (src, out, ckpt):
             shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(table.rsplit("/", 1)[0], ignore_errors=True)
+
+
+def test_admit_new_documents_full_refresh_loop(spark):
+    """The incremental admission pipeline end-to-end over two batches:
+    batch 2's exact re-submissions (same text, new ids) die at the digest
+    layer, its near-copies of batch-1 documents die at the history screen
+    SERVED FROM the persisted signature/posting artifacts (never
+    re-shingling batch 1), genuinely new documents are admitted, and the
+    corpus + index tables grow consistently (one sig row and the doc's
+    postings per admitted doc)."""
+    from mapreducer_pi_cs4433_spark.streaming.dedup import admit_new_documents
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    b1 = docs.filter(F.col("doc_id") < 250).select("doc_id", "text")
+    store = tempfile.mkdtemp(prefix="admit_store_")
+    try:
+        a1 = admit_new_documents(spark, b1, store)
+        n1 = a1.count()
+        assert 0 < n1 <= b1.count()
+        corpus1 = spark.read.parquet(f"{store}/corpus")
+        assert corpus1.count() == n1
+        assert spark.read.parquet(f"{store}/sigs").count() == n1
+
+        # batch 2: exact copies (new ids) + near-copies (prefix-mangled)
+        # of admitted batch-1 docs + genuinely new documents
+        base = a1.select("doc_id", "text").limit(20).collect()
+        exact_copies = [(10_000 + i, r.text) for i, r in enumerate(base[:10])]
+        near_copies = [
+            (20_000 + i, "zzz " + r.text) for i, r in enumerate(base[10:20])
+        ]
+        fresh = docs.filter(F.col("doc_id") >= 250).select("doc_id", "text")
+        b2 = spark.createDataFrame(
+            exact_copies + near_copies, "doc_id long, text string"
+        ).unionByName(fresh)
+
+        a2 = admit_new_documents(spark, b2, store)
+        got_ids = {r.doc_id for r in a2.select("doc_id").collect()}
+        assert not any(i >= 10_000 and i < 20_000 for i in got_ids), (
+            "exact re-submission admitted"
+        )
+        assert not any(i >= 20_000 for i in got_ids), "near-copy admitted"
+        assert got_ids  # some genuinely new docs made it in
+        assert got_ids <= {r.doc_id for r in fresh.collect()}
+
+        corpus2 = spark.read.parquet(f"{store}/corpus")
+        assert corpus2.count() == n1 + len(got_ids)
+        assert spark.read.parquet(f"{store}/sigs").count() == n1 + len(got_ids)
+        # postings rows exist exactly for corpus members
+        pids = {r.id for r in spark.read.parquet(f"{store}/postings").select("id").distinct().collect()}
+        assert pids == {r.doc_id for r in corpus2.select("doc_id").collect()}
+
+        # idempotent replay: resubmitting batch 2 admits nothing
+        a3 = admit_new_documents(spark, b2, store)
+        assert a3.count() == 0
+        assert spark.read.parquet(f"{store}/corpus").count() == n1 + len(got_ids)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
