@@ -266,3 +266,20 @@ def test_retention_joins_after_per_user_reduction(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
     # aggregation appears below the join on both inputs
     assert plan.count("HashAggregate") >= 4  # partial+final per side min
+
+
+def test_lsh_entries_never_rescan_the_corpus(spark):
+    """The artifact-backed LSH entries must serve shingle/signature work
+    from the persisted index tables: their final plans contain ZERO scans
+    of documents.parquet (pipeline_clean_corpus additionally materializes
+    its gate+semi-join subtree, so even the gates don't re-scan), while
+    dedup_keeper_selection reads the corpus exactly once (token counts).
+    This pins both the r3 artifact lifecycle and the r2 subtree-reuse fix."""
+    for name, n_docs_scans in (
+        ("dedup_ngram_jaccard", 0),
+        ("dedup_minhash_lsh", 0),
+        ("pipeline_clean_corpus", 0),
+        ("dedup_keeper_selection", 1),
+    ):
+        plan = formatted_plan(QUERIES[name](spark, SF_SMOKE))
+        assert plan.count("documents.parquet") == n_docs_scans, name
