@@ -1267,7 +1267,7 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_PLANES = 4
-_IVF_PROBE_HAMMING = 3
+_IVF_PROBE_HAMMING = 4
 
 
 @query(
@@ -1295,16 +1295,18 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed slice is exact, so the output equals brute force whenever the
     probe set covers the true top-10
     (tests/test_extensions.py::test_ivf_catalog_equals_bruteforce pins the
-    recall-completeness claim the shared oracle rests on, the
-    dedup_minhash_lsh precedent). On THIS corpus that takes hamming=3 of 4
-    planes (15/16 buckets): the embeddings are random, so true neighbors
-    sit at cosine ~0.3 — barely correlated with the query's bucket bits —
-    and recall-complete probing degenerates toward a full scan. That is a
-    property of structureless data, not of the operator: the h=1 recall
-    test shows the same index recovering the self-vector plus ~half the
-    top-10 from a 31% scan, the real trade on corpora with cluster
-    structure. The partition-pruned read machinery is exercised either
-    way."""
+    recall-completeness claim the shared oracle rests on at sf0.001/0.01/
+    0.1, the dedup_minhash_lsh precedent). On THIS corpus that takes the
+    FULL Hamming ball (h=planes): the embeddings are random, so true
+    neighbors sit at cosine ~0.3 — barely correlated with the query's
+    bucket bits (at sf0.1 a true top-10 member lands in the antipodal
+    bucket, Hamming 4 of 4) — and recall-complete probing degenerates to
+    scanning every bucket of the partitioned index. That is a property of
+    structureless data, not of the operator: the h=1 recall test shows
+    the same index recovering the self-vector plus ~half the top-10 from
+    a 31% scan, the real trade on corpora with cluster structure, and the
+    probe dial is exactly what a production deployment tunes against its
+    corpus's measured neighbor distribution."""
     emb = _t(spark, sf_dir, "embeddings")
     index = similarity.ensure_ivf_index(spark, emb, sf_dir, planes=_IVF_PLANES)
     return similarity.ivf_topk(

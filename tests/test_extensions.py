@@ -303,13 +303,16 @@ def test_ivf_topk_recall(spark, emb):
     assert len(set(exact) & set(approx)) >= 3
 
 
-@pytest.mark.parametrize("sf_dir", [SF_SMOKE, SF_CORRECTNESS])
+@pytest.mark.parametrize(
+    "sf_dir", [SF_SMOKE, SF_CORRECTNESS, "/root/testdata/sf0.1"]
+)
 def test_ivf_catalog_equals_bruteforce(spark, sf_dir):
     """The similarity_topk_ivf catalog entry shares the exact brute-force
-    oracle; that is only sound if the probe set (planes=4, hamming=2)
-    covers the true top-10 at the driver's scale factors. Assert exact
-    output equality — ids AND rounded cosines (the dedup_minhash_lsh
-    oracle-sharing precedent)."""
+    oracle; that is only sound if the probe set covers the true top-10 at
+    EVERY scale factor (sf0.1 planted a neighbor in the antipodal bucket,
+    which broke h=3 — on this structureless corpus only the full ball is
+    recall-complete). Assert exact output equality — ids AND rounded
+    cosines (the dedup_minhash_lsh oracle-sharing precedent)."""
     bf = [
         (r.id, r.cosine_sim)
         for r in QUERIES["similarity_topk_bruteforce"](spark, sf_dir).collect()
