@@ -488,6 +488,7 @@ _DRIVER_PRIORITY = [
     "dedup_keeper_selection",
     "text_quality_by_source",
     "events_funnel",
+    "events_transition_matrix",
     # Rows-only, stable
     "dedup_approx_distinct",
     "dedup_embedding_neardup",

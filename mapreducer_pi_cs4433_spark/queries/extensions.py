@@ -1615,6 +1615,52 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_transition_matrix",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch(date_trunc('second', ts)), event_id
+               ) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+    FROM o
+    WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavior model: counts of consecutive event-type
+    transitions per user (the Markov-chain input of session modeling /
+    next-action prediction). ONE window partitioned by user_id — the lag
+    runs inside each user's partition, parallelism = users — then a
+    types^2-sized aggregate. Ordering is (second-truncated ts, event_id)
+    in BOTH engines: the parquet carries nanosecond timestamps that Spark
+    truncates to micros, so any sub-second ordering would silently differ
+    cross-engine; truncating to seconds and tie-breaking on the unique
+    event_id makes the sequence — and therefore every transition count —
+    deterministic."""
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").cast("long"), F.col("event_id")
+    )
+    o = events.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        o.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n_transitions"))
+    )
+
+
+@query(
     "neardup_rate_by_source",
     oracle=f"""
     WITH pairs AS (
