@@ -283,3 +283,26 @@ def test_lsh_entries_never_rescan_the_corpus(spark):
     ):
         plan = formatted_plan(QUERIES[name](spark, SF_SMOKE))
         assert plan.count("documents.parquet") == n_docs_scans, name
+
+
+def test_ivf_probe_prunes_index_partitions(spark):
+    """The persisted IVF index is partitioned by bucket, and a probe's
+    bucket filter must reach the scan as PartitionFilters — the physical
+    mechanism that makes a probe touch only its Hamming ball's fraction of
+    a 100 TB index at the source. Asserted on an h=1 probe (5 of 16
+    buckets), independent of the catalog entry's corpus-tuned probe
+    width."""
+    import re
+
+    from mapreducer_pi_cs4433_spark.functions import similarity
+    from mapreducer_pi_cs4433_spark.sources.loaders import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = similarity.ensure_ivf_index(spark, emb, SF_SMOKE, planes=4)
+    qv = [float(x) for x in emb.filter("vec_id = 0").head().embedding]
+    probe = similarity.ivf_topk(idx, qv, k=10, planes=4, probe_hamming=1)
+    plan = formatted_plan(probe)
+    m = re.search(r"PartitionFilters: \[([^\]]*)", plan)
+    assert m and "bucket" in m.group(1), "bucket filter did not prune partitions"
+    # h=1 ball of 4 planes = 5 buckets listed in the pruning predicate
+    assert len(re.findall(r"\d+", m.group(1).split("IN")[-1])) == 5
