@@ -70,3 +70,29 @@ def test_query_matches_oracle_sf001(spark, name):
         compare(QUERIES[name](spark, SF_CORRECTNESS), con, ORACLE[name])
     finally:
         con.close()
+
+
+def test_driver_window_composition():
+    """The round driver records only the first 50 registrations; this pins
+    the policy from CORRECTNESS_NOTES.md so a refactor cannot silently
+    push reference parity, the OLAP/window/temporal suites, or any
+    round-changed query outside the recorded window."""
+    names = list(QUERIES)
+    window = set(names[:50])
+    assert len(names) >= 50
+    parity = {n for n in names if n.startswith("task_") or n == "wordcount"}
+    olap = {n for n in names if n.startswith("olap_")}
+    windows_temporal = {
+        n
+        for n in names
+        if n.startswith("window_")
+        or n in ("sessionize_events", "asof_last_purchase_per_click",
+                 "range_join_click_error_pairs")
+    }
+    for group in (parity, olap, windows_temporal):
+        assert group <= window, f"driver window lost: {sorted(group - window)}"
+    # every rows-only entry in the window is deliberate (r3-changed only)
+    rows_only_in_window = window - set(ORACLE)
+    assert rows_only_in_window <= {
+        "events_value_quantiles", "similarity_topk_pq", "pi_estimate"
+    }, sorted(rows_only_in_window)
