@@ -501,16 +501,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     used): against a transitive-closure oracle ONE deterministically missed
     pair at a new scale factor reshapes whole clusters, so the per-pair
     miss bound must be the tightest available (~1e-4 even at the j=0.5
-    boundary vs ~35% for r=4 boundary pairs)."""
+    boundary vs ~35% for r=4 boundary pairs).
+
+    Pairs come from the persisted verified-pair artifact
+    (dedup.ensure_neardup_pairs — built once per corpus); the propagation
+    itself runs live here, as the suite's iterative-operator entry."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(
-        docs,
-        k=_SHINGLE_K,
-        num_perm=64,
-        bands=32,
+    pairs = dedup.ensure_neardup_pairs(
+        spark, docs, sf_dir, k=_SHINGLE_K, num_perm=64, bands=32,
         threshold=_JACCARD_T,
-        sigs=dedup.ensure_minhash_signatures(spark, docs, sf_dir, k=_SHINGLE_K),
-        posting=dedup.ensure_postings(spark, docs, sf_dir, k=_SHINGLE_K),
     )
     comp = dedup.connected_components(pairs)
     sizes = comp.groupBy("comp").agg(F.count("*").alias("cluster_size"))
@@ -555,18 +554,15 @@ def dedup_keeper_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar. Emits (cluster_id, keep_doc_id, keep_tokens, cluster_size,
     n_dropped); the oracle recomputes the full recursive-CTE clustering
     plus the identical argmax in SQL, so the entire keep/drop decision is
-    hash-checked."""
+    hash-checked. The cluster assignment comes from the persisted
+    component artifact (dedup.ensure_neardup_components): clustering is a
+    corpus build output, and the keeper decision is one join + one
+    aggregate on top of it."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(
-        docs,
-        k=_SHINGLE_K,
-        num_perm=64,
-        bands=32,
+    comp = dedup.ensure_neardup_components(
+        spark, docs, sf_dir, k=_SHINGLE_K, num_perm=64, bands=32,
         threshold=_JACCARD_T,
-        sigs=dedup.ensure_minhash_signatures(spark, docs, sf_dir, k=_SHINGLE_K),
-        posting=dedup.ensure_postings(spark, docs, sf_dir, k=_SHINGLE_K),
     )
-    comp = dedup.connected_components(pairs)
     tok = docs.select(
         F.col("doc_id").alias("id"),
         text.token_count("text").cast("long").alias("n_tokens"),
@@ -1681,20 +1677,15 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def neardup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-health composition: per-source near-duplicate contamination
     rate — the number every curation dashboard needs before deciding which
-    crawl/source to down-weight. Reuses the artifact-backed LSH pair
-    operator (same exact-verified pair set as dedup_ngram_jaccard), folds
+    crawl/source to down-weight. Reads the persisted verified-pair
+    artifact (same exact-verified pair set as dedup_ngram_jaccard), folds
     membership (union of both pair sides), left-joins the doc dimension,
     and emits exact int/int rates. The oracle recomputes the full exact
     pair join in SQL, so the whole composition is hash-checked."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(
-        docs,
-        k=_SHINGLE_K,
-        num_perm=64,
-        bands=32,
+    pairs = dedup.ensure_neardup_pairs(
+        spark, docs, sf_dir, k=_SHINGLE_K, num_perm=64, bands=32,
         threshold=_JACCARD_T,
-        sigs=dedup.ensure_minhash_signatures(spark, docs, sf_dir, k=_SHINGLE_K),
-        posting=dedup.ensure_postings(spark, docs, sf_dir, k=_SHINGLE_K),
     )
     members = (
         pairs.select(F.col("id_a").alias("m_id"))

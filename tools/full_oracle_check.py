@@ -50,6 +50,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--out", default="CORRECTNESS_FULL_r03.json")
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated query names: check just these (iteration aid; "
+        "the committed artifact must come from a no-filter run)",
+    )
     args = ap.parse_args()
 
     spark = get_spark("full-oracle-check")
@@ -61,9 +67,12 @@ def main() -> None:
             f"read_parquet('{args.sf_dir}/{t}.parquet')"
         )
 
+    only = set(args.only.split(",")) if args.only else None
     results: dict[str, dict] = {}
     n_fail = 0
     for name, fn in QUERIES.items():
+        if only is not None and name not in only:
+            continue
         row = {
             "rows_match": None,
             "schema_match": None,
