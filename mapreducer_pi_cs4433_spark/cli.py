@@ -28,15 +28,21 @@ from .sources import loaders
 
 
 def _write(df: DataFrame, out: str, single_file: bool, output_format: str) -> None:
+    from .sources import sinks
+
     if single_file:
         df = df.coalesce(1)
     if output_format == "parquet":
         df.write.mode("overwrite").parquet(out)
-        return
-    # timestampFormat matches the reference's output rendering (TaskG.java:123)
-    df.write.mode("overwrite").option("sep", "\t").option(
-        "timestampFormat", "yyyy-MM-dd HH:mm:ss"
-    ).csv(out)
+    elif output_format == "orc":
+        sinks.write_orc(df, out)
+    elif output_format == "jsonl":
+        sinks.write_jsonl(df, out)
+    else:
+        # timestampFormat matches the reference's rendering (TaskG.java:123)
+        df.write.mode("overwrite").option("sep", "\t").option(
+            "timestampFormat", "yyyy-MM-dd HH:mm:ss"
+        ).csv(out)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -47,10 +53,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--single-file", action="store_true", help="coalesce output to one file")
     p.add_argument(
         "--output-format",
-        choices=["tsv", "parquet"],
+        choices=["tsv", "parquet", "orc", "jsonl"],
         default="tsv",
-        help="tsv mirrors the reference's part-r-* text files; parquet is "
-        "the columnar form downstream Spark jobs should prefer",
+        help="tsv mirrors the reference's part-r-* text files; parquet/orc "
+        "are the columnar forms downstream Spark jobs should prefer; jsonl "
+        "is the corpus-interchange line format",
     )
     sub = p.add_subparsers(dest="task", required=True)
 

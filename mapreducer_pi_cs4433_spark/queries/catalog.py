@@ -436,6 +436,12 @@ _DRIVER_PRIORITY = [
     "olap_customer_order_years",
     "olap_calendar_rollup",
     "olap_profit_by_nation_year",
+    "olap_order_count_distribution",
+    "olap_sole_late_suppliers",
+    "text_token_classes",
+    "events_anomaly_mad",
+    "embedding_kmeans_step",
+    "layout_zorder_stats",
     # Window + temporal (none had a driver row in r2)
     "window_top3_orders_per_customer",
     "window_order_gaps",
@@ -446,23 +452,35 @@ _DRIVER_PRIORITY = [
     "window_monthly_growth",
     "asof_last_purchase_per_click",
     "range_join_click_error_pairs",
-    # Changed this round — fresh driver evidence required
+    # New in r4 (Q13/Q21 shapes registered in the OLAP band above) —
+    # fresh driver evidence required
+    "text_token_classes",
+    "events_anomaly_mad",
+    "embedding_kmeans_step",
+    "layout_zorder_stats",
+    # Changed in r4: near-dup pair/component artifact lifecycle
+    "dedup_clusters",
+    "dedup_keeper_selection",
+    "neardup_rate_by_source",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    # Changed in r3, still without a driver row (no CORRECTNESS_r03 was
+    # recorded): the r2 red row's scalar-shape fix + the newly
+    # oracle-backed hash entries
     "events_value_quantiles",
     "dedup_simhash",
     "similarity_topk_ivf",
+    # --- 50-entry driver window ends here ---------------------------------
+    # Stable: driver-green in r2 (CORRECTNESS_r02.json), or re-verified
+    # every round by tools/full_oracle_check.py (committed as
+    # CORRECTNESS_FULL_r{N}.json at sf0.01 and sf0.1) and the sf0.001 /
+    # SPARK_GRAFT_FULL=1 sf0.01 passes of tests/test_catalog_vs_duckdb.py
     "similarity_topk_bruteforce",
     "embedding_nearest_centroid",
     "embedding_centroids",
-    "dedup_clusters",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
     "dedup_exact",
     "decontaminate_training_set",
     "pipeline_clean_corpus",
-    "similarity_topk_pq",
-    "pi_estimate",
-    # --- 50-entry driver window ends here ---------------------------------
-    # Stable: driver-green in r2 (CORRECTNESS_r02.json) and unchanged in r3
     "text_token_stats",
     "text_quality",
     "text_language_id",
@@ -480,16 +498,14 @@ _DRIVER_PRIORITY = [
     "events_hourly_rollup",
     "export_shard_manifest",
     "split_stratified_counts",
-    # New in r3 (oracle-backed; outside the driver window — evidence via
-    # tools/full_oracle_check.py and the sf0.001/sf0.01 test passes)
     "pack_sequences",
     "events_user_retention",
-    "neardup_rate_by_source",
-    "dedup_keeper_selection",
     "text_quality_by_source",
     "events_funnel",
     "events_transition_matrix",
     # Rows-only, stable
+    "similarity_topk_pq",
+    "pi_estimate",
     "dedup_approx_distinct",
     "dedup_embedding_neardup",
 ]

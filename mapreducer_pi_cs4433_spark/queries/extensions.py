@@ -373,6 +373,114 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_token_classes",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+'))::BIGINT AS n_word,
+           len(regexp_extract_all(text, '[0-9]+'))::BIGINT AS n_number,
+           len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n\\r]'))::BIGINT
+             AS n_symbol,
+           (len(regexp_extract_all(text, '[A-Za-z]+'))
+            + len(regexp_extract_all(text, '[0-9]+'))
+            + len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n\\r]')))::BIGINT
+             AS n_pretokens
+    FROM documents
+    """,
+)
+def text_token_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenization counts: every subword tokenizer first
+    splits text into letter runs, digit runs, and individual symbol
+    characters (the GPT-2 pre-tokenizer's core classes), and n_pretokens
+    is the budget estimate pipelines use before the real tokenizer runs —
+    letter/digit runs merge in BPE, so pretoken count tracks (and lower-
+    bounds) token count far better than whitespace splitting on symbol-
+    and number-dense text.
+
+    Engine-neutral by construction: explicit ASCII character classes
+    (whitespace enumerated as [ \\t\\n\\r], never \\s or \\w whose
+    Unicode scope differs between Java regex and RE2) and counting only —
+    three regexp_count scalars per row, zero shuffles, no Python."""
+    docs = _t(spark, sf_dir, "documents")
+    n_word = F.regexp_count("text", F.lit(r"[A-Za-z]+"))
+    n_number = F.regexp_count("text", F.lit(r"[0-9]+"))
+    n_symbol = F.regexp_count("text", F.lit("[^A-Za-z0-9 \t\n\r]"))
+    return docs.select(
+        "doc_id",
+        n_word.cast("long").alias("n_word"),
+        n_number.cast("long").alias("n_number"),
+        n_symbol.cast("long").alias("n_symbol"),
+        (n_word + n_number + n_symbol).cast("long").alias("n_pretokens"),
+    )
+
+
+@query(
+    "events_anomaly_mad",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_disc(value, 0.5) AS med
+        FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ), mad AS (
+        SELECT e.event_type, any_value(med) AS med,
+               quantile_disc(abs(value - med), 0.5) AS mad
+        FROM events e JOIN med USING (event_type)
+        WHERE value IS NOT NULL GROUP BY e.event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_events,
+           SUM(CASE WHEN abs(value - med) > 3 * mad THEN 1 ELSE 0 END)
+             AS n_outliers,
+           any_value(med) AS median_value,
+           any_value(mad) AS mad_value
+    FROM events e JOIN mad USING (event_type)
+    WHERE value IS NOT NULL
+    GROUP BY e.event_type
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: |value - median| > 3*MAD
+    (median absolute deviation) — the quality gate that survives the
+    heavy-tailed metrics that break mean/stddev z-scores. Every statistic
+    is an ORDER STATISTIC (percentile_disc selects an actual element,
+    never interpolates) and the derived values are single IEEE ops on
+    them (one subtraction, one abs, one multiply), so Spark and DuckDB
+    compute bit-identical thresholds and the outlier COUNTS hash-match —
+    a float pipeline that stays cross-engine deterministic by using
+    selection + closed-form arithmetic only.
+
+    Scale shape: two grouped percentile passes (type-keyed shuffles of
+    (type, value) pairs) with the tiny per-type tables broadcast back
+    onto the event stream; no window functions, no global sort."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("med").alias("med"),
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(value - med))"
+            ).alias("mad"),
+        )
+    )
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                (F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad")).cast(
+                    "long"
+                )
+            ).alias("n_outliers"),
+            F.first("med").alias("median_value"),
+            F.first("mad").alias("mad_value"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -1108,6 +1216,184 @@ def embedding_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy(
         "label", F.col("b.cand").alias("pred_label")
     ).agg(F.count("*").alias("n_vectors"))
+
+
+_KMEANS_K = 8
+
+
+def _kmeans_oracle(iters: int = 2) -> str:
+    # unrolled Lloyd iterations over floor-quantized integer components;
+    # same pmod-then-truncate floor division as embedding_nearest_centroid
+    ctes = [
+        """q AS (
+        SELECT vec_id, i AS dim,
+               CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS vq
+        FROM embeddings CROSS JOIN range(1, 65) t(i)
+        WHERE embedding IS NOT NULL
+    )""",
+        f"""seeds AS (
+        SELECT vec_id AS cl
+        FROM (SELECT DISTINCT vec_id FROM embeddings WHERE embedding IS NOT NULL)
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {_KMEANS_K}
+    )""",
+        """c0 AS (
+        SELECT s.cl, q.dim, q.vq AS cd
+        FROM seeds s JOIN q ON q.vec_id = s.cl
+    )""",
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""d{i} AS (
+        SELECT q.vec_id, c.cl, SUM((q.vq - c.cd) * (q.vq - c.cd)) AS d
+        FROM q JOIN {prev} c ON q.dim = c.dim
+        GROUP BY 1, 2
+    ), a{i} AS (
+        SELECT vec_id, (min(struct_pack(d := d, c := cl))).c AS cl
+        FROM d{i} GROUP BY vec_id
+    ), c{i} AS (
+        SELECT a.cl, q.dim,
+               CAST((SUM(q.vq) - ((SUM(q.vq) % COUNT(*)) + COUNT(*)) % COUNT(*))
+                    // COUNT(*) AS BIGINT) AS cd,
+               COUNT(*) AS n
+        FROM q JOIN a{i} a ON q.vec_id = a.vec_id
+        GROUP BY 1, 2
+    )"""
+        )
+        prev = f"c{i}"
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f"""
+    SELECT cl AS cluster_id, dim, n AS n_vectors, cd AS centroid_micro
+    FROM {prev}
+    """
+    )
+
+
+@query("embedding_kmeans_step", oracle=_kmeans_oracle())
+def embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (Lloyd's algorithm), two unrolled iterations
+    over the embedding corpus — the unsupervised clustering primitive
+    behind semantic-dedup bucketing and topic-balanced sampling, which the
+    label-supervised centroid queries can't provide. Seeds are the
+    {k} vectors with the smallest md5(vec_id): deterministic
+    pseudo-random selection both engines compute identically (the same
+    hash-gate idiom as sample_deterministic_hash — no RNG anywhere).
+
+    Exactness: components floor-quantize to integer micro-units, distances
+    are exact int64 sums of squares, argmin ties break on cluster id via
+    min(struct), and recomputed centroids use the pmod-then-truncate floor
+    division — so both engines run the SAME integer dynamical system and
+    the final (cluster, dim) table hash-matches bit-for-bit; a float
+    k-means could never be oracle-checked (summation order).
+
+    Scale shape per iteration: the centroid table (k x 64 rows) BROADCASTS
+    onto the quantized component stream — the only data-sized exchanges
+    are the (vec_id, cl) distance aggregation and the (cl, dim) recompute,
+    both partial-aggregated. The component stream is localCheckpoint-ed
+    once (the persisted quantized-components table of a production run):
+    five plan references otherwise re-explode the corpus five times."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    q = (
+        emb.select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+        .select(
+            "vec_id",
+            (F.col("pos") + 1).alias("dim"),
+            F.floor(F.col("v").cast("double") * 1_000_000)
+            .cast("long")
+            .alias("vq"),
+        )
+        .localCheckpoint()
+    )
+    seeds = (
+        emb.select("vec_id")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(_KMEANS_K)
+        .select(F.col("vec_id").alias("cl"))
+    )
+    cent = q.join(F.broadcast(seeds), q["vec_id"] == seeds["cl"]).select(
+        "cl", "dim", F.col("vq").alias("cd")
+    )
+    for _ in range(2):
+        e = F.col("vq") - F.col("cd")
+        dist = (
+            q.join(F.broadcast(cent.select("cl", "dim", "cd")), "dim")
+            .select("vec_id", "cl", (e * e).alias("e2"))
+            .groupBy("vec_id", "cl")
+            .agg(F.sum("e2").alias("d"))
+        )
+        assign = (
+            dist.groupBy("vec_id")
+            .agg(F.min(F.struct("d", "cl")).alias("b"))
+            .select("vec_id", F.col("b.cl").alias("cl"))
+        )
+        cent = (
+            q.join(assign, "vec_id")
+            .groupBy("cl", "dim")
+            .agg(F.sum("vq").alias("s"), F.count("*").alias("n"))
+            .select(
+                "cl",
+                "dim",
+                F.expr("(s - pmod(s, n)) div n").cast("long").alias("cd"),
+                "n",
+            )
+        )
+    return cent.select(
+        F.col("cl").alias("cluster_id"),
+        "dim",
+        F.col("n").alias("n_vectors"),
+        F.col("cd").alias("centroid_micro"),
+    )
+
+
+embedding_kmeans_step.__doc__ = embedding_kmeans_step.__doc__.format(k=_KMEANS_K)
+
+
+_Z_BITS = 16
+
+
+def _zorder_stats_oracle() -> str:
+    from ..functions.layout import zorder_oracle_expr
+
+    return f"""
+    WITH z AS (
+        SELECT l_partkey, l_suppkey,
+               ({zorder_oracle_expr("l_partkey", "l_suppkey", _Z_BITS)}) AS zv
+        FROM lineitem
+    )
+    SELECT zv >> {2 * _Z_BITS - 6} AS z_bucket,
+           COUNT(*) AS n_rows,
+           MAX(l_partkey) - MIN(l_partkey) AS partkey_span,
+           MAX(l_suppkey) - MIN(l_suppkey) AS suppkey_span
+    FROM z GROUP BY 1
+    """
+
+
+@query("layout_zorder_stats", oracle=_zorder_stats_oracle())
+def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout quality report: bucket the fact table by
+    the top bits of the (l_partkey, l_suppkey) interleave and measure each
+    bucket's min/max SPAN in both dimensions — exactly the statistics
+    parquet footers expose for file skipping. A linear sort bounds only
+    its leading key's span; the Morton buckets bound both, which is why
+    OPTIMIZE ZORDER exists. The interleave is 2*bits shift/mask/or int64
+    terms (whole-stage codegen, no UDF) and bit-identical in DuckDB, so
+    the whole report hash-checks. functions.layout.write_zordered applies
+    the same key to physically cluster parquet output (file-level span
+    test in tests/test_layout.py)."""
+    from ..functions.layout import zorder_key
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    z = li.withColumn("zv", zorder_key("l_partkey", "l_suppkey", _Z_BITS))
+    return z.groupBy(
+        F.shiftright("zv", 2 * _Z_BITS - 6).alias("z_bucket")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        (F.max("l_partkey") - F.min("l_partkey")).alias("partkey_span"),
+        (F.max("l_suppkey") - F.min("l_suppkey")).alias("suppkey_span"),
+    )
 
 
 _PR_ITERS = 4

@@ -652,3 +652,123 @@ def olap_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_key.join(
         F.broadcast(nation), per_key["s_nationkey"] == nation["n_nationkey"]
     ).select(F.col("n_name").alias("nation"), "o_year", "profit")
+
+
+@query(
+    "olap_order_count_distribution",
+    oracle="""
+    WITH c_orders AS (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+)
+def olap_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by (filtered) order
+    count, INCLUDING zero-order customers. The semantic trap is the
+    predicate's position: `o_orderpriority <> '1-URGENT'` lives in the
+    LEFT JOIN's ON clause, not a WHERE — a WHERE would silently turn the
+    outer join inner and drop the zero bucket (the same null-pass family
+    as Task G's trap #4, here in join form).
+
+    Scale shape: two cascaded aggregations — per-customer count on the
+    customer-key shuffle (COUNT(o_orderkey) so unmatched rows count 0),
+    then the tiny distribution aggregate over |customers| rows. The
+    customer side carries only c_custkey; at 100 TB Catalyst's partial
+    aggregation collapses the distribution shuffle to |distinct counts|
+    rows per partition."""
+    customer = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    per_cust = (
+        customer.join(
+            orders,
+            (customer["c_custkey"] == orders["o_custkey"])
+            & (orders["o_orderpriority"] != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_custkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+_Q21_LATE_DAYS = 2200
+
+
+@query(
+    "olap_sole_late_suppliers",
+    oracle=f"""
+    WITH li AS (
+        SELECT l_orderkey, l_suppkey,
+               MAX(CASE WHEN epoch(date_trunc('second', l_shipdate))
+                           - epoch(date_trunc('second', o_orderdate))
+                           > {_Q21_LATE_DAYS} * 86400
+                        THEN 1 ELSE 0 END) AS is_late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY 1, 2
+    ), per_order AS (
+        SELECT l_orderkey, COUNT(*) AS n_suppliers, SUM(is_late) AS n_late
+        FROM li GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, COUNT(*) AS n_blamed_orders
+    FROM li JOIN per_order USING (l_orderkey)
+    JOIN supplier ON s_suppkey = li.l_suppkey
+    WHERE li.is_late = 1 AND per_order.n_suppliers > 1 AND per_order.n_late = 1
+    GROUP BY 1, 2
+    """,
+)
+def olap_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for finished
+    orders with MULTIPLE suppliers, blame the supplier who was the ONLY
+    late one ("late" = shipped > {_Q21_LATE_DAYS} days after the order
+    date — the schema has no commitdate, so lateness is defined against
+    o_orderdate; the threshold sits at this corpus's p99 gap).
+
+    Q21's correlated EXISTS (another supplier on the order) + NOT EXISTS
+    (no OTHER late supplier) is decorrelated into ONE per-order aggregate
+    — n_suppliers and n_late — joined back to the per-(order, supplier)
+    lateness table: is_late=1 AND n_suppliers>1 AND n_late=1 is exactly
+    EXISTS AND NOT EXISTS. Two shuffles total (orderkey-suppkey agg, then
+    orderkey agg + self-join on the same key — co-partitioned, so AQE
+    reuses the exchange) instead of two correlated subquery executions.
+    Timestamp arithmetic is second-truncated epoch math (nanosecond
+    parquet would otherwise diverge cross-engine)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = (
+        F.col("l_shipdate").cast("timestamp_ltz").cast("long")
+        - F.col("o_orderdate").cast("timestamp_ltz").cast("long")
+        > _Q21_LATE_DAYS * 86400
+    ).cast("int")
+    per_pair = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("is_late"))
+    )
+    per_order = per_pair.groupBy(F.col("l_orderkey").alias("g_orderkey")).agg(
+        F.count("*").alias("n_suppliers"), F.sum("is_late").alias("n_late")
+    )
+    blamed = per_pair.join(
+        per_order, per_pair["l_orderkey"] == per_order["g_orderkey"]
+    ).filter(
+        (F.col("is_late") == 1)
+        & (F.col("n_suppliers") > 1)
+        & (F.col("n_late") == 1)
+    )
+    return (
+        blamed.join(
+            F.broadcast(supplier), blamed["l_suppkey"] == supplier["s_suppkey"]
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("n_blamed_orders"))
+    )

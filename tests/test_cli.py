@@ -79,3 +79,24 @@ def test_cli_pi():
     r = _run("pi", "--samples", "100000", "--partitions", "4")
     assert r.returncode == 0
     assert "pi is roughly 3.1" in r.stdout
+
+
+def test_cli_jsonl_output(tmp_path):
+    out = tmp_path / "c_jsonl"
+    r = _run(
+        "--output-format",
+        "jsonl",
+        "taskC",
+        f"{REFERENCE_DATA}/pages.csv",
+        str(out),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    import json
+
+    rows = {}
+    for f in out.glob("part-*.json"):
+        for line in f.read_text().splitlines():
+            o = json.loads(line)
+            rows[o["Nationality"]] = o["Citizens"]
+    assert rows["Netherlands"] == 2 and rows["Russia"] == 1
+    assert sum(rows.values()) == 20
