@@ -438,10 +438,6 @@ _DRIVER_PRIORITY = [
     "olap_profit_by_nation_year",
     "olap_order_count_distribution",
     "olap_sole_late_suppliers",
-    "text_token_classes",
-    "events_anomaly_mad",
-    "embedding_kmeans_step",
-    "layout_zorder_stats",
     # Window + temporal (none had a driver row in r2)
     "window_top3_orders_per_customer",
     "window_order_gaps",
@@ -457,6 +453,7 @@ _DRIVER_PRIORITY = [
     "text_token_classes",
     "events_anomaly_mad",
     "embedding_kmeans_step",
+    "embedding_medoid_per_label",
     "layout_zorder_stats",
     # Changed in r4: near-dup pair/component artifact lifecycle
     "dedup_clusters",
@@ -521,6 +518,11 @@ def _apply_driver_priority() -> None:
             f"_DRIVER_PRIORITY out of sync: missing={sorted(missing)} "
             f"stale={sorted(stale)}"
         )
+    if len(_DRIVER_PRIORITY) != len(listed):  # a duplicate entry silently
+        # shifts every later query's window position — reject it
+        seen: set[str] = set()
+        dups = [n for n in _DRIVER_PRIORITY if n in seen or seen.add(n)]
+        raise RuntimeError(f"_DRIVER_PRIORITY has duplicates: {dups}")
     ordered = {name: QUERIES[name] for name in _DRIVER_PRIORITY}
     QUERIES.clear()
     QUERIES.update(ordered)

@@ -310,3 +310,66 @@ def test_ivf_probe_prunes_index_partitions(spark):
     assert m and "bucket" in m.group(1), "bucket filter did not prune partitions"
     # h=1 ball of 4 planes = 5 buckets listed in the pruning predicate
     assert len(re.findall(r"\d+", m.group(1).split("IN")[-1])) == 5
+
+
+def test_kmeans_centroids_broadcast_not_shuffled(spark):
+    """Every Lloyd iteration must join the k x 64 centroid table onto the
+    component stream as a BROADCAST — a shuffled centroid join would move
+    the data-sized side per iteration. Two iterations => at least 2
+    broadcast exchanges of centroid aggregates; the data-sized exchanges
+    are the distance/recompute partial aggregations only, and no
+    interpreted Python appears anywhere."""
+    df = QUERIES["embedding_kmeans_step"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastExchange") >= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sole_late_suppliers_reuses_copartitioned_exchange(spark):
+    """Q21's decorrelation: per-(order,supplier) lateness and the
+    per-order rollup group on the same leading key, and the join back is
+    on that key — the pair-level exchange must be planned ONCE and reused
+    (ReusedExchange), not recomputed for both consumers."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")  # static plan shows reuse
+    try:
+        df = QUERIES["olap_sole_late_suppliers"](spark, SF_SMOKE)
+        plan = formatted_plan(df)
+        assert "ReusedExchange" in plan
+        assert has_broadcast_join(df)  # supplier dimension broadcasts
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_zorder_stats_single_exchange_pure_codegen(spark):
+    """The Morton interleave is 2*bits int64 shift/mask/or terms: it must
+    stay inside whole-stage codegen (no UDF, no expand), and the whole
+    report is one partial-aggregated shuffle on the bucket key."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")  # codegen ids static
+    try:
+        df = QUERIES["layout_zorder_stats"](spark, SF_SMOKE)
+        plan = formatted_plan(df)
+        assert count_exchanges(df) == 1
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert len(whole_stage_codegen_ids(df)) >= 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_anomaly_mad_broadcasts_tiny_stats(spark):
+    """The per-type median/MAD tables are |event types| rows: both must
+    ride broadcast joins back onto the event stream — shuffling the fact
+    side three times would be the naive plan."""
+    df = QUERIES["events_anomaly_mad"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastExchange") >= 2
+
+
+def test_medoid_is_grouped_map_single_exchange(spark):
+    """The medoid operator is the suite's batch grouped-map entry: one
+    label-keyed exchange into FlatMapGroupsInPandas (Arrow batch per
+    group), nothing else — per-group numpy is sanctioned here precisely
+    because group size is bounded by construction."""
+    df = QUERIES["embedding_medoid_per_label"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert count_exchanges(df) == 1
