@@ -451,6 +451,9 @@ _DRIVER_PRIORITY = [
     # New in r4 (Q13/Q21 shapes registered in the OLAP band above) —
     # fresh driver evidence required
     "text_token_classes",
+    "text_blocklist_filter",
+    "reconcile_customers_events",
+    "profile_documents_columns",
     "events_anomaly_mad",
     "embedding_kmeans_step",
     "embedding_medoid_per_label",
@@ -459,15 +462,15 @@ _DRIVER_PRIORITY = [
     "dedup_clusters",
     "dedup_keeper_selection",
     "neardup_rate_by_source",
-    "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    # Changed in r3, still without a driver row (no CORRECTNESS_r03 was
-    # recorded): the r2 red row's scalar-shape fix + the newly
-    # oracle-backed hash entries
+    # --- 50-entry driver window ends here ---------------------------------
+    # dedup_minhash_lsh shares dedup_ngram_jaccard's oracle and is the
+    # unchanged live-LSH twin; the r3-changed trio below likewise defers
+    # to FULL-file + test evidence (window pressure: 86 queries, 50 rows)
+    "dedup_minhash_lsh",
     "events_value_quantiles",
     "dedup_simhash",
     "similarity_topk_ivf",
-    # --- 50-entry driver window ends here ---------------------------------
     # Stable: driver-green in r2 (CORRECTNESS_r02.json), or re-verified
     # every round by tools/full_oracle_check.py (committed as
     # CORRECTNESS_FULL_r{N}.json at sf0.01 and sf0.1) and the sf0.001 /

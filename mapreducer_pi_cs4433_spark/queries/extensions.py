@@ -415,6 +415,127 @@ def text_token_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "reconcile_customers_events",
+    oracle="""
+    WITH eu AS (SELECT DISTINCT user_id FROM events)
+    SELECT CASE WHEN c_custkey IS NULL THEN 'event_only'
+                WHEN user_id IS NULL THEN 'customer_only'
+                ELSE 'both' END AS presence,
+           COUNT(*) AS n_keys
+    FROM customer FULL OUTER JOIN eu ON c_custkey = user_id
+    GROUP BY 1
+    """,
+)
+def reconcile_customers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: which keys exist in the dimension, the
+    activity stream, or both — the FULL OUTER JOIN use case (two
+    independently-produced datasets audited against each other; every
+    other join type discards exactly the rows an audit needs). The event
+    side pre-aggregates to DISTINCT user ids so the outer join is
+    key-to-key (|customers| + |users| rows), never fact-sized; output is
+    the 3-row presence census."""
+    customer = _t(spark, sf_dir, "customer").select("c_custkey")
+    users = _t(spark, sf_dir, "events").select("user_id").distinct()
+    j = customer.join(users, customer["c_custkey"] == users["user_id"], "full_outer")
+    presence = (
+        F.when(F.col("c_custkey").isNull(), F.lit("event_only"))
+        .when(F.col("user_id").isNull(), F.lit("customer_only"))
+        .otherwise(F.lit("both"))
+    )
+    return j.groupBy(presence.alias("presence")).agg(F.count("*").alias("n_keys"))
+
+
+_PROFILE_COLS = ["doc_id", "lang", "source", "n_chars", "text"]
+
+
+@query(
+    "profile_documents_columns",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS column_name,
+           COUNT(*) AS n_rows,
+           COUNT(*) - COUNT({c}) AS n_null,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_value,
+           CAST(MAX({c}) AS VARCHAR) AS max_value
+    FROM documents
+    """
+        for c in _PROFILE_COLS
+    ),
+)
+def profile_documents_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profile (null rate, exact distinct count, min/max
+    rendered as strings) in long format — the data-quality report every
+    ingestion pipeline runs before training-set assembly. ONE aggregation
+    pass computes all five columns' statistics (Catalyst plans the
+    multi-countDistinct via Expand), then a 1-row-to-5-rows stack —
+    no per-column rescans of the table. Min/max compare in binary
+    (UTF8) order in both engines. At 100 TB swap the exact countDistinct
+    for approx_count_distinct and keep the same report shape (the exact
+    form is what makes this oracle-checkable)."""
+    docs = _t(spark, sf_dir, "documents")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(c).cast("string").alias(f"mn_{c}"),
+            F.max(c).cast("string").alias(f"mx_{c}"),
+        ]
+    one = docs.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', n_rows - nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        "n_rows",
+        f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+        "(column_name, n_null, n_distinct, min_value, max_value)",
+    ).select(
+        "column_name", "n_rows", "n_null", "n_distinct", "min_value", "max_value"
+    )
+
+
+_BLOCKLIST = ["hash join", "sort merge", "slow query"]
+
+
+@query(
+    "text_blocklist_filter",
+    oracle=f"""
+    WITH bl AS (
+        SELECT * FROM (VALUES {", ".join(f"('{p}')" for p in _BLOCKLIST)})
+        AS t(phrase)
+    )
+    SELECT doc_id, COUNT(*) AS n_blocked
+    FROM documents JOIN bl ON contains(text, phrase)
+    GROUP BY doc_id
+    """,
+)
+def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content filtering against a phrase blocklist — the curation stage
+    that drops documents containing any of a (small) list of banned
+    PHRASES. Phrases, not tokens: \"hash join\" must match across a word
+    boundary, which token-set membership can't express — so the plan is
+    the canonical small-blocklist shape: the phrase table broadcasts and
+    each document is scanned once per phrase (BroadcastNestedLoopJoin on
+    a contains() predicate, JVM-side substring search). Emits
+    (doc_id, n_blocked) for every flagged document; the anti-join of this
+    against the corpus is the surviving set.
+
+    At 100 TB with a small blocklist (10s-100s of phrases) this plan is
+    right: |docs| x |phrases| substring scans, no shuffle of text, and
+    the output is flag-sized. For blocklists in the 10^4+ range the
+    per-phrase scan should collapse into one multi-pattern automaton
+    (Aho-Corasick) inside an Arrow-batched kernel — same output contract."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bl = spark.createDataFrame([(p,) for p in _BLOCKLIST], "phrase STRING")
+    return (
+        docs.join(F.broadcast(bl), F.expr("contains(text, phrase)"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_blocked"))
+    )
+
+
+@query(
     "events_anomaly_mad",
     oracle="""
     WITH med AS (
