@@ -457,16 +457,20 @@ _DRIVER_PRIORITY = [
     "events_anomaly_mad",
     "embedding_kmeans_step",
     "embedding_medoid_per_label",
+    "dedup_embedding_exact_pairs",
     "layout_zorder_stats",
     # Changed in r4: near-dup pair/component artifact lifecycle
     "dedup_clusters",
     "dedup_keeper_selection",
-    "neardup_rate_by_source",
     "dedup_ngram_jaccard",
     # --- 50-entry driver window ends here ---------------------------------
-    # dedup_minhash_lsh shares dedup_ngram_jaccard's oracle and is the
-    # unchanged live-LSH twin; the r3-changed trio below likewise defers
-    # to FULL-file + test evidence (window pressure: 86 queries, 50 rows)
+    # neardup_rate_by_source is the artifact reroute with the lowest
+    # novelty (output unchanged, same oracle family as the in-window pair
+    # entries); dedup_minhash_lsh shares dedup_ngram_jaccard's oracle and
+    # is the unchanged live-LSH twin; the r3-changed trio below likewise
+    # defers to FULL-file + test evidence (window pressure: 87 queries,
+    # 50 rows)
+    "neardup_rate_by_source",
     "dedup_minhash_lsh",
     "events_value_quantiles",
     "dedup_simhash",
