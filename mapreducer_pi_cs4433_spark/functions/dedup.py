@@ -196,6 +196,7 @@ def cross_containment_pairs(
     threshold: float = 0.5,
     num_perm: int = 64,
     bands: int = 32,
+    prefilter: bool = True,
     sigs_left: DataFrame | None = None,
     sigs_right: DataFrame | None = None,
     posting_left: DataFrame | None = None,
@@ -218,6 +219,15 @@ def cross_containment_pairs(
     (≤ 2.6% at the j=1/3 boundary, ~1e-14 for the near-identical copies
     decontamination targets); equality with the exhaustive DuckDB oracle
     is re-checked at every driver round.
+
+    `prefilter` applies the same signature-agreement gate as
+    minhash_lsh_pairs before exact verification, floored at the SAME
+    similar-size Jaccard bound the banding recall model already assumes
+    (j ≳ τ/(2-τ), minus 4σ at num_perm): on this high-df corpus banding
+    emits ~46k cross candidates for ~100 true pairs at sf0.1, and each
+    candidate explodes by its posting list in the verify join — the
+    agreement gate discards the bulk for one broadcast-sized join over
+    already-persisted signatures, leaving recall at the banding floor.
     """
     rows_per_band = num_perm // bands
     if sigs_left is None:
@@ -240,6 +250,25 @@ def cross_containment_pairs(
         .select("id_l", "id_r")
         .distinct()
     )
+    if prefilter:
+        j_bound = threshold / (2.0 - threshold)
+        est_floor = max(
+            0.0, j_bound - 4.0 * math.sqrt(j_bound * (1.0 - j_bound) / num_perm)
+        )
+        agree = sum(
+            F.when(F.col("sig_l")[i] == F.col("sig_r")[i], 1).otherwise(0)
+            for i in range(num_perm)
+        )
+        gl = sigs_left.select(F.col("id").alias("id_l"), F.col("sig").alias("sig_l"))
+        gr = sigs_right.select(
+            F.col("id").alias("id_r"), F.col("sig").alias("sig_r")
+        )
+        cand = (
+            cand.join(gl, "id_l")
+            .join(gr, "id_r")
+            .filter(agree >= math.ceil(est_floor * num_perm))
+            .select("id_l", "id_r")
+        )
     pl = (
         posting_left
         if posting_left is not None
