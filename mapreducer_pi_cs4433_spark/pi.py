@@ -12,6 +12,7 @@ with (seed, partition_index) so results don't depend on scheduling order.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def estimate_pi(
@@ -52,6 +53,42 @@ def estimate_pi(
         .sum()
     )
     return 4.0 * total_hits / (per_part * partitions)
+
+
+def estimate_pi_hash_df(
+    spark: SparkSession,
+    num_samples: int = 1_000_000,
+) -> DataFrame:
+    """Hash-derived Monte Carlo pi: the (x, y) stream comes from two
+    disjoint 52-bit hex slices of md5(i) over i in [0, n) instead of a
+    seeded RNG, so the sample set is a pure function of n that ANY engine
+    with md5 can reproduce bit-for-bit — which makes the estimate
+    oracle-checkable (DuckDB twin in the catalog), unlike the PCG64 RDD
+    path above whose stream is numpy-private. 52-bit mantissa-sized slices
+    divide by 2^52 exactly (power-of-two division of an integer below
+    2^53 is lossless in IEEE doubles), so x, y, x*x+y*y and the hit test
+    are deterministic IEEE arithmetic in every engine. The whole job is
+    one codegen'd range scan + one scalar aggregate: no Python, no RNG
+    state, no shuffle beyond the final 1-row reduce."""
+    two52 = float(1 << 52)
+    h = F.md5(F.col("id").cast("string"))
+    x = F.conv(F.substring(h, 1, 13), 16, 10).cast("bigint") / F.lit(two52)
+    y = F.conv(F.substring(h, 14, 13), 16, 10).cast("bigint") / F.lit(two52)
+    hits = (
+        spark.range(num_samples)
+        .select(((x * x + y * y) <= F.lit(1.0)).cast("int").alias("hit"))
+        .agg(
+            F.sum("hit").cast("long").alias("n_hits"),
+            F.count("*").alias("n_samples"),
+        )
+    )
+    return hits.select(
+        (
+            F.lit(4.0) * F.col("n_hits").cast("double") / F.col("n_samples")
+        ).alias("pi_estimate"),
+        "n_hits",
+        "n_samples",
+    )
 
 
 def estimate_pi_df(

@@ -423,9 +423,6 @@ _DRIVER_PRIORITY = [
     "olap_revenue_by_nation",
     "olap_priority_with_shipped_items",
     "olap_sales_cube",
-    "olap_quantity_median",
-    "olap_status_pivot",
-    "olap_segment_set_ops",
     "olap_top_customers",
     "olap_best_order_per_customer",
     "olap_rich_dormant_customers",
@@ -463,7 +460,18 @@ _DRIVER_PRIORITY = [
     "dedup_clusters",
     "dedup_keeper_selection",
     "dedup_ngram_jaccard",
+    # Upgraded rows-only -> oracle-backed this round (fresh evidence
+    # required): sketch accuracy-contract checks + the engine-neutral
+    # hash-stream pi twin. Slots freed by demoting three stable entries
+    # (olap_quantity_median / olap_status_pivot / olap_segment_set_ops)
+    # that were driver-green in r2 and are re-verified by the FULL file.
+    "events_value_quantiles",
+    "dedup_approx_distinct",
+    "pi_estimate_hash",
     # --- 50-entry driver window ends here ---------------------------------
+    "olap_quantity_median",
+    "olap_status_pivot",
+    "olap_segment_set_ops",
     # neardup_rate_by_source is the artifact reroute with the lowest
     # novelty (output unchanged, same oracle family as the in-window pair
     # entries); dedup_minhash_lsh shares dedup_ngram_jaccard's oracle and
@@ -472,7 +480,6 @@ _DRIVER_PRIORITY = [
     # 50 rows)
     "neardup_rate_by_source",
     "dedup_minhash_lsh",
-    "events_value_quantiles",
     "dedup_simhash",
     "similarity_topk_ivf",
     # Stable: driver-green in r2 (CORRECTNESS_r02.json), or re-verified
@@ -510,7 +517,6 @@ _DRIVER_PRIORITY = [
     # Rows-only, stable
     "similarity_topk_pq",
     "pi_estimate",
-    "dedup_approx_distinct",
     "dedup_embedding_neardup",
 ]
 

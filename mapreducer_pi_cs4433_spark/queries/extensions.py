@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import dedup, multimodal, similarity, text
-from ..pi import estimate_pi_df
+from ..pi import estimate_pi_df, estimate_pi_hash_df
 from .catalog import _t, query
 
 # shared near-dup calibration: 12-char shingles separate the planted
@@ -1263,54 +1263,110 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("events_value_quantiles")
+@query(
+    "events_value_quantiles",
+    oracle="""
+    WITH w AS (
+        SELECT event_type,
+               quantile_disc(value, 0.5)  AS d50,
+               quantile_disc(value, 0.95) AS d95,
+               quantile_disc(value, 0.99) AS d99,
+               COUNT(*) AS n_events
+        FROM events WHERE value IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, CAST(0.5 AS DOUBLE) AS q, d50 AS exact_value,
+           TRUE AS approx_in_band, n_events FROM w
+    UNION ALL
+    SELECT event_type, CAST(0.95 AS DOUBLE), d95, TRUE, n_events FROM w
+    UNION ALL
+    SELECT event_type, CAST(0.99 AS DOUBLE), d99, TRUE, n_events FROM w
+    """,
+)
 def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate p50/p95/p99 of events.value per event type, next to the
-    exact percentiles (rows-only: the GK sketch's outputs are
-    engine-private). At 100 TB approx_percentile is THE quantile tool: it
-    shuffles fixed-size mergeable sketches instead of sorting the value
-    stream (the exact percentile needs a per-group sort — fine here, ruinous
-    at scale; accuracy vs the exact answer is asserted in tests at 1e-4
-    relative accuracy).
+    """Approximate p50/p95/p99 of events.value per event type, hash-checked
+    through a RANK-BAND CONTRACT. At 100 TB approx_percentile is THE
+    quantile tool: it shuffles fixed-size mergeable GK sketches instead of
+    sorting the value stream. Sketch outputs are engine-private, so the
+    estimate itself can never hash-match an oracle; what IS checkable is
+    its accuracy guarantee. The query emits, per (event_type, q): the exact
+    DISCRETE quantile (order-statistic selection — bit-reproducible across
+    engines, see events_value_quartiles_disc) and `approx_in_band` =
+    whether the sketch value lies between the exact q∓0.005 discrete
+    quantiles. GK at accuracy=10000 bounds rank error by n*1e-4 — 50x
+    inside the band — so the oracle asserts the literal TRUE and a sketch
+    regression in either rank direction flips the bit and fails the hash.
 
     Output is one row per (event_type, quantile) with SCALAR columns only —
     array-typed output columns are banned from catalog entries because
     downstream canonicalizers (pandas sort/factorize) cannot hash lists."""
     ev = _t(spark, sf_dir, "events")
-    qs = F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))
-    agg = ev.groupBy("event_type").agg(
-        F.percentile_approx("value", qs, 10000).alias("q_approx"),
-        F.expr("percentile(value, array(0.5D, 0.95D, 0.99D))").alias("q_exact"),
-        F.count("*").alias("n_events"),
-    )
-    return (
-        agg.select(
-            "event_type",
-            "n_events",
-            F.posexplode(F.arrays_zip("q_approx", "q_exact")).alias("pos", "qz"),
+    ev.createOrReplaceTempView("_ev_q")
+    return spark.sql(
+        """
+        WITH w AS (
+            SELECT event_type,
+                   percentile_approx(value, array(0.5D, 0.95D, 0.99D), 10000)
+                       AS qa,
+                   percentile_disc(0.495) WITHIN GROUP (ORDER BY value) AS lo50,
+                   percentile_disc(0.5)   WITHIN GROUP (ORDER BY value) AS d50,
+                   percentile_disc(0.505) WITHIN GROUP (ORDER BY value) AS hi50,
+                   percentile_disc(0.945) WITHIN GROUP (ORDER BY value) AS lo95,
+                   percentile_disc(0.95)  WITHIN GROUP (ORDER BY value) AS d95,
+                   percentile_disc(0.955) WITHIN GROUP (ORDER BY value) AS hi95,
+                   percentile_disc(0.985) WITHIN GROUP (ORDER BY value) AS lo99,
+                   percentile_disc(0.99)  WITHIN GROUP (ORDER BY value) AS d99,
+                   percentile_disc(0.995) WITHIN GROUP (ORDER BY value) AS hi99,
+                   COUNT(*) AS n_events
+            FROM _ev_q WHERE value IS NOT NULL GROUP BY event_type
         )
-        .select(
-            "event_type",
-            F.element_at(qs, F.col("pos") + 1).alias("q"),
-            F.col("qz.q_approx").alias("approx_value"),
-            F.col("qz.q_exact").alias("exact_value"),
-            "n_events",
-        )
+        SELECT event_type, 0.5D AS q, d50 AS exact_value,
+               qa[0] BETWEEN lo50 AND hi50 AS approx_in_band, n_events FROM w
+        UNION ALL
+        SELECT event_type, 0.95D, d95,
+               qa[1] BETWEEN lo95 AND hi95, n_events FROM w
+        UNION ALL
+        SELECT event_type, 0.99D, d99,
+               qa[2] BETWEEN lo99 AND hi99, n_events FROM w
+        """
     )
 
 
-@query("dedup_approx_distinct")
+@query(
+    "dedup_approx_distinct",
+    oracle="""
+    SELECT source,
+           COUNT(DISTINCT text) AS exact_distinct_docs,
+           COUNT(*) AS n_docs,
+           TRUE AS approx_rel_err_ok
+    FROM documents GROUP BY source
+    """,
+)
 def dedup_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based cardinality: HyperLogLog++ distinct-document estimate
-    per source vs the exact count (rows-only: HLL estimates are
-    engine-private). At 100 TB the approx path shuffles fixed-size sketches
-    instead of the distinct-value stream — the first tool for 'how many
-    unique X' questions at scale; rsd=0.02 keeps the estimate within ~2%."""
+    per source, hash-checked through a RELATIVE-ERROR CONTRACT. At 100 TB
+    the approx path shuffles fixed-size sketches instead of the
+    distinct-value stream — the first tool for 'how many unique X'
+    questions at scale. The HLL estimate itself is engine-private (can
+    never hash-match), so the query emits the exact distinct count plus
+    `approx_rel_err_ok` = |approx - exact| <= max(0.05 * exact, 3): 5%
+    relative (rsd=0.02, so 2.5 standard deviations of headroom) with an
+    absolute floor of 3 for tiny groups, where HLL++'s dense-register
+    bias correction dominates the relative error (observed: 23 vs 25 at
+    n=25). The oracle asserts the literal TRUE, and an HLL regression
+    beyond the contract flips the bit and fails the hash."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.groupBy("source").agg(
-        F.approx_count_distinct("text", rsd=0.02).alias("approx_distinct_docs"),
+    agg = docs.groupBy("source").agg(
+        F.approx_count_distinct("text", rsd=0.02).alias("approx"),
         F.countDistinct("text").alias("exact_distinct_docs"),
         F.count("*").alias("n_docs"),
+    )
+    abs_err = F.abs(F.col("approx") - F.col("exact_distinct_docs"))
+    tol = F.greatest(0.05 * F.col("exact_distinct_docs"), F.lit(3))
+    return agg.select(
+        "source",
+        "exact_distinct_docs",
+        "n_docs",
+        (abs_err <= tol).alias("approx_rel_err_ok"),
     )
 
 
@@ -2360,6 +2416,35 @@ def pi_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monte Carlo pi on the RDD path (rows-only; no SQL equivalent).
     Deterministic per (seed, partitions)."""
     return estimate_pi_df(spark, num_samples=1_000_000, partitions=32, seed=42)
+
+
+@query(
+    "pi_estimate_hash",
+    oracle="""
+    WITH s AS (
+        SELECT ('0x' || substr(md5(i::VARCHAR), 1, 13))::UBIGINT
+                   / 4503599627370496.0 AS x,
+               ('0x' || substr(md5(i::VARCHAR), 14, 13))::UBIGINT
+                   / 4503599627370496.0 AS y
+        FROM range(1000000) t(i)
+    )
+    SELECT CAST(4.0 AS DOUBLE)
+               * CAST(SUM(CASE WHEN x*x + y*y <= 1.0 THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+               / COUNT(*) AS pi_estimate,
+           CAST(SUM(CASE WHEN x*x + y*y <= 1.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           COUNT(*) AS n_samples
+    FROM s
+    """,
+)
+def pi_estimate_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monte Carlo pi with a hash-derived (engine-neutral) sample stream —
+    the oracle-checked twin of the RDD namesake: x,y are disjoint 52-bit
+    md5 slices of the sample index, so DuckDB reproduces the exact same
+    1M points and the estimate hash-matches to the last bit (see
+    pi.estimate_pi_hash_df for the IEEE-exactness argument)."""
+    return estimate_pi_hash_df(spark, num_samples=1_000_000)
 
 
 # ---------------------------------------------------------------------------

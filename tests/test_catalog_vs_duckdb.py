@@ -89,10 +89,16 @@ def test_driver_window_composition():
         or n in ("sessionize_events", "asof_last_purchase_per_click",
                  "range_join_click_error_pairs")
     }
-    for group in (parity, olap, windows_temporal):
+    # Three stable OLAP entries were deliberately demoted below the window
+    # this round (driver-green in r2, re-verified every round by the FULL
+    # file) to make room for the rows-only -> oracle-backed upgrades.
+    demoted_stable = {
+        "olap_quantity_median", "olap_status_pivot", "olap_segment_set_ops",
+    }
+    for group in (parity, olap - demoted_stable, windows_temporal):
         assert group <= window, f"driver window lost: {sorted(group - window)}"
-    # every rows-only entry in the window is deliberate (r3-changed only)
+    assert demoted_stable <= set(ORACLE)
+    # every entry in the recorded window is oracle-backed (the upgrades
+    # closed the last deliberate rows-only exceptions)
     rows_only_in_window = window - set(ORACLE)
-    assert rows_only_in_window <= {
-        "events_value_quantiles", "similarity_topk_pq", "pi_estimate"
-    }, sorted(rows_only_in_window)
+    assert rows_only_in_window == set(), sorted(rows_only_in_window)

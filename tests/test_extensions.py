@@ -134,36 +134,49 @@ def test_scrub_pii_redacts_and_counts(spark):
 
 def test_approx_quantiles_track_exact(spark):
     """Accuracy is a RANK guarantee, not a value guarantee: the sketch
-    returns an actual element within ~1e-4 of the requested rank, while
-    percentile() interpolates between order stats — so assert each approx
-    answer lies inside the exact value band at ±2% rank around its
-    quantile (generous vs the 1e-4 guarantee, tight vs real error)."""
+    returns an actual element within ~1e-4 of the requested rank. The
+    catalog entry now carries that guarantee as data: `approx_in_band` is
+    the sketch-vs-exact rank-band check (±0.005 around the quantile) that
+    the DuckDB oracle pins to TRUE, and `exact_value` is the discrete
+    (order-statistic) quantile. One row per (event_type, q), scalar
+    columns only (driver canonicalizers cannot hash array cells)."""
     out = QUERIES["events_value_quantiles"](spark, SF_SMOKE).collect()
     assert out
-    # one row per (event_type, quantile): scalar columns only (driver
-    # canonicalizers cannot hash array cells — r2 lesson)
     ev = load_table(spark, SF_SMOKE, "events")
-    bands = {
-        r.event_type: r.b
-        for r in ev.groupBy("event_type")
-        .agg(
-            F.expr(
-                "percentile(value, array(0.48D, 0.52D, 0.93D, 0.97D, 0.97D, 1.0D))"
-            ).alias("b")
-        )
-        .collect()
-    }
-    band_idx = {0.5: 0, 0.95: 1, 0.99: 2}
+    n_types = ev.select("event_type").distinct().count()
+    assert len(out) == n_types * 3
     seen = set()
     for r in out:
-        b = bands[r.event_type]
-        i = band_idx[r.q]
-        lo, hi = [(b[0], b[1]), (b[2], b[3]), (b[4], b[5])][i]
-        assert lo - 1e-9 <= r.approx_value <= hi + 1e-9, (
-            r.event_type, r.q, r.approx_value, lo, hi,
-        )
+        assert r.approx_in_band, (r.event_type, r.q, r.exact_value)
+        assert r.exact_value is not None
+        assert r.n_events > 0
         seen.add((r.event_type, r.q))
-    assert len(seen) == len(bands) * 3
+    assert len(seen) == n_types * 3
+    assert {q for _, q in seen} == {0.5, 0.95, 0.99}
+
+
+def test_pi_hash_matches_local_replay(spark):
+    """The hash-stream pi estimate is a pure function of n: replay the
+    md5-slice construction in pure Python (hashlib) for a prefix and the
+    full n, and require bit-identical hit counts — this is the
+    engine-neutrality property the DuckDB oracle relies on."""
+    import hashlib
+
+    out = QUERIES["pi_estimate_hash"](spark, SF_SMOKE).collect()[0]
+    assert out.n_samples == 1_000_000
+    assert abs(out.pi_estimate - 3.14159) < 0.01  # MC error at 1M ~ 1.6e-3
+    two52 = float(1 << 52)
+    hits = 0
+    n_check = 20_000
+    for i in range(n_check):
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        x = int(h[0:13], 16) / two52
+        y = int(h[13:26], 16) / two52
+        hits += x * x + y * y <= 1.0
+    from mapreducer_pi_cs4433_spark.pi import estimate_pi_hash_df
+
+    small = estimate_pi_hash_df(spark, num_samples=n_check).collect()[0]
+    assert small.n_hits == hits
 
 
 def test_exact_dedup_properties(spark, docs):
