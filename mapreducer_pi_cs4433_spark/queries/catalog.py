@@ -419,10 +419,6 @@ _DRIVER_PRIORITY = [
     "task_h_above_avg",
     "wordcount",
     # OLAP suite (rows 8-17 had no driver row in r2)
-    "olap_pricing_summary",
-    "olap_revenue_by_nation",
-    "olap_priority_with_shipped_items",
-    "olap_sales_cube",
     "olap_top_customers",
     "olap_best_order_per_customer",
     "olap_rich_dormant_customers",
@@ -435,6 +431,14 @@ _DRIVER_PRIORITY = [
     "olap_profit_by_nation_year",
     "olap_order_count_distribution",
     "olap_sole_late_suppliers",
+    # New this session: the remaining classic TPC-H plan shapes (never had
+    # a driver row — first-evidence priority)
+    "olap_promo_revenue_share",
+    "olap_top_suppliers_by_revenue",
+    "olap_large_volume_orders",
+    "olap_brand_supplier_diversity",
+    "olap_bracketed_revenue",
+    "olap_trade_volume_nation_pairs",
     # Window + temporal (none had a driver row in r2)
     "window_top3_orders_per_customer",
     "window_order_gaps",
@@ -456,10 +460,10 @@ _DRIVER_PRIORITY = [
     "embedding_medoid_per_label",
     "dedup_embedding_exact_pairs",
     "layout_zorder_stats",
-    # Changed in r4: near-dup pair/component artifact lifecycle
-    "dedup_clusters",
+    # Near-dup pair/component artifact lifecycle: keeper selection is new
+    # (never driver-rowed); clusters/ngram_jaccard were r2-green on the
+    # SAME oracles and moved below the window with the other demotions.
     "dedup_keeper_selection",
-    "dedup_ngram_jaccard",
     # Upgraded rows-only -> oracle-backed this round (fresh evidence
     # required): sketch accuracy-contract checks + the engine-neutral
     # hash-stream pi twin. Slots freed by demoting three stable entries
@@ -469,9 +473,18 @@ _DRIVER_PRIORITY = [
     "dedup_approx_distinct",
     "pi_estimate_hash",
     # --- 50-entry driver window ends here ---------------------------------
+    # Demoted stable entries: every one was driver-green in r2 on the same
+    # oracle (CORRECTNESS_r02.json) and is re-verified every round by
+    # tools/full_oracle_check.py (committed CORRECTNESS_FULL_r{N}.json).
+    "olap_pricing_summary",
+    "olap_revenue_by_nation",
+    "olap_priority_with_shipped_items",
+    "olap_sales_cube",
     "olap_quantity_median",
     "olap_status_pivot",
     "olap_segment_set_ops",
+    "dedup_clusters",
+    "dedup_ngram_jaccard",
     # neardup_rate_by_source is the artifact reroute with the lowest
     # novelty (output unchanged, same oracle family as the in-window pair
     # entries); dedup_minhash_lsh shares dedup_ngram_jaccard's oracle and

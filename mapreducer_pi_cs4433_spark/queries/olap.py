@@ -772,3 +772,314 @@ def olap_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey", "s_name")
         .agg(F.count("*").alias("n_blamed_orders"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 session-2 additions: the remaining classic TPC-H plan shapes.
+# Same determinism contract as above (decimal-internal money math, final
+# DOUBLE casts, second-truncated epoch arithmetic for timestamps).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "olap_promo_revenue_share",
+    oracle="""
+    SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+           CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                         ELSE CAST(0 AS DECIMAL(18,4)) END)
+                 AS DECIMAL(18,4)) AS DOUBLE) AS promo_revenue,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                 AS DECIMAL(18,4)) AS DOUBLE) AS total_revenue,
+           CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                         ELSE CAST(0 AS DECIMAL(18,4)) END)
+                 AS DECIMAL(18,4)) AS DOUBLE)
+             / CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                     AS DECIMAL(18,4)) AS DOUBLE) AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+    """,
+)
+def olap_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): conditional aggregation — the
+    SUM(CASE WHEN dim-attr ...) idiom that turns a filter into a ratio in
+    ONE pass over the fact. part (2k rows/sf vs 600k lineitem) broadcasts;
+    the promo/total split never re-scans. The share is a DOUBLE division
+    of the two exactly-summed decimals (identical operands both engines =>
+    identical quotient)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    agg = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.sum(promo_rev).cast("decimal(18,4)").cast("double").alias("promo_revenue"),
+            F.sum(rev).cast("decimal(18,4)").cast("double").alias("total_revenue"),
+        )
+    )
+    return agg.select(
+        "ship_month",
+        "promo_revenue",
+        "total_revenue",
+        (F.col("promo_revenue") / F.col("total_revenue")).alias("promo_share"),
+    )
+
+
+_Q15_START, _Q15_END = "1998-01-01", "1998-04-01"
+
+
+@query(
+    "olap_top_suppliers_by_revenue",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                 AS DECIMAL(18,4)) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{_Q15_START} 00:00:00'
+          AND l_shipdate <  TIMESTAMP '{_Q15_END} 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM rev JOIN supplier ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+)
+def olap_top_suppliers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): max-of-an-aggregate with ties kept.
+    The correlated `= (SELECT MAX(..))` decorrelates into the C2 idiom —
+    the per-supplier revenue table aggregates to a 1-row max that
+    broadcast-crossJoins back onto itself (no second scan of lineitem, no
+    window sort). The equality compares DECIMALs (exact); the DOUBLE cast
+    happens only in the projection."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(f"{_Q15_START} 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(f"{_Q15_END} 00:00:00").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(rev).cast("decimal(18,4)").alias("total_revenue")
+    )
+    top = per_supp.agg(F.max("total_revenue").alias("max_revenue"))
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_supp.join(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+_Q18_MIN_QTY = 300
+
+
+@query(
+    "olap_large_volume_orders",
+    oracle=f"""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS order_qty
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1, 2, 3, 4
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > {_Q18_MIN_QTY}
+    """,
+)
+def olap_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): grouped HAVING over the fact,
+    decorrelating Q18's `o_orderkey IN (SELECT .. GROUP BY .. HAVING ..)`.
+    Spark aggregates lineitem FIRST on the bare orderkey (the shuffle
+    carries (orderkey, qty) pairs, partially pre-aggregated map-side), then
+    joins the ~p99-filtered survivors to orders and broadcast customer —
+    instead of dragging customer names through the big aggregation the way
+    the literal SQL grouping does. o_totalprice is a stored scalar (no
+    float summation), so emitting it raw is hash-safe."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+        .filter(F.col("qty") > _Q18_MIN_QTY)
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        per_order.join(orders, per_order["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_totalprice",
+            F.col("qty").cast("double").alias("order_qty"),
+        )
+    )
+
+
+@query(
+    "olap_brand_supplier_diversity",
+    oracle="""
+    SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+    )
+    GROUP BY 1, 2
+    """,
+)
+def olap_brand_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): DISTINCT-count of
+    suppliers per (brand, type) after excluding a blocklisted supplier set
+    (the 'customer complaints' NOT IN — here: suppliers in arrears,
+    s_acctbal < 0). The NOT IN runs as a broadcast left_anti join BEFORE
+    the aggregation, so excluded suppliers never enter the distinct
+    machinery; part broadcasts onto the fact; the countDistinct expands to
+    the standard two-phase (partial-distinct, merge) plan."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type")
+    blocked = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(
+            F.broadcast(blocked),
+            li["l_suppkey"] == blocked["s_suppkey"],
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == part["p_partkey"])
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "olap_bracketed_revenue",
+    oracle="""
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                 AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#12' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#21' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def olap_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue brackets): a disjunction of
+    conjunctive brackets mixing fact-side (l_quantity) and dimension-side
+    (p_brand, p_size) predicates. The optimizer splits the OR: the
+    fact-only envelope (l_quantity <= 50) and the dim-only envelope
+    (brand IN ...) each push to their scan, and the residual disjunction
+    evaluates post-join — the point of the shape is that a naive engine
+    evaluates the whole OR as a join filter with no pushdown at all.
+    Single-row output: global decimal sum + count."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    bracket = (
+        ((F.col("p_brand") == "Brand#3") & sz.between(1, 15) & q.between(1, 20))
+        | ((F.col("p_brand") == "Brand#12") & sz.between(10, 30) & q.between(10, 30))
+        | ((F.col("p_brand") == "Brand#21") & sz.between(20, 50) & q.between(20, 50))
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .filter(bracket)
+        .agg(
+            F.sum(rev).cast("decimal(18,4)").cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "olap_trade_volume_nation_pairs",
+    oracle="""
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS ship_year,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                 AS DECIMAL(18,4)) AS DOUBLE) AS volume
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey  = c_custkey
+    JOIN supplier ON l_suppkey  = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE sn.n_name <> cn.n_name
+    GROUP BY 1, 2, 3
+    """,
+)
+def olap_trade_volume_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): the two-role dimension — nation
+    joins TWICE under different aliases (supplier side and customer side),
+    with a cross-role inequality filter. Join order: the one real shuffle
+    is lineitem-orders on the orderkey; customer, supplier, and both
+    nation roles are broadcasts; aggregation groups on the two nation
+    names + derived ship year. The inequality (supp != cust) evaluates
+    after both broadcasts, pre-aggregation, so intra-nation trade rows
+    never reach the shuffle."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(supplier), li["l_suppkey"] == supplier["s_suppkey"])
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(F.sum(rev).cast("decimal(18,4)").cast("double").alias("volume"))
+    )

@@ -94,6 +94,8 @@ def test_driver_window_composition():
     # file) to make room for the rows-only -> oracle-backed upgrades.
     demoted_stable = {
         "olap_quantity_median", "olap_status_pivot", "olap_segment_set_ops",
+        "olap_pricing_summary", "olap_revenue_by_nation",
+        "olap_priority_with_shipped_items", "olap_sales_cube",
     }
     for group in (parity, olap - demoted_stable, windows_temporal):
         assert group <= window, f"driver window lost: {sorted(group - window)}"
