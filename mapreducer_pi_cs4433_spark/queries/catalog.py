@@ -473,6 +473,11 @@ _DRIVER_PRIORITY = [
     "dedup_approx_distinct",
     "pi_estimate_hash",
     # --- 50-entry driver window ends here ---------------------------------
+    # First two below the cap: new this session (window is zero-sum among
+    # never-rowed queries; these carry FULL-file + sf0.001/sf0.01 test
+    # evidence like everything else outside the window)
+    "mixture_weighted_sample",
+    "dedup_normalized_exact",
     # Demoted stable entries: every one was driver-green in r2 on the same
     # oracle (CORRECTNESS_r02.json) and is re-verified every round by
     # tools/full_oracle_check.py (committed CORRECTNESS_FULL_r{N}.json).

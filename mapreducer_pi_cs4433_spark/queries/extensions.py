@@ -1299,34 +1299,39 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output is one row per (event_type, quantile) with SCALAR columns only —
     array-typed output columns are banned from catalog entries because
     downstream canonicalizers (pandas sort/factorize) cannot hash lists."""
-    ev = _t(spark, sf_dir, "events")
-    ev.createOrReplaceTempView("_ev_q")
+    # All nine exact discrete quantiles (q and the two band edges per q)
+    # come from ONE windowed sort via cume_dist — percentile_disc(q) is by
+    # definition the smallest value whose cume_dist >= q — instead of nine
+    # independent sort-based percentile_disc aggregates (bench: 1.8s ->
+    # one sort; and at 100 TB the single per-group sort is the whole cost).
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value")
+    cd = ev.select("event_type", "value", F.cume_dist().over(w).alias("cd"))
+
+    def disc(q: float):
+        return F.min(F.when(F.col("cd") >= q, F.col("value")))
+
+    agg = cd.groupBy("event_type").agg(
+        F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), 10000).alias("qa"),
+        disc(0.495).alias("lo50"), disc(0.5).alias("d50"), disc(0.505).alias("hi50"),
+        disc(0.945).alias("lo95"), disc(0.95).alias("d95"), disc(0.955).alias("hi95"),
+        disc(0.985).alias("lo99"), disc(0.99).alias("d99"), disc(0.995).alias("hi99"),
+        F.count("*").alias("n_events"),
+    )
+    agg.createOrReplaceTempView("_ev_q_agg")
     return spark.sql(
         """
-        WITH w AS (
-            SELECT event_type,
-                   percentile_approx(value, array(0.5D, 0.95D, 0.99D), 10000)
-                       AS qa,
-                   percentile_disc(0.495) WITHIN GROUP (ORDER BY value) AS lo50,
-                   percentile_disc(0.5)   WITHIN GROUP (ORDER BY value) AS d50,
-                   percentile_disc(0.505) WITHIN GROUP (ORDER BY value) AS hi50,
-                   percentile_disc(0.945) WITHIN GROUP (ORDER BY value) AS lo95,
-                   percentile_disc(0.95)  WITHIN GROUP (ORDER BY value) AS d95,
-                   percentile_disc(0.955) WITHIN GROUP (ORDER BY value) AS hi95,
-                   percentile_disc(0.985) WITHIN GROUP (ORDER BY value) AS lo99,
-                   percentile_disc(0.99)  WITHIN GROUP (ORDER BY value) AS d99,
-                   percentile_disc(0.995) WITHIN GROUP (ORDER BY value) AS hi99,
-                   COUNT(*) AS n_events
-            FROM _ev_q WHERE value IS NOT NULL GROUP BY event_type
-        )
         SELECT event_type, 0.5D AS q, d50 AS exact_value,
-               qa[0] BETWEEN lo50 AND hi50 AS approx_in_band, n_events FROM w
+               qa[0] BETWEEN lo50 AND hi50 AS approx_in_band, n_events
+        FROM _ev_q_agg
         UNION ALL
         SELECT event_type, 0.95D, d95,
-               qa[1] BETWEEN lo95 AND hi95, n_events FROM w
+               qa[1] BETWEEN lo95 AND hi95, n_events FROM _ev_q_agg
         UNION ALL
         SELECT event_type, 0.99D, d99,
-               qa[2] BETWEEN lo99 AND hi99, n_events FROM w
+               qa[2] BETWEEN lo99 AND hi99, n_events FROM _ev_q_agg
         """
     )
 
@@ -2525,4 +2530,101 @@ def split_stratified_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("label", split.alias("split"))
         .groupBy("label", "split")
         .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain mixing + normalization dedup (round-3 session-2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mixture_weighted_sample",
+    oracle="""
+    WITH gated AS (
+        SELECT source,
+               length(text) AS n_chars,
+               CASE CAST(substr(source, 4) AS INT) % 3
+                    WHEN 0 THEN 'f' WHEN 1 THEN '7' ELSE '3' END AS cap,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS gate
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_total,
+           SUM(CASE WHEN gate <= cap THEN 1 ELSE 0 END) AS n_admitted,
+           CAST(SUM(CASE WHEN gate <= cap THEN n_chars ELSE 0 END)
+                AS BIGINT) AS admitted_chars
+    FROM gated GROUP BY source
+    """,
+)
+def mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DOMAIN-MIXTURE sampling — the operator that turns a
+    raw crawl into a weighted training mix: each source (domain) gets its
+    own admission rate, applied as a content-free hash gate on the doc id
+    (here: 16/16, 8/16, or 4/16 by source index mod 3, standing in for a
+    mixture config table). Same 100 TB properties as
+    sample_deterministic_hash — a codegen predicate, no RNG, no global
+    sort, reproducible across engines/runs/retries — plus the per-domain
+    rate; in production the (source -> rate) map is a broadcast config
+    table and the gate threshold a joined column, which is exactly how the
+    hex-cap column behaves here. Output is the mixture audit: per source,
+    total vs admitted docs and the admitted char budget."""
+    docs = _t(spark, sf_dir, "documents")
+    cap = (
+        F.when(F.substring("source", 4, 10).cast("int") % 3 == 0, "f")
+        .when(F.substring("source", 4, 10).cast("int") % 3 == 1, "7")
+        .otherwise("3")
+    )
+    gate = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    admitted = (gate <= cap).cast("int")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_total"),
+        F.sum(admitted).alias("n_admitted"),
+        F.sum(admitted * F.length("text")).cast("long").alias("admitted_chars"),
+    )
+
+
+@query(
+    "dedup_normalized_exact",
+    oracle="""
+    WITH n AS (
+        SELECT doc_id, source,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_digest
+        FROM documents
+    )
+    SELECT norm_digest,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies,
+           COUNT(DISTINCT source) AS n_sources
+    FROM n GROUP BY norm_digest
+    """,
+)
+def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalize-then-exact dedup (the C4/RefinedWeb recipe): lowercase,
+    strip non-alphanumerics, collapse whitespace, THEN hash — catching the
+    near-copies that differ only in case/punctuation/spacing, which raw
+    exact dedup (dedup_exact) misses and MinHash overpays for. The shuffle
+    carries (digest, doc_id, source) — never the text — and the keeper
+    rule is the same deterministic min-id as dedup_exact; n_sources per
+    digest is the cross-domain syndication signal. All normalization is
+    codegen regexp (engine-neutral POSIX classes, no HOFs)."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+                " +",
+                " ",
+            )
+        )
+    )
+    return (
+        docs.select(norm.alias("norm_digest"), "doc_id", "source")
+        .groupBy("norm_digest")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_copies"),
+            F.countDistinct("source").alias("n_sources"),
+        )
     )
