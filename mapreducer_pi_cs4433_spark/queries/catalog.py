@@ -478,6 +478,10 @@ _DRIVER_PRIORITY = [
     # evidence like everything else outside the window)
     "mixture_weighted_sample",
     "dedup_normalized_exact",
+    "search_bm25_topk",
+    "graph_triangle_count",
+    "basket_brand_pairs",
+    "events_equi_depth_bins",
     # Demoted stable entries: every one was driver-green in r2 on the same
     # oracle (CORRECTNESS_r02.json) and is re-verified every round by
     # tools/full_oracle_check.py (committed CORRECTNESS_FULL_r{N}.json).

@@ -100,3 +100,35 @@ def test_cli_jsonl_output(tmp_path):
             rows[o["Nationality"]] = o["Citizens"]
     assert rows["Netherlands"] == 2 and rows["Russia"] == 1
     assert sum(rows.values()) == 20
+
+
+def test_cli_build_index(tmp_path):
+    """The corpus build step materializes the shared artifact tables and
+    is idempotent (second run reuses, emitting the same report)."""
+    env = {
+        **os.environ,
+        "SPARK_GRAFT_CPUS": "2",
+        "PYTHONPATH": REPO,
+        "SPARK_GRAFT_INDEX_DIR": str(tmp_path / "idx"),
+    }
+
+    def run():
+        return subprocess.run(
+            [sys.executable, "-m", "mapreducer_pi_cs4433_spark.cli",
+             "build-index", "/root/testdata/sf0.001",
+             "--kinds", "minhash,graph"],
+            capture_output=True, text=True, timeout=300, env=env, cwd=REPO,
+        )
+
+    r = run()
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "minhash ready (500 rows)" in r.stdout
+    assert "graph ready" in r.stdout
+    r2 = run()  # idempotent reuse: same report, no rebuild error
+    assert r2.returncode == 0 and "minhash ready (500 rows)" in r2.stdout
+
+
+def test_cli_build_index_missing_dir():
+    r = _run("build-index", "/no/such/corpus")
+    assert r.returncode == 2
+    assert "corpus dir not found" in r.stderr

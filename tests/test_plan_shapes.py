@@ -373,3 +373,41 @@ def test_medoid_is_grouped_map_single_exchange(spark):
     plan = formatted_plan(df)
     assert "FlatMapGroupsInPandas" in plan
     assert count_exchanges(df) == 1
+
+
+def test_bm25_takeordered_single_corpus_pass(spark):
+    """BM25 top-k: corpus stats ride a 1-row broadcast back onto the tf
+    table (no driver readback), scoring is scalar codegen, and the top-k
+    is TakeOrderedAndProject — never a global sort."""
+    df = QUERIES["search_bm25_topk"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no global sort node
+    assert "BatchEvalPython" not in plan and "lambdafunction" not in plan
+    # the documents parquet is scanned at most twice (tf pass + stats
+    # pass over the same subtree; each scan node prints twice in the
+    # formatted plan: tree + detail) — never once per query term
+    assert plan.count("Scan parquet") <= 4
+
+
+def test_triangle_edges_broadcast_after_threshold(spark):
+    """Triangle counting: after support thresholding the edge table is
+    small — both closing joins must be broadcasts, no shuffled
+    fact-to-fact join in the triangle enumeration."""
+    df = QUERIES["graph_triangle_count"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_equi_depth_bins_single_sort(spark):
+    """Equi-depth binning: exactly one windowed sort (per event_type) and
+    the grouped rollup — no second sort, no global window."""
+    df = QUERIES["events_equi_depth_bins"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert plan.count("+- Window") == 1  # one Window node in the tree
+    assert plan.count("+- Sort") == 1  # its sort, and no other
+    # the ntile window partitions by event_type — never a single global
+    # partition (which would serialize the corpus through one task)
+    assert "hashpartitioning(event_type" in plan
+    assert "SinglePartition" not in plan
