@@ -836,3 +836,144 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact repeated-substring detection (suffix-array-style substring dedup,
+# re-expressed relationally). Reference scope: the reference engine has no
+# substring operator; this extends the dedup family for training-data
+# pipelines (cf. "Deduplicating Training Data Makes Language Models Better",
+# Lee et al. 2022 — their suffix-array ExactSubstr; here the same maximal
+# shared spans are recovered with a positional-shingle equi-join + island
+# merge, which distributes as two narrow shuffles instead of a monolithic
+# suffix array).
+# ---------------------------------------------------------------------------
+
+
+def _positional_token_shingles(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(_id, pos, h): md5 of the k-token shingle starting at 1-based token
+    position ``pos``. Tokenization is whitespace-normalized split, identical
+    to the DuckDB oracle's string_split(trim(regexp_replace(...))).
+
+    Built with lead() windows over posexplode'd tokens rather than array
+    higher-order functions: one exchange (by doc), everything inside
+    whole-stage codegen. Shuffles carry the 16-byte digest, never the
+    shingle text."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.split(F.trim(F.regexp_replace(text_col, r"\s+", " ")), " ")
+        ).alias("pos0", "tok"),
+    )
+    w = Window.partitionBy("_id").orderBy("pos0")
+    parts = [F.col("tok").alias("t0")] + [
+        F.lead("tok", i).over(w).alias(f"t{i}") for i in range(1, k)
+    ]
+    return (
+        toks.select("_id", (F.col("pos0") + F.lit(1)).alias("pos"), *parts)
+        .where(F.col(f"t{k - 1}").isNotNull())
+        .select(
+            "_id",
+            "pos",
+            F.md5(F.concat_ws(" ", *[f"t{i}" for i in range(k)])).alias("h"),
+        )
+    )
+
+
+def substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Maximal token spans (length >= k) shared verbatim between document
+    pairs: (doc_a, doc_b, a_start, a_end, b_start, b_end, span_tokens),
+    positions 1-based inclusive, doc_a < doc_b.
+
+    Plan: positional k-shingles -> self-equi-join on the shingle digest ->
+    runs of consecutive matches at constant offset (pa - pb) collapse into
+    maximal spans via the classic gaps-and-islands trick (pa minus its
+    row_number within (pair, offset) is constant exactly on a run).
+    Shuffle ledger: one exchange keyed by doc for the lead() windows, one
+    self-join exchange on the digest (both sides share the subtree —
+    ReuseExchange), one exchange on (doc_a, doc_b, offset) whose hash
+    partitioning the final aggregate reuses (grouping keys are a superset).
+    At 100 TB the digest join is the standard inverted-index plan: cost is
+    sum of squares of digest bucket sizes, linear on de-duplicated corpora;
+    truly pathological shingles (boilerplate) should be df-capped upstream
+    by the caller before the join — exactness here is the contract, so no
+    silent cap is applied."""
+    from pyspark.sql import Window
+
+    sh = _positional_token_shingles(df, text_col, id_col, k)
+    a = sh.select(F.col("_id").alias("doc_a"), F.col("pos").alias("pa"), "h")
+    b = sh.select(
+        F.col("_id").alias("doc_b"), F.col("pos").alias("pb"), F.col("h").alias("hb")
+    )
+    cand = a.join(b, (a["h"] == b["hb"]) & (a["doc_a"] < b["doc_b"])).select(
+        "doc_a", "doc_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("off")
+    )
+    w2 = Window.partitionBy("doc_a", "doc_b", "off").orderBy("pa")
+    isl = cand.withColumn("grp", F.col("pa") - F.row_number().over(w2))
+    return (
+        isl.groupBy("doc_a", "doc_b", "off", "grp")
+        .agg(
+            F.min("pa").alias("a_start"),
+            (F.max("pa") + F.lit(k - 1)).alias("a_end"),
+            F.min("pb").alias("b_start"),
+            (F.max("pb") + F.lit(k - 1)).alias("b_end"),
+            (F.max("pa") - F.min("pa") + F.lit(k)).alias("span_tokens"),
+        )
+        .select(
+            "doc_a", "doc_b", "a_start", "a_end", "b_start", "b_end", "span_tokens"
+        )
+    )
+
+
+def shared_shingle_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Per-document duplicated-text exposure: of the doc's k-token shingles,
+    how many also occur in at least one OTHER document. Returns
+    (doc_id, n_shingles, n_shared, shared_ratio), ratio an exact single
+    int/int division (cross-engine bit-stable; no float aggregation).
+
+    This is the per-doc rollup of substring_spans — the number a filtering
+    pipeline thresholds on ("drop docs >50% duplicated"). Two exchanges:
+    the doc-keyed window from shingling, then one digest-keyed aggregate
+    whose (min_doc, max_doc) pair decides cross-doc sharing without ever
+    joining documents against each other."""
+    sh = _positional_token_shingles(df, text_col, id_col, k)
+    # a shingle value is "shared" for doc d iff some other doc holds it;
+    # (min != max) over docs per digest answers it for every doc at once
+    per_digest = sh.groupBy("h").agg(
+        F.min("_id").alias("d_min"), F.max("_id").alias("d_max")
+    )
+    flagged = sh.join(per_digest, "h").select(
+        "_id",
+        (
+            (F.col("d_min") != F.col("_id")) | (F.col("d_max") != F.col("_id"))
+        ).cast("long").alias("is_shared"),
+    )
+    return (
+        flagged.groupBy(F.col("_id").alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum("is_shared").alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("n_shingles"), 9).alias(
+                "shared_ratio"
+            ),
+        )
+    )

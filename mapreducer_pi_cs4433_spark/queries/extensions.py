@@ -2937,3 +2937,102 @@ def events_equi_depth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup (suffix-array-style shared spans, relationally)
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 8  # minimum shared run, in tokens; planted near-dup pairs in the
+# synthetic corpus share 11-93-token verbatim runs, background word-salad
+# collisions die out by ~6 tokens, so k=8 separates them with margin
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH arrs AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS arr
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, u.i AS pos,
+             array_to_string(arr[u.i:(u.i + {_SPAN_K} - 1)], ' ') AS shingle
+      FROM arrs, LATERAL unnest(range(1, len(arr) - {_SPAN_K} + 2)) u(i)
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+      SELECT doc_a, doc_b, pa, pb, pa - pb AS off,
+             pa - row_number() OVER (
+               PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS grp
+      FROM cand
+    )
+    SELECT doc_a, doc_b,
+           min(pa) AS a_start, max(pa) + {_SPAN_K} - 1 AS a_end,
+           min(pb) AS b_start, max(pb) + {_SPAN_K} - 1 AS b_end,
+           max(pa) - min(pa) + {_SPAN_K} AS span_tokens
+    FROM isl GROUP BY doc_a, doc_b, off, grp
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal verbatim token spans (>= 8 tokens) shared between document
+    pairs — the ExactSubstr dedup of Lee et al. 2022, re-expressed as a
+    positional-shingle inverted-index join + gaps-and-islands merge (see
+    functions/dedup.substring_spans for the shuffle ledger). Where MinHash
+    answers "are these docs similar?", this answers "exactly WHICH bytes
+    are copied?" — the primitive behind span-level contamination removal
+    and memorization audits."""
+    docs = _t(spark, sf_dir, "documents")
+    spans = dedup.substring_spans(docs, "text", "doc_id", k=_SPAN_K)
+    return spans.select(
+        "doc_a",
+        "doc_b",
+        *[
+            F.col(c).cast("long").alias(c)
+            for c in ("a_start", "a_end", "b_start", "b_end", "span_tokens")
+        ],
+    )
+
+
+@query(
+    "dedup_span_coverage",
+    oracle=f"""
+    WITH arrs AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS arr
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, u.i AS pos,
+             array_to_string(arr[u.i:(u.i + {_SPAN_K} - 1)], ' ') AS shingle
+      FROM arrs, LATERAL unnest(range(1, len(arr) - {_SPAN_K} + 2)) u(i)
+    ),
+    pd AS (
+      SELECT shingle, min(doc_id) AS d_min, max(doc_id) AS d_max
+      FROM sh GROUP BY shingle
+    )
+    SELECT sh.doc_id,
+           count(*)::BIGINT AS n_shingles,
+           sum(CASE WHEN d_min <> sh.doc_id OR d_max <> sh.doc_id
+                    THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+           round(sum(CASE WHEN d_min <> sh.doc_id OR d_max <> sh.doc_id
+                          THEN 1 ELSE 0 END)::BIGINT
+                 / count(*)::BIGINT, 9) AS shared_ratio
+    FROM sh JOIN pd USING (shingle)
+    GROUP BY sh.doc_id
+    """,
+)
+def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-text exposure: the fraction of a doc's
+    8-token shingles that also appear in some OTHER document — the number a
+    cleaning pipeline thresholds on ("drop docs more than 50% duplicated").
+    No doc-vs-doc join at all: one digest-keyed (min_doc, max_doc)
+    aggregate decides sharing for every document at once, so cost stays
+    linear in corpus size at 100 TB. Ratio is a single int/int division
+    (bit-stable cross-engine)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.shared_shingle_coverage(docs, "text", "doc_id", k=_SPAN_K)

@@ -494,3 +494,70 @@ def test_nearest_centroid_matches_numpy_reference(spark):
         for r in QUERIES["embedding_nearest_centroid"](spark, SF_SMOKE).collect()
     }
     assert out == expected
+
+
+# --- Exact substring spans (relational ExactSubstr) --------------------------
+def test_substring_spans_crafted(spark):
+    """Hand-built corpus pins the island-merge semantics: a 5-token run
+    shared at different offsets merges into ONE maximal span; two disjoint
+    shared runs in the same pair stay TWO spans; sub-k overlaps vanish."""
+    base = "a1 a2 a3 a4 a5"  # 5-token run, k=3 below
+    rows = [
+        # doc 1/2: run at offset 0 vs offset 2 -> one span, off = -2
+        (1, f"{base} x1 x2 x3 x4 x5"),
+        (2, f"y1 y2 {base} z1 z2 z3"),
+        # doc 3: shares TWO disjoint runs with doc 1 (the a-run and x3 x4
+        # x5 tail) separated by a non-matching gap -> two spans
+        (3, f"{base} q1 q2 q3 x3 x4 x5"),
+        # doc 4: only a 2-token overlap with anything (< k) -> no row
+        (4, "a1 a2 w1 w2 w3 w4 w5 w6"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = {
+        (r.doc_a, r.doc_b, r.a_start, r.a_end, r.b_start, r.b_end, r.span_tokens)
+        for r in dedup.substring_spans(df, k=3).collect()
+    }
+    assert (1, 2, 1, 5, 3, 7, 5) in spans  # merged maximal run
+    assert (1, 3, 1, 5, 1, 5, 5) in spans  # a-run, aligned
+    assert (1, 3, 8, 10, 9, 11, 3) in spans  # x3 x4 x5 tail, off -1
+    assert not any(4 in (a, b) for (a, b, *_) in spans)  # sub-k overlap
+    # doc2/doc3 share the a-run too (2,3) with b-offsets
+    assert (2, 3, 3, 7, 1, 5, 5) in spans
+    assert len(spans) == 4
+
+
+def test_span_coverage_crafted(spark):
+    """Coverage counts shingle positions, not distinct shingles; a doc with
+    no cross-doc shingle reports ratio 0.0; sub-k docs emit no row."""
+    rows = [
+        (1, "s1 s2 s3 s4"),     # 2 shingles (k=3), both shared with doc 2
+        (2, "s1 s2 s3 s4 u1"),  # 3 shingles, 2 shared
+        (3, "v1 v2 v3 v4"),     # 2 shingles, none shared
+        (4, "t1 t2"),           # < k tokens -> absent
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_shingles, r.n_shared, r.shared_ratio)
+        for r in dedup.shared_shingle_coverage(df, k=3).collect()
+    }
+    assert got == {
+        1: (2, 2, 1.0),
+        2: (3, 2, round(2 / 3, 9)),
+        3: (2, 0, 0.0),
+    }
+
+
+def test_substring_spans_within_doc_repeats(spark):
+    """A shingle repeated WITHIN one doc must not self-pair; across docs a
+    repeated shingle yields one span per alignment offset."""
+    rows = [
+        (1, "r1 r2 r3 m1 r1 r2 r3"),  # run appears twice in doc 1
+        (2, "r1 r2 r3 n1 n2 n3 n4"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = sorted(
+        (r.doc_a, r.doc_b, r.a_start, r.b_start, r.span_tokens)
+        for r in dedup.substring_spans(df, k=3).collect()
+    )
+    # both occurrences in doc1 align to doc2's single occurrence; no (1,1)
+    assert spans == [(1, 2, 1, 1, 3), (1, 2, 5, 1, 3)]
