@@ -150,6 +150,30 @@ def main(argv: list[str] | None = None) -> int:
         "graph (default: all)",
     )
 
+    sp = sub.add_parser(
+        "sql",
+        help="run an ANSI SQL statement over the star-schema tables "
+        "(region nation customer supplier part orders lineitem events "
+        "documents embeddings registered as views)",
+    )
+    sp.add_argument("sf_dir", help="corpus dir holding the parquet tables")
+    sp.add_argument("statement", help="SQL text, e.g. 'SELECT count(*) FROM orders'")
+    sp.add_argument("out", nargs="?", help="output dir (omit to print)")
+    sp.add_argument(
+        "--show", type=int, default=20, help="max rows to print when no out dir"
+    )
+
+    sp = sub.add_parser(
+        "query",
+        help="run a named catalog query (use 'list' to enumerate names)",
+    )
+    sp.add_argument("name", help="catalog query name, or 'list'")
+    sp.add_argument("sf_dir", nargs="?", help="corpus dir (required unless 'list')")
+    sp.add_argument("out", nargs="?", help="output dir (omit to print)")
+    sp.add_argument(
+        "--show", type=int, default=20, help="max rows to print when no out dir"
+    )
+
     args = p.parse_args(argv)
 
     # exit-code fidelity: a missing input path is exit 2 with a one-line
@@ -169,7 +193,47 @@ def main(argv: list[str] | None = None) -> int:
         print(f"build-index: corpus dir not found: {args.sf_dir}", file=sys.stderr)
         return 2
 
+    if args.task == "query" and args.name == "list":
+        # no session needed to enumerate — keep `query list` instant
+        from .queries.catalog import QUERIES
+
+        for name in QUERIES:
+            print(name)
+        return 0
+
+    if args.task in ("sql", "query"):
+        sf_dir = args.sf_dir
+        if sf_dir is None:
+            print(f"{args.task}: sf_dir is required", file=sys.stderr)
+            return 2
+        if "://" not in sf_dir and not os.path.isdir(sf_dir):
+            print(f"{args.task}: corpus dir not found: {sf_dir}", file=sys.stderr)
+            return 2
+
     spark = get_spark(f"cli-{args.task}")
+
+    if args.task in ("sql", "query"):
+        if args.task == "sql":
+            loaders.register_views(spark, args.sf_dir)
+            df = spark.sql(args.statement)
+        else:
+            from .queries.catalog import QUERIES
+
+            if args.name not in QUERIES:
+                print(
+                    f"query: unknown name {args.name!r} (try 'query list')",
+                    file=sys.stderr,
+                )
+                return 2
+            df = QUERIES[args.name](spark, args.sf_dir)
+        if args.out:
+            _write(df, args.out, args.single_file, args.output_format)
+            print(f"{args.task}: wrote {df.columns} to {args.out}")
+        else:
+            print("\t".join(df.columns))
+            for row in df.limit(args.show).collect():
+                print("\t".join("" if v is None else str(v) for v in row))
+        return 0
 
     if args.task == "build-index":
         return _build_index(spark, args.sf_dir, args.kinds)

@@ -166,3 +166,16 @@ def invalidate_table_cache(
             spark.catalog.refreshByPath(f"{k[0]}/{k[1]}.parquet")
         except Exception:
             pass  # path may be gone entirely; the next read re-lists anyway
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every star-schema table as a temp view so arbitrary
+    ``spark.sql(...)`` works over the corpus — the ad-hoc/interactive
+    surface (the CLI ``sql`` subcommand and notebooks). Views share
+    load_table's memoized plans, so registration costs nothing beyond the
+    first listing and all the usual reader normalizations (events nanos,
+    trim) apply to SQL users too."""
+    from ..schemas import DRIVER_TABLES
+
+    for name in DRIVER_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -132,3 +132,36 @@ def test_cli_build_index_missing_dir():
     r = _run("build-index", "/no/such/corpus")
     assert r.returncode == 2
     assert "corpus dir not found" in r.stderr
+
+
+def test_cli_sql_prints_rows():
+    r = _run(
+        "sql",
+        "/root/testdata/sf0.001",
+        "SELECT n_name, count(*) AS n FROM nation JOIN customer "
+        "ON n_nationkey = c_nationkey GROUP BY n_name ORDER BY n DESC, n_name "
+        "LIMIT 3",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [ln for ln in r.stdout.splitlines() if "\t" in ln]
+    assert lines[0] == "n_name\tn"
+    assert len(lines) == 4  # header + 3 rows
+
+
+def test_cli_query_list_and_run(tmp_path):
+    r = _run("query", "list")
+    assert r.returncode == 0 and "task_a_filter_project" in r.stdout.split()
+    out = tmp_path / "q"
+    r = _run("query", "task_c_nationality_counts", "/root/testdata/sf0.001", str(out))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert any(out.glob("part-*"))
+
+
+def test_cli_query_unknown_name():
+    r = _run("query", "nope_not_a_query", "/root/testdata/sf0.001")
+    assert r.returncode == 2 and "unknown name" in r.stderr
+
+
+def test_cli_sql_missing_dir():
+    r = _run("sql", "/no/such/dir", "SELECT 1")
+    assert r.returncode == 2 and "not found" in r.stderr
