@@ -977,3 +977,71 @@ def shared_shingle_coverage(
             ),
         )
     )
+
+
+def redact_shared_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """The transform half of ExactSubstr dedup: rebuild each affected
+    document with its duplicated spans REMOVED, keeping the first
+    occurrence (the lower-id doc of every span keeps its text; the
+    higher-id doc loses tokens b_start..b_end). Returns one row per
+    affected doc: (doc_id, n_tokens_before, n_tokens_after,
+    redacted_text) — redacted_text NULL when the doc was 100% duplicated.
+
+    Removed positions are materialized as a DISTINCT (doc, pos) set via
+    explode(sequence(b_start, b_end)) before flagging, so overlapping
+    spans from different partner docs never double-count a token, and the
+    flag join is a plain equi-join (no per-token EXISTS probe).
+    Reassembly is listagg(...) WITHIN GROUP (ORDER BY pos) — order-pinned,
+    engine-parity with DuckDB's string_agg(... ORDER BY pos); aggregate
+    NULL-skipping drops the removed tokens from the rebuilt string."""
+    spans = substring_spans(df, text_col, id_col, k)
+    ranges = spans.select(
+        F.col("doc_b").alias("_rid"), "b_start", "b_end"
+    )
+    removed = (
+        ranges.select(
+            "_rid",
+            F.explode(F.sequence("b_start", "b_end")).alias("rpos"),
+        )
+        .distinct()
+    )
+    toks = (
+        df.join(
+            ranges.select(F.col("_rid").alias(id_col)).distinct(),
+            id_col,
+            "left_semi",
+        )
+        .select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(
+                F.split(F.trim(F.regexp_replace(text_col, r"\s+", " ")), " ")
+            ).alias("pos0", "tok"),
+        )
+        .select("_id", (F.col("pos0") + F.lit(1)).alias("pos"), "tok")
+    )
+    flagged = toks.join(
+        removed,
+        (toks["_id"] == removed["_rid"]) & (toks["pos"] == removed["rpos"]),
+        "left",
+    ).select(
+        "_id",
+        "pos",
+        "tok",
+        F.col("rpos").isNotNull().cast("int").alias("is_removed"),
+    )
+    return (
+        flagged.groupBy(F.col("_id").alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_tokens_before"),
+            F.sum(F.lit(1) - F.col("is_removed")).alias("n_tokens_after"),
+            F.expr(
+                "listagg(CASE WHEN is_removed = 0 THEN tok END, ' ') "
+                "WITHIN GROUP (ORDER BY pos)"
+            ).alias("redacted_text"),
+        )
+    )

@@ -484,6 +484,7 @@ _DRIVER_PRIORITY = [
     "events_equi_depth_bins",
     "dedup_substring_spans",
     "dedup_span_coverage",
+    "dedup_span_redact",
     # Demoted stable entries: every one was driver-green in r2 on the same
     # oracle (CORRECTNESS_r02.json) and is re-verified every round by
     # tools/full_oracle_check.py (committed CORRECTNESS_FULL_r{N}.json).

@@ -561,3 +561,23 @@ def test_substring_spans_within_doc_repeats(spark):
     )
     # both occurrences in doc1 align to doc2's single occurrence; no (1,1)
     assert spans == [(1, 2, 1, 1, 3), (1, 2, 5, 1, 3)]
+
+
+def test_span_redact_crafted(spark):
+    """Redaction keeps the first occurrence: the lower-id doc is untouched
+    (absent from output), the higher-id doc loses exactly the shared run;
+    a 100%-duplicated doc redacts to NULL with n_tokens_after 0."""
+    base = "c1 c2 c3 c4"
+    rows = [
+        (1, f"{base} tail1 tail2"),
+        (2, f"head1 {base} tail3"),   # loses the 4-token run vs doc 1
+        (3, base),                    # exact subset of doc 1 -> fully cut
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_tokens_before, r.n_tokens_after, r.redacted_text)
+        for r in dedup.redact_shared_spans(df, k=3).collect()
+    }
+    assert 1 not in got  # first occurrence keeps everything
+    assert got[2] == (6, 2, "head1 tail3")
+    assert got[3] == (4, 0, None)
