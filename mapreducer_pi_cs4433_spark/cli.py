@@ -55,7 +55,16 @@ def _build_index(spark, sf_dir: str, kinds_csv: str) -> int:
     from .functions import similarity as fsim
 
     kinds = (
-        {"minhash", "postings", "pairs", "components", "ivf", "pq", "graph"}
+        {
+            "minhash",
+            "postings",
+            "posshingle",
+            "pairs",
+            "components",
+            "ivf",
+            "pq",
+            "graph",
+        }
         if kinds_csv == "all"
         else {k.strip() for k in kinds_csv.split(",") if k.strip()}
     )
@@ -67,6 +76,13 @@ def _build_index(spark, sf_dir: str, kinds_csv: str) -> int:
         )
     if "postings" in kinds:
         built.append(("postings", fdedup.ensure_postings(spark, docs, sf_dir).count()))
+    if "posshingle" in kinds:
+        built.append(
+            (
+                "posshingle",
+                fdedup.ensure_positional_shingles(spark, docs, sf_dir).count(),
+            )
+        )
     if "pairs" in kinds:
         built.append(
             ("pairs", fdedup.ensure_neardup_pairs(spark, docs, sf_dir).count())
@@ -146,8 +162,8 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument(
         "--kinds",
         default="all",
-        help="comma list from: minhash,postings,pairs,components,ivf,pq,"
-        "graph (default: all)",
+        help="comma list from: minhash,postings,posshingle,pairs,components,"
+        "ivf,pq,graph (default: all)",
     )
 
     sp = sub.add_parser(

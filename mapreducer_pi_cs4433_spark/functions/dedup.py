@@ -884,11 +884,37 @@ def _positional_token_shingles(
     )
 
 
+def ensure_positional_shingles(
+    spark,
+    df: DataFrame,
+    sf_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Persisted positional shingle table (_id, pos, h) — the substring-
+    dedup twin of ensure_postings (which is position-less). All three
+    span entries (spans / coverage / redact) consume it, so the corpus is
+    tokenized + lead-windowed ONCE per (corpus, k) instead of once per
+    plan reference (substring_spans alone references the shingle subtree
+    twice — Catalyst cannot ReuseExchange across its differently-aliased
+    self-join sides)."""
+    from .artifacts import ensure_table
+
+    return ensure_table(
+        spark,
+        sf_dir,
+        f"posshingle_k{k}",
+        lambda: _positional_token_shingles(df, text_col, id_col, k),
+    )
+
+
 def substring_spans(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 8,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal token spans (length >= k) shared verbatim between document
     pairs: (doc_a, doc_b, a_start, a_end, b_start, b_end, span_tokens),
@@ -906,10 +932,15 @@ def substring_spans(
     sum of squares of digest bucket sizes, linear on de-duplicated corpora;
     truly pathological shingles (boilerplate) should be df-capped upstream
     by the caller before the join — exactness here is the contract, so no
-    silent cap is applied."""
+    silent cap is applied.
+
+    ``sh`` (optional): a precomputed (_id, pos, h) positional-shingle
+    table (ensure_positional_shingles) — without it the shingle subtree
+    is built inline and evaluated once per self-join side."""
     from pyspark.sql import Window
 
-    sh = _positional_token_shingles(df, text_col, id_col, k)
+    if sh is None:
+        sh = _positional_token_shingles(df, text_col, id_col, k)
     a = sh.select(F.col("_id").alias("doc_a"), F.col("pos").alias("pa"), "h")
     b = sh.select(
         F.col("_id").alias("doc_b"), F.col("pos").alias("pb"), F.col("h").alias("hb")
@@ -939,6 +970,7 @@ def shared_shingle_coverage(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 8,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document duplicated-text exposure: of the doc's k-token shingles,
     how many also occur in at least one OTHER document. Returns
@@ -946,20 +978,23 @@ def shared_shingle_coverage(
     int/int division (cross-engine bit-stable; no float aggregation).
 
     This is the per-doc rollup of substring_spans — the number a filtering
-    pipeline thresholds on ("drop docs >50% duplicated"). Two exchanges:
-    the doc-keyed window from shingling, then one digest-keyed aggregate
-    whose (min_doc, max_doc) pair decides cross-doc sharing without ever
-    joining documents against each other."""
-    sh = _positional_token_shingles(df, text_col, id_col, k)
-    # a shingle value is "shared" for doc d iff some other doc holds it;
-    # (min != max) over docs per digest answers it for every doc at once
-    per_digest = sh.groupBy("h").agg(
-        F.min("_id").alias("d_min"), F.max("_id").alias("d_max")
-    )
-    flagged = sh.join(per_digest, "h").select(
+    pipeline thresholds on ("drop docs >50% duplicated"). A shingle value
+    is "shared" for doc d iff some other doc holds it; min/max of _id OVER
+    a digest-partitioned window answers that per row with NO join at all
+    (the first formulation joined the corpus-sized shingle stream against
+    its own digest aggregate — a join Spark is then tempted to broadcast
+    at estimate time, which dies at real scale). One digest-keyed exchange
+    + one doc-keyed aggregate, both linear."""
+    from pyspark.sql import Window
+
+    if sh is None:
+        sh = _positional_token_shingles(df, text_col, id_col, k)
+    wd = Window.partitionBy("h")
+    flagged = sh.select(
         "_id",
         (
-            (F.col("d_min") != F.col("_id")) | (F.col("d_max") != F.col("_id"))
+            (F.min("_id").over(wd) != F.col("_id"))
+            | (F.max("_id").over(wd) != F.col("_id"))
         ).cast("long").alias("is_shared"),
     )
     return (
@@ -984,6 +1019,7 @@ def redact_shared_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 8,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """The transform half of ExactSubstr dedup: rebuild each affected
     document with its duplicated spans REMOVED, keeping the first
@@ -999,7 +1035,7 @@ def redact_shared_spans(
     Reassembly is listagg(...) WITHIN GROUP (ORDER BY pos) — order-pinned,
     engine-parity with DuckDB's string_agg(... ORDER BY pos); aggregate
     NULL-skipping drops the removed tokens from the rebuilt string."""
-    spans = substring_spans(df, text_col, id_col, k)
+    spans = substring_spans(df, text_col, id_col, k, sh=sh)
     ranges = spans.select(
         F.col("doc_b").alias("_rid"), "b_start", "b_end"
     )

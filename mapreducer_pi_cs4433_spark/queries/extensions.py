@@ -3006,7 +3006,8 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     are copied?" — the primitive behind span-level contamination removal
     and memorization audits."""
     docs = _t(spark, sf_dir, "documents")
-    spans = dedup.substring_spans(docs, "text", "doc_id", k=_SPAN_K)
+    sh = dedup.ensure_positional_shingles(spark, docs, sf_dir, k=_SPAN_K)
+    spans = dedup.substring_spans(docs, "text", "doc_id", k=_SPAN_K, sh=sh)
     return spans.select(
         "doc_a",
         "doc_b",
@@ -3054,7 +3055,10 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear in corpus size at 100 TB. Ratio is a single int/int division
     (bit-stable cross-engine)."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.shared_shingle_coverage(docs, "text", "doc_id", k=_SPAN_K)
+    sh = dedup.ensure_positional_shingles(spark, docs, sf_dir, k=_SPAN_K)
+    return dedup.shared_shingle_coverage(
+        docs, "text", "doc_id", k=_SPAN_K, sh=sh
+    )
 
 
 @query(
@@ -3113,4 +3117,5 @@ def dedup_span_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reassembly is order-pinned listagg / string_agg (ORDER BY pos), so the
     rebuilt strings are byte-identical cross-engine."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.redact_shared_spans(docs, "text", "doc_id", k=_SPAN_K)
+    sh = dedup.ensure_positional_shingles(spark, docs, sf_dir, k=_SPAN_K)
+    return dedup.redact_shared_spans(docs, "text", "doc_id", k=_SPAN_K, sh=sh)

@@ -411,3 +411,31 @@ def test_equi_depth_bins_single_sort(spark):
     # partition (which would serialize the corpus through one task)
     assert "hashpartitioning(event_type" in plan
     assert "SinglePartition" not in plan
+
+
+def test_span_family_reads_shingle_artifact(spark):
+    """The substring-span entries serve shingle work from the persisted
+    positional-shingle artifact: spans/coverage scan ZERO documents.parquet
+    (both self-join sides and the sharing window read the artifact), redact
+    reads the corpus exactly once (token re-assembly needs the text). No
+    cartesian products anywhere in the family."""
+    for name, n_docs_scans in (
+        ("dedup_substring_spans", 0),
+        ("dedup_span_coverage", 0),
+        ("dedup_span_redact", 1),
+    ):
+        plan = formatted_plan(QUERIES[name](spark, SF_SMOKE))
+        assert plan.count("documents.parquet") == n_docs_scans, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_span_coverage_is_join_free(spark):
+    """shared_shingle_coverage must stay the window formulation: a join of
+    the corpus-sized shingle stream against its own digest aggregate gets
+    broadcast at estimate time and dies at real scale. Pin: no join
+    operator at all, and exactly two exchanges (digest window + doc
+    aggregate) downstream of the artifact scan."""
+    df = QUERIES["dedup_span_coverage"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "Join" not in plan and "BroadcastExchange" not in plan
+    assert count_exchanges(df) == 2
