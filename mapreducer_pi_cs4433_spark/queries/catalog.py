@@ -478,6 +478,15 @@ _DRIVER_PRIORITY = [
     # evidence like everything else outside the window)
     "mixture_weighted_sample",
     "dedup_normalized_exact",
+    # The final six classic TPC-H shapes (Q2/Q6/Q8/Q10/Q12/Q20), completing
+    # all 22 — new this session, below the zero-sum window with the same
+    # FULL-file + sf0.001/sf0.01 test evidence as the rest of this band
+    "olap_revenue_forecast_delta",
+    "olap_national_market_share",
+    "olap_returned_item_customers",
+    "olap_late_shipment_priority",
+    "olap_min_cost_supplier",
+    "olap_dominant_part_suppliers",
     "search_bm25_topk",
     "graph_triangle_count",
     "basket_brand_pairs",

@@ -1083,3 +1083,435 @@ def olap_trade_volume_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .agg(F.sum(rev).cast("decimal(18,4)").cast("double").alias("volume"))
     )
+
+
+# ---------------------------------------------------------------------------
+# The final six classic TPC-H plan shapes (Q2/Q6/Q8/Q10/Q12/Q20), completing
+# all 22. The driver schema has no partsupp table and no
+# l_shipmode/l_commitdate/l_receiptdate columns, so Q2/Q12/Q20 are adapted:
+# the part-supplier supply relation is DERIVED from lineitem (min observed
+# line price per part+supplier pair plays partsupp.ps_supplycost), and Q12's
+# "late" predicate is l_shipdate > o_orderdate + 60 days with l_linestatus
+# standing in for l_shipmode. The PLAN shapes — correlated-min join, simple
+# pushdown aggregate, two-role dimension share, top-k over a 4-way join,
+# conditional priority counts, nested aggregated semi-join — are faithful.
+# ---------------------------------------------------------------------------
+
+_Q6_START, _Q6_END = "1996-01-01", "1997-01-01"
+
+
+@query(
+    "olap_revenue_forecast_delta",
+    oracle=f"""
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * CAST(l_discount AS DECIMAL(18,2)))
+                 AS DECIMAL(18,4)) AS DOUBLE) AS revenue_delta,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{_Q6_START} 00:00:00'
+      AND l_shipdate <  TIMESTAMP '{_Q6_END} 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def olap_revenue_forecast_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): the pure
+    scan-filter-aggregate — no join, no groupBy, ONE row out. All three
+    predicates (date range, discount band, quantity cap) push into the
+    parquet scan as PushedFilters; at 100 TB this is the query where
+    min/max footer pruning + predicate pushdown decide everything, so the
+    plan must stay a single WholeStageCodegen scan->partial-agg with a
+    1-row final agg. Discount bounds compare the raw DOUBLE column (both
+    engines compare the same float64 bits); money math is decimal-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    delta = F.col("l_extendedprice").cast("decimal(18,2)") * F.col(
+        "l_discount"
+    ).cast("decimal(18,2)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(f"{_Q6_START} 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(f"{_Q6_END} 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(delta).cast("decimal(18,4)").cast("double").alias("revenue_delta"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+_Q8_REGION = "ASIA"
+_Q8_NATION = "NATION_5"
+_Q8_PTYPE = "STANDARD"
+
+
+@query(
+    "olap_national_market_share",
+    oracle=f"""
+    WITH vol AS (
+        SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+               sn.n_name AS supp_nation,
+               CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey  = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region   ON cn.n_regionkey = r_regionkey
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE r_name = '{_Q8_REGION}' AND p_type = '{_Q8_PTYPE}'
+    )
+    SELECT order_year,
+           CAST(CAST(SUM(CASE WHEN supp_nation = '{_Q8_NATION}'
+                         THEN volume ELSE CAST(0 AS DECIMAL(18,4)) END)
+                 AS DECIMAL(18,4)) AS DOUBLE)
+             / CAST(CAST(SUM(volume) AS DECIMAL(18,4)) AS DOUBLE)
+             AS market_share,
+           CAST(CAST(SUM(volume) AS DECIMAL(18,4)) AS DOUBLE) AS total_volume
+    FROM vol
+    GROUP BY order_year
+    """,
+)
+def olap_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): the deepest classic join
+    tree — 8 relations, nation in TWO roles (customer-region gate vs
+    supplier-nation share), with the share computed by conditional
+    aggregation rather than a self-join. Every dimension (part filtered to
+    one type, supplier, both nation roles, region) broadcasts; the only
+    shuffles are lineitem-orders on orderkey and the final one-column
+    groupBy on year. The share divides two exactly-summed decimals as a
+    single DOUBLE op — bit-identical across engines."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == _Q8_PTYPE)
+        .select("p_partkey")
+    )
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    region = (
+        _t(spark, sf_dir, "region")
+        .filter(F.col("r_name") == _Q8_REGION)
+        .select("r_regionkey")
+    )
+    sn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    volume = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    nation_vol = F.when(F.col("supp_nation") == _Q8_NATION, volume).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    agg = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supplier), li["l_suppkey"] == supplier["s_suppkey"])
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            F.sum(nation_vol).cast("decimal(18,4)").cast("double").alias("nat_vol"),
+            F.sum(volume).cast("decimal(18,4)").cast("double").alias("total_volume"),
+        )
+    )
+    return agg.select(
+        "order_year",
+        (F.col("nat_vol") / F.col("total_volume")).alias("market_share"),
+        "total_volume",
+    )
+
+
+_Q10_START, _Q10_END = "1996-01-01", "1996-04-01"
+
+
+@query(
+    "olap_returned_item_customers",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                 AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+           c_acctbal, n_name AS nation
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '{_Q10_START} 00:00:00'
+      AND o_orderdate <  TIMESTAMP '{_Q10_END} 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def olap_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): quarter-windowed fact
+    join + customer rollup + top-20. Both filters (order date on orders,
+    returnflag on lineitem) push to their OWN scans before the orderkey
+    shuffle; customer+nation broadcast onto the aggregated result.
+    The LIMIT compiles to TakeOrderedAndProject (no global sort) with a
+    c_custkey tie-break for cross-engine determinism — revenue is an
+    exactly-summed decimal, so the ordering itself is deterministic."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit(f"{_Q10_START} 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{_Q10_END} 00:00:00").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    customer = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "nation")
+        .agg(F.sum(rev).cast("decimal(18,4)").cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "nation")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+_Q12_LATE_DAYS = 60
+
+
+@query(
+    "olap_late_shipment_priority",
+    oracle=f"""
+    SELECT l_linestatus AS ship_class,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_priority_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_priority_count
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL {_Q12_LATE_DAYS} DAY
+    GROUP BY l_linestatus
+    ORDER BY ship_class
+    """,
+)
+def olap_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes / order priority): fact-fact join
+    with a CROSS-TABLE date predicate, then the two-bucket conditional
+    count. Adapted to the driver schema (no l_shipmode/l_receiptdate):
+    "late" is l_shipdate > o_orderdate + 60 days, and l_linestatus stands
+    in for the shipmode grouping. The join predicate can't push to either
+    scan (it spans both tables), so it evaluates right after the orderkey
+    join — the shape Q12 exists to test. Counts are integers: hash-exact."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linestatus", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {_Q12_LATE_DAYS} DAYS")
+        )
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_priority_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+_Q2_SIZE = 15
+_Q2_REGION = "EUROPE"
+
+
+@query(
+    "olap_min_cost_supplier",
+    oracle=f"""
+    WITH supply AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_supplycost
+        FROM lineitem
+        GROUP BY 1, 2
+    ),
+    eligible AS (
+        SELECT ps_partkey, ps_suppkey, ps_supplycost
+        FROM supply
+        JOIN supplier ON ps_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = '{_Q2_REGION}'
+    )
+    SELECT s_acctbal, s_name, n_name AS nation, p_partkey, p_name,
+           CAST(e.ps_supplycost AS DOUBLE) AS supply_cost
+    FROM eligible e
+    JOIN part ON e.ps_partkey = p_partkey
+    JOIN supplier ON e.ps_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_size = {_Q2_SIZE}
+      AND e.ps_supplycost = (
+        SELECT MIN(e2.ps_supplycost) FROM eligible e2
+        WHERE e2.ps_partkey = e.ps_partkey
+      )
+    ORDER BY s_acctbal DESC, nation, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def olap_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): the correlated-MIN
+    subquery — for each part, keep only suppliers matching the per-part
+    minimum supply cost within a region. Adapted to the driver schema
+    (no partsupp): the supply relation is derived as MIN(l_extendedprice)
+    per (part, supplier) pair from lineitem. Spark plan: ONE aggregation
+    builds the supply relation, a window-free groupBy computes the
+    per-part min, and a broadcast join re-attaches it (decorrelation by
+    hand — the same rewrite Catalyst applies to the SQL form). Ties on
+    the min keep ALL matching suppliers, per the official Q2. Cost is an
+    exact decimal MIN cast to DOUBLE only at projection."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = (
+        _t(spark, sf_dir, "region")
+        .filter(F.col("r_name") == _Q2_REGION)
+        .select("r_regionkey")
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") == _Q2_SIZE)
+        .select("p_partkey", "p_name")
+    )
+    supply = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(F.min(F.col("l_extendedprice").cast("decimal(18,2)")).alias("ps_supplycost"))
+    eligible = (
+        supply.join(
+            F.broadcast(
+                supplier.join(nation, supplier["s_nationkey"] == nation["n_nationkey"])
+                .join(region, nation["n_regionkey"] == region["r_regionkey"])
+                .select("s_suppkey", "s_name", "s_acctbal", F.col("n_name").alias("nation"))
+            ),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+        )
+    )
+    part_min = eligible.groupBy(F.col("ps_partkey").alias("pm_partkey")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        eligible.join(
+            F.broadcast(part), F.col("ps_partkey") == part["p_partkey"]
+        )
+        .join(
+            F.broadcast(part_min),
+            (F.col("ps_partkey") == F.col("pm_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "nation",
+            "p_partkey",
+            "p_name",
+            F.col("ps_supplycost").cast("double").alias("supply_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "nation", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+_Q20_PREFIX = "red"
+_Q20_SHARE_NUM, _Q20_SHARE_DEN = 1, 10
+
+
+@query(
+    "olap_dominant_part_suppliers",
+    oracle=f"""
+    WITH shipped AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS supp_qty
+        FROM lineitem
+        GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_qty
+        FROM lineitem
+        GROUP BY 1
+    )
+    SELECT DISTINCT s_name, n_name AS nation
+    FROM shipped
+    JOIN totals  USING (l_partkey)
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '{_Q20_PREFIX}%'
+      AND supp_qty * {_Q20_SHARE_DEN} > total_qty * {_Q20_SHARE_NUM}
+    ORDER BY s_name
+    """,
+)
+def olap_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): the nested aggregated
+    semi-join — suppliers qualify through an aggregate comparison inside
+    the subquery (their shipped quantity of 'red%' parts exceeds 10% of
+    that part's total), then dedup to supplier identity. Adapted: the
+    availqty/lineitem-sum comparison becomes a per-supplier vs per-part
+    quantity share, scale-free at any SF. Both aggregations reuse the SAME
+    shuffle key prefix (partkey), and the share test is integer-scaled
+    decimal arithmetic (×10 both sides) — no division, hash-exact. The
+    DISTINCT collapses multi-part qualifiers before the broadcast joins."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(qty).cast("decimal(18,2)").alias("supp_qty")
+    )
+    totals = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum(qty).cast("decimal(18,2)").alias("total_qty")
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith(_Q20_PREFIX))
+        .select("p_partkey")
+    )
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    return (
+        shipped.join(totals, F.col("l_partkey") == F.col("t_partkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == part["p_partkey"])
+        .filter(
+            F.col("supp_qty") * F.lit(_Q20_SHARE_DEN)
+            > F.col("total_qty") * F.lit(_Q20_SHARE_NUM)
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier["s_suppkey"])
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation["n_nationkey"])
+        .select("s_name", "nation")
+        .distinct()
+        .orderBy("s_name")
+    )

@@ -439,3 +439,58 @@ def test_span_coverage_is_join_free(spark):
     plan = formatted_plan(df)
     assert "Join" not in plan and "BroadcastExchange" not in plan
     assert count_exchanges(df) == 2
+
+
+def test_q6_pure_pushdown_single_row_agg(spark):
+    """Q6 shape: every predicate reaches the parquet scan as a pushed
+    filter, no join, and the only exchange is the 1-row final aggregate —
+    at 100 TB this query is decided entirely by footer pruning + codegen."""
+    df = QUERIES["olap_revenue_forecast_delta"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "Join" not in plan
+    assert count_exchanges(df) == 1  # partial agg -> single-partition final
+    flat = " ".join(pushed_filters(df))
+    assert "l_shipdate" in flat and "l_discount" in flat and "l_quantity" in flat
+
+
+def test_q8_all_dims_broadcast_single_fact_shuffle(spark):
+    """Q8 shape: 8-relation tree where part/supplier/region and both
+    nation roles ride broadcasts; shuffles are only lineitem-orders plus
+    the year groupBy."""
+    df = QUERIES["olap_national_market_share"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert count_exchanges(df) <= 3  # two join sides + final groupBy
+    # the p_type filter pushes into the part scan, not post-join
+    assert any("p_type" in f for f in pushed_filters(df))
+
+
+def test_q10_topk_is_takeordered(spark):
+    """Q10 shape: the LIMIT 20 compiles to TakeOrderedAndProject (never a
+    global Sort), and both per-table filters push to their own scans."""
+    df = QUERIES["olap_returned_item_customers"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    flat = " ".join(pushed_filters(df))
+    assert "l_returnflag" in flat and "o_orderdate" in flat
+
+
+def test_q2_decorrelated_min_broadcasts(spark):
+    """Q2 shape: the per-part min re-attaches via broadcast joins (hand
+    decorrelation), so the supply relation is aggregated exactly once per
+    branch and never cross-joined."""
+    df = QUERIES["olap_min_cost_supplier"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q20_share_test_stays_integer_decimal(spark):
+    """Q20 shape: the quantity-share comparison is decimal multiplication
+    (no division anywhere in the plan), and the part-name prefix filter
+    pushes down as a StringStartsWith."""
+    df = QUERIES["olap_dominant_part_suppliers"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "divide" not in plan.lower()
+    assert any("StringStartsWith" in f or "p_name" in f for f in pushed_filters(df))
