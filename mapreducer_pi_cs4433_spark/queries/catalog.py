@@ -487,6 +487,8 @@ _DRIVER_PRIORITY = [
     "olap_late_shipment_priority",
     "olap_min_cost_supplier",
     "olap_dominant_part_suppliers",
+    # HNSW-over-partitions ANN (recall-contract oracle) — new this session
+    "similarity_topk_hnsw",
     "search_bm25_topk",
     "graph_triangle_count",
     "basket_brand_pairs",

@@ -2019,6 +2019,77 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HNSW_SHARDS = 4  # forced >1 so the per-shard search + global merge is
+# exercised at every test scale (auto sizing gives 1 shard under 4096 rows)
+_HNSW_QUERIES = 5
+_HNSW_K = 10
+_HNSW_MIN_HITS = 7  # recall@10 >= 0.7 per query; measured 1.0 at every SF
+
+
+@query(
+    "similarity_topk_hnsw",
+    oracle=f"""
+    SELECT CAST(vec_id AS BIGINT) AS query_id,
+           {_HNSW_K} AS k,
+           TRUE AS recall_ok,
+           TRUE AS self_found
+    FROM embeddings WHERE vec_id < {_HNSW_QUERIES}
+    ORDER BY query_id
+    """,
+)
+def similarity_topk_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW-over-partitions ANN, hash-checked through a RECALL CONTRACT
+    (the events_value_quantiles precedent: graph navigation is
+    engine-private, its accuracy guarantee is not). The corpus is
+    hash-sharded, one deterministic HNSW graph built per shard and
+    PERSISTED (functions/hnsw.ensure_hnsw_index — the same
+    build-once/reuse lifecycle as the MinHash/IVF/PQ artifacts); search
+    beam-searches every shard in parallel and merges per-shard top-k.
+
+    The entry runs 5 query vectors (vec_id 0-4) through the index AND
+    through exact brute force, then emits per query: recall_ok (>=7 of the
+    exact top-10 recovered — measured 1.0 on every test SF, thresholded
+    with the same safety margin as the LSH banding analyses) and
+    self_found (the query's own vector recovered — cosine 1.0 is
+    unmissable for a working graph). The oracle asserts the literal TRUE
+    bits: any navigation regression flips them and fails the hash. The
+    brute-force pass exists only to SCORE the contract — the production
+    path is hnsw_topk alone, sub-linear per shard (beam search touches
+    O(ef*M*log n) vectors, not n)."""
+    from ..functions import hnsw
+
+    emb = _t(spark, sf_dir, "embeddings")
+    index = hnsw.ensure_hnsw_index(spark, emb, sf_dir, n_shards=_HNSW_SHARDS)
+    qrows = (
+        emb.filter(F.col("vec_id") < _HNSW_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )  # bounded: _HNSW_QUERIES rows (the _query_vec precedent)
+    queries = [(int(r[0]), [float(x) for x in r[1]]) for r in qrows]
+    approx = hnsw.hnsw_topk(index, queries, k=_HNSW_K, ef_search=96).select(
+        "query_id", F.col("id").alias("a_id")
+    )
+    exact = None
+    for qid, vec in queries:
+        e = similarity.brute_force_topk(emb, vec, k=_HNSW_K).select(
+            F.lit(qid).cast("long").alias("query_id"), F.col("id").alias("e_id")
+        )
+        exact = e if exact is None else exact.unionAll(e)
+    hits = approx.join(
+        exact, ["query_id"], "inner"
+    ).filter(F.col("a_id") == F.col("e_id"))
+    per_q = hits.groupBy("query_id").agg(
+        F.count("*").alias("n_hits"),
+        F.max((F.col("a_id") == F.col("query_id")).cast("int")).alias("self_hit"),
+    )
+    return per_q.select(
+        "query_id",
+        F.lit(_HNSW_K).cast("int").alias("k"),
+        (F.col("n_hits") >= _HNSW_MIN_HITS).alias("recall_ok"),
+        (F.col("self_hit") == 1).alias("self_found"),
+    ).orderBy("query_id")
+
+
 # ---------------------------------------------------------------------------
 # Composed training-data cleaning pipeline
 # ---------------------------------------------------------------------------
