@@ -489,6 +489,7 @@ _DRIVER_PRIORITY = [
     "olap_dominant_part_suppliers",
     # HNSW-over-partitions ANN (recall-contract oracle) — new this session
     "similarity_topk_hnsw",
+    "text_lm_trigram_score",
     "search_bm25_topk",
     "graph_triangle_count",
     "basket_brand_pairs",

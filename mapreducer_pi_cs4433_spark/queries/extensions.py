@@ -3190,3 +3190,76 @@ def dedup_span_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     sh = dedup.ensure_positional_shingles(spark, docs, sf_dir, k=_SPAN_K)
     return dedup.redact_shared_spans(docs, "text", "doc_id", k=_SPAN_K, sh=sh)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-relative character-LM quality score
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_lm_trigram_score",
+    oracle="""
+    WITH n AS (
+        SELECT doc_id, regexp_replace(text, '\\s+', ' ', 'g') AS norm
+        FROM documents
+    ), tri AS (
+        SELECT doc_id,
+               unnest([substr(norm, i::INT, 3)
+                       for i in range(1, greatest(length(norm) - 2, 1) + 1)]) AS g
+        FROM n
+    ), c AS (
+        SELECT g, COUNT(*) AS cnt FROM tri GROUP BY g
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tri,
+           SUM(c.cnt)::BIGINT AS sum_freq,
+           CAST(SUM(c.cnt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_freq
+    FROM tri t JOIN c USING (g)
+    GROUP BY t.doc_id
+    """,
+)
+def text_lm_trigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: each document rated by how typical
+    its character trigrams are OF THIS CORPUS — avg_freq is the mean
+    corpus-wide occurrence count of the doc's trigrams (a unigram char-LM
+    likelihood up to monotone transform, kept RATIONAL: one double
+    division of two exact BIGINTs, no transcendentals — the
+    text_tfidf_top_terms determinism rule). Low scorers are the gibberish/
+    boilerplate outliers a cleaning pipeline drops; unlike a fixed
+    stopword heuristic (text_quality) the model is the corpus itself, no
+    external asset.
+
+    Scale shape: ONE explode of the corpus into the trigram stream, then
+    compacted immediately to per-(doc, trigram) counts (|doc|*|distinct
+    tri/doc| rows, far smaller than the raw stream) and localCheckpointed
+    so the two consumers — the global trigram model and the per-doc score
+    join — never re-run the explode (the LSH no-rescan rule). The model
+    table is bounded by charset^3 regardless of corpus size (~20k rows for
+    lowercase ASCII), so it BROADCASTS onto the per-doc stream: the only
+    data-sized exchanges are the compaction groupBy and the final per-doc
+    aggregation."""
+    docs = _t(spark, sf_dir, "documents")
+    tri = text.exploded_shingles(docs, k=3, distinct=False)
+    grouped = (
+        tri.groupBy("id", "shingle")
+        .agg(F.count("*").alias("n_occ"))
+        .localCheckpoint(eager=False)
+    )
+    model = grouped.groupBy("shingle").agg(F.sum("n_occ").alias("cnt"))
+    return (
+        grouped.join(F.broadcast(model), "shingle")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.sum("n_occ").alias("n_tri"),
+            F.sum(F.col("n_occ") * F.col("cnt")).alias("sum_freq"),
+        )
+        .select(
+            "doc_id",
+            "n_tri",
+            "sum_freq",
+            (F.col("sum_freq").cast("double") / F.col("n_tri").cast("double")).alias(
+                "avg_freq"
+            ),
+        )
+    )
