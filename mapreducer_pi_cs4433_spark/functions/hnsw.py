@@ -336,3 +336,88 @@ def hnsw_topk(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental index lifecycle (segment model)
+# ---------------------------------------------------------------------------
+#
+# Because search is a union over independent shards, the index grows the way
+# Lucene segments do: an admission batch becomes NEW segment(s) — the base
+# shards are never rewritten — and a periodic compaction re-shards the whole
+# corpus back to target-sized segments. Between compactions the only cost of
+# accumulation is more (smaller) graphs to probe per query, which is the
+# same trade Lucene makes; correctness is unaffected since every vector
+# still lives in exactly one segment. This mirrors the incremental
+# corpus-admission pipeline in streaming/dedup.py: the caller owns an
+# explicit index directory with an explicit lifecycle, distinct from the
+# content-keyed read-only artifacts of ensure_hnsw_index.
+
+
+def init_hnsw_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    target_shard_rows: int = 4096,
+    m: int = _M,
+    ef_construction: int = _EF_CONSTRUCTION,
+) -> None:
+    """Create the index directory from the initial corpus (overwrites)."""
+    build_hnsw_index(
+        df, vec_col, id_col, None, target_shard_rows, m, ef_construction
+    ).write.mode("overwrite").partitionBy("shard").parquet(path)
+
+
+def append_hnsw_delta(
+    spark: SparkSession,
+    new_df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    target_shard_rows: int = 4096,
+    m: int = _M,
+    ef_construction: int = _EF_CONSTRUCTION,
+) -> int:
+    """Admit a batch of NEW vectors as fresh segment(s); returns the first
+    new segment id. Base segments are untouched — the admission cost is
+    graph construction over the batch alone. A crashed append leaves
+    partial segment files; compact_hnsw_index is the repair (it rewrites
+    the directory from the surviving rows atomically)."""
+    existing = spark.read.parquet(path)
+    base = existing.agg(F.max("shard")).head()[0] + 1
+    delta = build_hnsw_index(
+        new_df, vec_col, id_col, None, target_shard_rows, m, ef_construction
+    ).withColumn("shard", (F.col("shard") + F.lit(base)).cast("int"))
+    delta.write.mode("append").partitionBy("shard").parquet(path)
+    return int(base)
+
+
+def compact_hnsw_index(
+    spark: SparkSession,
+    path: str,
+    target_shard_rows: int = 4096,
+    m: int = _M,
+    ef_construction: int = _EF_CONSTRUCTION,
+) -> int:
+    """Re-shard the whole index back to target-sized segments (the Lucene
+    merge): read every segment's vectors, rebuild hash-sharded graphs, and
+    swap the directory atomically (write beside, os.replace). Returns the
+    post-compaction segment count."""
+    import os
+    import shutil
+
+    live = spark.read.parquet(path).select(
+        F.col("id").alias("vec_id"), F.col("vec").alias("embedding")
+    )
+    tmp = path.rstrip("/") + ".compact.tmp"
+    build_hnsw_index(
+        live, "embedding", "vec_id", None, target_shard_rows, m, ef_construction
+    ).write.mode("overwrite").partitionBy("shard").parquet(tmp)
+    old = path.rstrip("/") + ".compact.old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(path, old)
+    os.replace(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    out = spark.read.parquet(path)
+    return out.select("shard").distinct().count()

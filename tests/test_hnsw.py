@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from mapreducer_pi_cs4433_spark.functions import hnsw
 from mapreducer_pi_cs4433_spark.sources.loaders import load_table
@@ -135,3 +136,74 @@ def test_ensure_index_persists_and_reuses(spark, emb, tmp_path, monkeypatch):
     assert idx2.count() == n1 == emb.count()
     files = list(tmp_path.rglob("_SUCCESS"))
     assert len(files) == 1
+
+
+def test_graph_degree_caps_hold():
+    """Every node's level-0 adjacency is pruned to <= 2M and upper levels
+    to <= M — the memory contract a shard's state rests on."""
+    rng = np.random.default_rng(2)
+    pts = rng.normal(size=(1000, 32))
+    xs = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    levels, adj = hnsw._build_shard_graph(np.arange(1000), xs)
+    for i, per_level in enumerate(adj):
+        assert len(per_level) == levels[i] + 1
+        for layer, nbrs in enumerate(per_level):
+            cap = 2 * hnsw._M if layer == 0 else hnsw._M
+            assert len(nbrs) <= cap
+            assert i not in nbrs  # no self-loops
+            assert len(set(nbrs)) == len(nbrs)  # no duplicate edges
+
+
+def test_layer0_is_connected():
+    """Greedy insertion with bidirectional connect must leave layer 0
+    connected — otherwise some vectors are unreachable from the entry."""
+    rng = np.random.default_rng(3)
+    pts = rng.normal(size=(800, 32))
+    xs = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    levels, adj = hnsw._build_shard_graph(np.arange(800), xs)
+    layer0 = [a[0] for a in adj]
+    seen = {0}
+    frontier = [0]
+    while frontier:
+        nxt = []
+        for u in frontier:
+            for v in layer0[u]:
+                if v not in seen:
+                    seen.add(v)
+                    nxt.append(v)
+        frontier = nxt
+    assert len(seen) == 800
+
+
+def test_incremental_segments_and_compaction(spark, emb, corpus, tmp_path):
+    """Lucene-segment lifecycle: init on part of the corpus, admit the
+    rest as delta segments (base untouched), search spans old+new, and
+    compaction re-shards without changing results."""
+    ids, x, xn = corpus
+    path = str(tmp_path / "hnsw_idx")
+    base_df = emb.filter(F.col("vec_id") < 300)
+    delta_df = emb.filter(F.col("vec_id") >= 300)
+    hnsw.init_hnsw_index(base_df, path, target_shard_rows=128)
+    before = spark.read.parquet(path)
+    base_shards = {r["shard"] for r in before.select("shard").distinct().collect()}
+    first_new = hnsw.append_hnsw_delta(spark, delta_df, path, target_shard_rows=128)
+    assert first_new == max(base_shards) + 1
+    after = spark.read.parquet(path)
+    assert after.count() == emb.count()
+    # base segment rows unchanged by the append
+    assert after.filter(F.col("shard").isin(list(base_shards))).count() == 300
+
+    # a query for a DELTA vector must recover it plus near-exact top-10
+    qpos = int(np.flatnonzero(ids == 450)[0])
+    queries = [(450, [float(v) for v in x[qpos]])]
+    res = hnsw.hnsw_topk(after, queries, k=10, ef_search=96).collect()
+    got = {r["id"] for r in res}
+    assert 450 in got
+    assert len(got & _exact_topk(ids, xn, x[qpos])) >= 9
+
+    n_seg = hnsw.compact_hnsw_index(spark, path, target_shard_rows=256)
+    assert n_seg == 2  # 500 rows / 256 target
+    compacted = spark.read.parquet(path)
+    assert compacted.count() == emb.count()
+    res2 = hnsw.hnsw_topk(compacted, queries, k=10, ef_search=96).collect()
+    assert {r["id"] for r in res2} == got
