@@ -551,8 +551,11 @@ _DRIVER_PRIORITY = [
     "text_quality_by_source",
     "events_funnel",
     "events_transition_matrix",
-    # Rows-only, stable
+    # Upgraded rows-only -> recall-contract oracle this session
     "similarity_topk_pq",
+    # Rows-only, stable: pi's RNG demo (its oracle-checked twin is
+    # pi_estimate_hash) and the sign-LSH pair listing (its exact twin is
+    # dedup_embedding_exact_pairs, hash-checked)
     "pi_estimate",
     "dedup_embedding_neardup",
 ]
