@@ -63,6 +63,7 @@ def _build_index(spark, sf_dir: str, kinds_csv: str) -> int:
             "components",
             "ivf",
             "pq",
+            "hnsw",
             "graph",
         }
         if kinds_csv == "all"
@@ -91,13 +92,22 @@ def _build_index(spark, sf_dir: str, kinds_csv: str) -> int:
         built.append(
             ("components", fdedup.ensure_neardup_components(spark, docs, sf_dir).count())
         )
-    if "ivf" in kinds or "pq" in kinds:
+    if "ivf" in kinds or "pq" in kinds or "hnsw" in kinds:
         emb = loaders.load_table(spark, sf_dir, "embeddings")
         if "ivf" in kinds:
             built.append(("ivf", fsim.ensure_ivf_index(spark, emb, sf_dir).count()))
         if "pq" in kinds:
             _, codes = fsim.ensure_pq_artifacts(spark, emb, sf_dir)
             built.append(("pq", codes.count()))
+        if "hnsw" in kinds:
+            from .functions import hnsw as fhnsw
+
+            built.append(
+                (
+                    "hnsw",
+                    fhnsw.ensure_hnsw_index(spark, emb, sf_dir, n_shards=4).count(),
+                )
+            )
     if "graph" in kinds:
         from .queries.extensions import ensure_pagerank_graph
 

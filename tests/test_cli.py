@@ -116,7 +116,7 @@ def test_cli_build_index(tmp_path):
         return subprocess.run(
             [sys.executable, "-m", "mapreducer_pi_cs4433_spark.cli",
              "build-index", "/root/testdata/sf0.001",
-             "--kinds", "minhash,graph"],
+             "--kinds", "minhash,graph,hnsw"],
             capture_output=True, text=True, timeout=300, env=env, cwd=REPO,
         )
 
@@ -124,6 +124,7 @@ def test_cli_build_index(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "minhash ready (500 rows)" in r.stdout
     assert "graph ready" in r.stdout
+    assert "hnsw ready (500 rows)" in r.stdout
     r2 = run()  # idempotent reuse: same report, no rebuild error
     assert r2.returncode == 0 and "minhash ready (500 rows)" in r2.stdout
 
