@@ -56,6 +56,26 @@ _STATE_SCHEMA = StructType(
 )
 
 
+def mg_update(summary: dict[int, int], key: int, c: int, m: int) -> dict[int, int]:
+    """One batched Misra-Gries step: absorb `c` occurrences of `key` into a
+    summary of at most `m` counters. The batched decrement removes
+    dec*(m+1) total mass per eviction round (dec from each of the m
+    counters plus dec of the candidate), so the classic bound holds: any
+    key's undercount <= floor(n/(m+1)) over a stream of n occurrences —
+    property-tested against exact counting in tests/test_streaming_heavy."""
+    if key in summary:
+        summary[key] += c
+        return summary
+    if len(summary) < m:
+        summary[key] = c
+        return summary
+    dec = min(c, min(summary.values()))
+    summary = {k: v - dec for k, v in summary.items() if v - dec > 0}
+    if c - dec > 0:
+        summary[key] = c - dec
+    return summary
+
+
 def misra_gries_stream(
     stream: DataFrame,
     key_col: str = "user_id",
@@ -83,21 +103,8 @@ def misra_gries_stream(
             # key of this bucket's micro-batch slice
             compact = pdf["key"].value_counts()
             for k, c in compact.items():
-                k, c = int(k), int(c)
-                total += c
-                if k in summary:
-                    summary[k] += c
-                elif len(summary) < m:
-                    summary[k] = c
-                else:
-                    # decrement-all by the largest amount that keeps the
-                    # invariant (batch form of the classic one-step MG)
-                    dec = min(c, min(summary.values()))
-                    summary = {
-                        kk: vv - dec for kk, vv in summary.items() if vv - dec > 0
-                    }
-                    if c - dec > 0:
-                        summary[k] = c - dec
+                total += int(c)
+                summary = mg_update(summary, int(k), int(c), m)
         state.update((list(summary.keys()), list(summary.values()), total))
         if summary:
             yield pd.DataFrame(

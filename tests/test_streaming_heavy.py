@@ -103,3 +103,42 @@ def test_each_key_lives_in_one_bucket(spark):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_mg_update_bound_property():
+    """Property: for ANY stream and ANY batching, the Misra-Gries summary
+    holds <= m counters, never overcounts, and undercounts any key by at
+    most floor(n/(m+1)) — the guarantee merge_heavy_hitters' survival
+    claim rests on."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mapreducer_pi_cs4433_spark.streaming.heavy import mg_update
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=400),
+        st.integers(min_value=2, max_value=12),
+        st.randoms(use_true_random=False),
+    )
+    def check(stream, m, rnd):
+        truth = Counter(stream)
+        n = len(stream)
+        # arbitrary batching: chop the stream into random-sized batches,
+        # compact each batch (as the stateful fn does), feed sequentially
+        summary: dict[int, int] = {}
+        i = 0
+        while i < n:
+            j = min(n, i + rnd.randint(1, 50))
+            for k, c in Counter(stream[i:j]).items():
+                summary = mg_update(summary, k, c, m)
+            i = j
+        assert len(summary) <= m
+        for k, lb in summary.items():
+            assert lb <= truth[k]
+        for k, true_c in truth.items():
+            assert true_c - summary.get(k, 0) <= n // (m + 1)
+
+    check()
