@@ -2045,18 +2045,16 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .collect()
     )  # bounded: _PQ_QUERIES rows (the _query_vec precedent)
+    queries = [(int(r[0]), [float(x) for x in r[1]]) for r in qrows]
     approx = None
-    exact = None
-    for r in qrows:
-        qid, vec = int(r[0]), [float(x) for x in r[1]]
+    for qid, vec in queries:
+        # the PQ side stays per-query: each pass scans only the 8-byte
+        # code table + a k*rf exact re-rank, not the corpus
         a = similarity.pq_topk(
             enc, books, vec, k=_PQ_K, rerank=emb, rerank_factor=_PQ_RERANK
         ).select(F.lit(qid).cast("long").alias("query_id"), F.col("id").alias("a_id"))
-        e = similarity.brute_force_topk(emb, vec, k=_PQ_K).select(
-            F.lit(qid).cast("long").alias("query_id"), F.col("id").alias("e_id")
-        )
         approx = a if approx is None else approx.unionAll(a)
-        exact = e if exact is None else exact.unionAll(e)
+    exact = _exact_topk_multi(emb, queries, k=_PQ_K)
     hits = approx.join(exact, ["query_id"], "inner").filter(
         F.col("a_id") == F.col("e_id")
     )
@@ -2073,6 +2071,34 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("self_hit") == 1).alias("self_found"),
         )
         .orderBy("query_id")
+    )
+
+
+def _exact_topk_multi(emb: DataFrame, queries, k: int) -> DataFrame:
+    """Exact cosine top-k for SEVERAL query vectors in ONE corpus scan:
+    each row evaluates all query cosines (plan literals), explodes to
+    (query_id, e_id, sim), and a per-query window rank keeps k. One scan +
+    one |queries|*k-bounded shuffle instead of |queries| separate
+    scan+TakeOrdered passes — the scoring side of the ANN recall
+    contracts. Same rounding (9 dp) and id tie-break as
+    similarity.brute_force_topk, so the top-k sets are identical."""
+    from pyspark.sql import Window
+
+    cols = [
+        F.struct(
+            F.lit(int(qid)).cast("long").alias("query_id"),
+            F.round(similarity.cosine_to_query("embedding", vec), 9).alias("sim"),
+        )
+        for qid, vec in queries
+    ]
+    ex = emb.select(
+        F.col("vec_id").alias("e_id"), F.explode(F.array(*cols)).alias("q")
+    ).select("q.query_id", "e_id", "q.sim")
+    win = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("e_id"))
+    return (
+        ex.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= k)
+        .select("query_id", F.col("e_id").alias("e_id"))
     )
 
 
@@ -2126,12 +2152,7 @@ def similarity_topk_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = hnsw.hnsw_topk(index, queries, k=_HNSW_K, ef_search=96).select(
         "query_id", F.col("id").alias("a_id")
     )
-    exact = None
-    for qid, vec in queries:
-        e = similarity.brute_force_topk(emb, vec, k=_HNSW_K).select(
-            F.lit(qid).cast("long").alias("query_id"), F.col("id").alias("e_id")
-        )
-        exact = e if exact is None else exact.unionAll(e)
+    exact = _exact_topk_multi(emb, queries, k=_HNSW_K)
     hits = approx.join(
         exact, ["query_id"], "inner"
     ).filter(F.col("a_id") == F.col("e_id"))
