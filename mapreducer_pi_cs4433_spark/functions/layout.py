@@ -70,3 +70,28 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def write_with_bloom_filters(
+    df: DataFrame,
+    path: str,
+    bloom_cols: list[str],
+    ndv: int = 100_000,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet with per-column BLOOM FILTERS for the named columns —
+    the point-lookup complement to z-order's range clustering. Min/max
+    footer stats prune range predicates but are useless for `key = X` on
+    high-cardinality unsorted columns (every row group spans most of the
+    key domain); a bloom filter answers "definitely not in this row group"
+    for equality probes, so a needle query skips row groups without any
+    sort having been imposed at write time. `ndv` sizes the filter
+    (expected distinct values per row group; ~1% false-positive rate at
+    the parquet default bits-per-value). Readers use the filters
+    transparently via Spark's parquet filter pushdown."""
+    w = df.write.mode(mode)
+    for c in bloom_cols:
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true").option(
+            f"parquet.bloom.filter.expected.ndv#{c}", str(ndv)
+        )
+    w.parquet(path)
