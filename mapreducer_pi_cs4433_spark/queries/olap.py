@@ -1407,6 +1407,16 @@ def olap_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_size") == _Q2_SIZE)
         .select("p_partkey", "p_name")
     )
+    # The per-part MIN is computed per part, so restricting the supply
+    # relation to the filtered parts BEFORE aggregating changes nothing
+    # semantically and shrinks the groupBy ~|part|/|filtered| fold — the
+    # broadcast semi-join is the pushdown Catalyst can't infer through
+    # the aggregate on its own.
+    li = li.join(
+        F.broadcast(part.select(F.col("p_partkey").alias("f_partkey"))),
+        li["l_partkey"] == F.col("f_partkey"),
+        "left_semi",
+    )
     supply = li.groupBy(
         F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
     ).agg(F.min(F.col("l_extendedprice").cast("decimal(18,2)")).alias("ps_supplycost"))
@@ -1486,17 +1496,26 @@ def olap_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal arithmetic (×10 both sides) — no division, hash-exact. The
     DISTINCT collapses multi-part qualifiers before the broadcast joins."""
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith(_Q20_PREFIX))
+        .select("p_partkey")
+    )
+    # Both aggregations are per part, so the 'red%' restriction commutes
+    # with them: semi-joining lineitem to the filtered parts FIRST shrinks
+    # both shuffles ~|part|/|red parts| fold (the through-the-aggregate
+    # pushdown Catalyst can't infer).
+    li = li.join(
+        F.broadcast(part.select(F.col("p_partkey").alias("f_partkey"))),
+        li["l_partkey"] == F.col("f_partkey"),
+        "left_semi",
+    )
     qty = F.col("l_quantity").cast("decimal(18,2)")
     shipped = li.groupBy("l_partkey", "l_suppkey").agg(
         F.sum(qty).cast("decimal(18,2)").alias("supp_qty")
     )
     totals = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
         F.sum(qty).cast("decimal(18,2)").alias("total_qty")
-    )
-    part = (
-        _t(spark, sf_dir, "part")
-        .filter(F.col("p_name").startswith(_Q20_PREFIX))
-        .select("p_partkey")
     )
     supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
     nation = _t(spark, sf_dir, "nation").select(
