@@ -478,11 +478,14 @@ def test_q10_topk_is_takeordered(spark):
 def test_q2_decorrelated_min_broadcasts(spark):
     """Q2 shape: the per-part min re-attaches via broadcast joins (hand
     decorrelation), so the supply relation is aggregated exactly once per
-    branch and never cross-joined."""
+    branch and never cross-joined; the p_size part filter pushes BELOW the
+    supply aggregation as a broadcast LEFT SEMI (per-part MIN commutes
+    with restricting the part set)."""
     df = QUERIES["olap_min_cost_supplier"](spark, SF_SMOKE)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+    assert "LeftSemi" in plan
     assert "TakeOrderedAndProject" in plan
 
 
@@ -494,3 +497,4 @@ def test_q20_share_test_stays_integer_decimal(spark):
     plan = formatted_plan(df)
     assert "divide" not in plan.lower()
     assert any("StringStartsWith" in f or "p_name" in f for f in pushed_filters(df))
+    assert "LeftSemi" in plan  # 'red%' restriction lands BELOW both aggs
