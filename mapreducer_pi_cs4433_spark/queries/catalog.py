@@ -391,6 +391,7 @@ def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 from . import (  # noqa: E402,F401  (registration side effect)
     extensions,
     olap,
+    pipeline_ext,
     temporal_queries,
     windows,
 )
@@ -478,6 +479,15 @@ _DRIVER_PRIORITY = [
     # evidence like everything else outside the window)
     "mixture_weighted_sample",
     "dedup_normalized_exact",
+    # Round-3 pipeline extensions (queries/pipeline_ext.py) — new, below the
+    # zero-sum window with FULL-file + sf0.001/sf0.01 test evidence
+    "events_gap_fill",
+    "events_new_users_daily",
+    "text_chunk_windows",
+    "mixture_token_budget_fill",
+    "text_ngram_novelty",
+    "olap_custkey_skew_profile",
+    "er_fuzzy_name_pairs",
     # The final six classic TPC-H shapes (Q2/Q6/Q8/Q10/Q12/Q20), completing
     # all 22 — new this session, below the zero-sum window with the same
     # FULL-file + sf0.001/sf0.01 test evidence as the rest of this band
