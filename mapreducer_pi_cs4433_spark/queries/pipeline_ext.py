@@ -465,3 +465,224 @@ def er_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pair_listings"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer training + embedding feature statistics
+# ---------------------------------------------------------------------------
+
+_BPE_STEPS = 3
+
+
+def _bpe_iteration_sql(k: int) -> str:
+    """One unrolled BPE round: adjacent-pair counts on corpus c{k-1}, the
+    argmax pair t{k} (count desc, pair asc — total order), merged corpus
+    c{k}. Matches the Spark loop body symbol-for-symbol."""
+    p = k - 1
+    return f"""
+    y{p} AS (
+        SELECT string_split(trim(sym), ' ') AS toks, freq FROM c{p}
+    ), z{p} AS (
+        SELECT toks, freq, unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM y{p} WHERE len(toks) >= 2
+    ), p{k} AS (
+        SELECT toks[i] || ' ' || toks[i+1] AS pair, sum(freq) AS cnt
+        FROM z{p} GROUP BY 1
+    ), t{k} AS (
+        SELECT pair, cnt FROM p{k} ORDER BY cnt DESC, pair LIMIT 1
+    ), c{k} AS (
+        SELECT replace(sym, t{k}.pair || ' ',
+                       replace(t{k}.pair, ' _', '') || ' ') AS sym, freq
+        FROM c{p}, t{k}
+    )"""
+
+
+def _bpe_oracle() -> str:
+    its = ",".join(_bpe_iteration_sql(k) for k in range(1, _BPE_STEPS + 1))
+    outs = "\nUNION ALL\n".join(
+        f"""SELECT {k} AS step,
+               replace(string_split(pair, ' ')[1], '_', '') AS left_sym,
+               replace(string_split(pair, ' ')[2], '_', '') AS right_sym,
+               cnt::BIGINT AS pair_count
+        FROM t{k}"""
+        for k in range(1, _BPE_STEPS + 1)
+    )
+    return f"""
+    WITH w AS (
+        SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  t -> t <> '')) AS word
+        FROM documents
+    ), wf AS (
+        SELECT word, count(*) AS freq FROM w GROUP BY 1
+    ), c0 AS (
+        SELECT regexp_replace(word, '(.)', '_\\1 ', 'g') AS sym, freq FROM wf
+    ), {its}
+    {outs}
+    """
+
+
+@query("text_bpe_merges", oracle=_bpe_oracle())
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training, first {N} merge rounds: learn the
+    merge table (the artifact a tokenizer ships) from corpus word
+    frequencies. Each round counts adjacent symbol pairs weighted by word
+    frequency, picks the most frequent pair (total-order tiebreak on the
+    pair string), and rewrites the vocabulary by merging that pair.
+
+    Symbols are marker-prefixed ("_e _y ") so the merge rewrite is a plain
+    string replace with exact symbol-boundary semantics — no regex, no
+    Python, cross-engine identical (leftmost non-overlapping, so a run
+    "aaa" merges to "aa"+"a" exactly as greedy BPE does). Scale shape: the
+    corpus-sized work is ONE wordcount shuffle; every round then runs on
+    the distinct-word table (vocabulary-sized, shrinking as merges land),
+    with the argmax pair a 1-row broadcast onto it — the exact lifecycle
+    of production BPE training, where the corpus is scanned once and
+    rounds iterate on the in-memory vocab. Per-round results are
+    localCheckpoint-ed: the vocab table feeds both the next round's pair
+    counts and its own rewrite, and an unmaterialized lineage would
+    re-execute exponentially.
+    """.format(N=_BPE_STEPS)
+    docs = _t(spark, sf_dir, "documents").select("text")
+    # Token-explode amplification on a one-split corpus runs on 1 of 32
+    # cores (the exploded_shingles lesson) — repartition the slim text
+    # projection only when the scan under-parallelizes; no-ops at real
+    # corpus scale.
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
+    words = (
+        docs.select(
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    cur = words.select(
+        F.regexp_replace("word", "(.)", "_$1 ").alias("sym"), "freq"
+    ).localCheckpoint()
+    merges = []
+    for step in range(1, _BPE_STEPS + 1):
+        toks = F.split(F.trim(F.col("sym")), " ")
+        base = cur.select(
+            "freq", toks.alias("toks"), F.size(toks).alias("n")
+        ).filter(F.col("n") >= 2)
+        pairs = base.select(
+            "freq",
+            "toks",
+            F.explode(F.sequence(F.lit(1), F.col("n") - 1)).alias("i"),
+        ).select(
+            F.concat_ws(
+                " ",
+                F.expr("element_at(toks, i)"),
+                F.expr("element_at(toks, i + 1)"),
+            ).alias("pair"),
+            "freq",
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .localCheckpoint()
+        )
+        merges.append(
+            top.select(
+                F.lit(step).alias("step"),
+                F.replace(
+                    F.element_at(F.split("pair", " "), 1),
+                    F.lit("_"),
+                    F.lit(""),
+                ).alias("left_sym"),
+                F.replace(
+                    F.element_at(F.split("pair", " "), 2),
+                    F.lit("_"),
+                    F.lit(""),
+                ).alias("right_sym"),
+                F.col("cnt").cast("long").alias("pair_count"),
+            )
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(top))
+            .select(
+                F.replace(
+                    F.col("sym"),
+                    F.concat(F.col("pair"), F.lit(" ")),
+                    F.concat(
+                        F.replace(F.col("pair"), F.lit(" _"), F.lit("")),
+                        F.lit(" "),
+                    ),
+                ).alias("sym"),
+                "freq",
+            )
+            .localCheckpoint()
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out
+
+
+@query(
+    "embedding_dim_stats",
+    oracle="""
+    WITH q AS (
+        SELECT i AS dim,
+               CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+                   AS qv
+        FROM embeddings CROSS JOIN range(1, 65) t(i)
+        WHERE embedding IS NOT NULL
+    ), s AS (
+        SELECT dim, count(*) AS n, min(qv) AS mn, max(qv) AS mx,
+               CAST(sum(qv) AS BIGINT) AS sm
+        FROM q GROUP BY 1
+    )
+    SELECT dim::INT AS dim, n::BIGINT AS n_vectors,
+           mn::BIGINT AS min_micro, mx::BIGINT AS max_micro,
+           sm AS sum_micro,
+           (sm - ((sm % n) + n) % n) // n AS mean_micro
+    FROM s
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus statistics over the embedding column — the
+    feature-normalization pre-pass (min/max/mean per dimension is what a
+    scaler, quantizer, or dead-dimension detector consumes before any
+    vector workload).
+
+    Exactness contract (the embedding_centroids idiom): components are
+    floor-quantized to integer micro-units, so sums are reduction-order
+    independent and the mean is an exact floor division (negative-safe via
+    the ((s%n)+n)%n normalization — `div` truncates toward zero, floor
+    must round toward -inf). Scale shape: posexplode to (dim, q) pairs and
+    one partial-aggregated shuffle keyed by the 64 dims; no arrays cross
+    the exchange, no Python anywhere.
+    """
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    comp = emb.select(F.posexplode("embedding").alias("pos", "v")).select(
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.floor(F.col("v").cast("double") * 1_000_000)
+        .cast("long")
+        .alias("qv"),
+    )
+    return (
+        comp.groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("qv").alias("mn"),
+            F.max("qv").alias("mx"),
+            F.sum("qv").alias("sm"),
+        )
+        .select(
+            "dim",
+            F.col("n").cast("long").alias("n_vectors"),
+            F.col("mn").cast("long").alias("min_micro"),
+            F.col("mx").cast("long").alias("max_micro"),
+            F.col("sm").cast("long").alias("sum_micro"),
+            F.expr("(sm - (((sm % n) + n) % n)) div n")
+            .cast("long")
+            .alias("mean_micro"),
+        )
+    )
