@@ -65,9 +65,16 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus time range — no driver-side calendar materialization.
     """
     events = _t(spark, sf_dir, "events")
-    counts = events.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("h")
-    ).agg(F.count("*").alias("n_events"))
+    # The (type, hour) aggregate feeds BOTH the span min/max and the join
+    # probe; the two consumers' subtrees differ enough that ReuseExchange
+    # does NOT fire (verified on the executed plan), so without
+    # materialization the raw events scan + shuffle runs twice. The
+    # aggregate is types x hours rows — tiny at any corpus scale.
+    counts = (
+        events.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").alias("n_events"))
+        .localCheckpoint()
+    )
     spans = counts.groupBy("event_type").agg(
         F.min("h").alias("h0"), F.max("h").alias("h1")
     )

@@ -498,3 +498,60 @@ def test_q20_share_test_stays_integer_decimal(spark):
     assert "divide" not in plan.lower()
     assert any("StringStartsWith" in f or "p_name" in f for f in pushed_filters(df))
     assert "LeftSemi" in plan  # 'red%' restriction lands BELOW both aggs
+
+
+def test_chunk_windows_is_narrow(spark):
+    """RAG chunking must stay scan -> project -> generate -> project: zero
+    exchanges, zero Python — at 100 TB the chunker's cost is exactly one
+    corpus read."""
+    df = QUERIES["text_chunk_windows"](spark, SF_SMOKE)
+    assert count_exchanges(df) == 0
+    assert "BatchEvalPython" not in formatted_plan(df)
+
+
+def test_gap_fill_scans_events_once(spark):
+    """The hour spine and the left join must both derive from the
+    MATERIALIZED (type, hour) aggregate (ReuseExchange verifiably does not
+    fire across the two consumers) — zero parquet scans in the live plan,
+    so the raw events shuffle runs exactly once."""
+    df = QUERIES["events_gap_fill"](spark, SF_SMOKE)
+    assert formatted_plan(df).count("Scan parquet") == 0
+
+
+def test_new_users_scans_events_once(spark):
+    # one physical scan; each scan node prints twice (tree + detail)
+    df = QUERIES["events_new_users_daily"](spark, SF_SMOKE)
+    assert formatted_plan(df).count("Scan parquet") == 2
+
+
+def test_fuzzy_er_blocks_instead_of_cartesian(spark):
+    """Blocked fuzzy matching must plan as an equi hash join on the block
+    key; an unblocked fuzzy join would be a cartesian
+    (BroadcastNestedLoopJoin) over the dimension."""
+    plan = formatted_plan(QUERIES["er_fuzzy_name_pairs"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mixture_budget_single_exchange(spark):
+    """Per-source budget fill is one shuffle (the partitionBy-source
+    window); token counting and the hash key are narrow projections."""
+    df = QUERIES["mixture_token_budget_fill"](spark, SF_SMOKE)
+    assert count_exchanges(df) == 1
+
+
+def test_ngram_novelty_materializes_grams_once(spark):
+    """The distinct gram table feeds both the df count and the join probe;
+    the localCheckpoint must collapse them onto ONE materialized subtree
+    (zero parquet re-scans, one Generate at most in the live plan)."""
+    plan = formatted_plan(QUERIES["text_ngram_novelty"](spark, SF_SMOKE))
+    assert plan.count("Scan parquet") == 0  # grams checkpointed
+    assert plan.count("Generate") == 0
+
+
+def test_dim_stats_single_exchange(spark):
+    """Per-dimension stats: posexplode then ONE partial-aggregated shuffle
+    keyed by dim — arrays never cross the exchange."""
+    df = QUERIES["embedding_dim_stats"](spark, SF_SMOKE)
+    assert count_exchanges(df) == 1
