@@ -13,8 +13,13 @@ training-data pipeline needs and the earlier suites did not yet cover:
 - ``olap_custkey_skew_profile`` — heavy-key diagnostics for a join key
   (the pre-flight a skew-aware planner needs; operators/skew.py is the
   mitigation, this is the measurement).
-- ``er_fuzzy_name_pairs`` — blocked fuzzy entity-matching on a distinct
-  dimension (dedupe the dimension, never the fact table).
+- ``er_fuzzy_name_pairs`` / ``er_fuzzy_resolution`` — blocked fuzzy
+  entity-matching on a distinct dimension (dedupe the dimension, never the
+  fact table), contracted to canonical entities by connected components.
+- ``text_bpe_merges`` — distributed BPE tokenizer training (merge table).
+- ``embedding_dim_stats`` — exact per-dimension feature statistics.
+- ``text_source_divergence`` — exact TVD drift per source vs the corpus.
+- ``multimodal_frame_sample`` — binary frame-slice sampling, oracle-checked.
 
 Every query follows the cross-engine determinism rules in catalog.py:
 integer/string outputs only, identical aliases in both engines, total
@@ -793,4 +798,128 @@ def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("((p + (n - c_present) * n_s) * 1000000) div (2 * n_s * n)")
         .cast("long")
         .alias("tvd_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal frame sampling (catalog surface for functions/multimodal.py)
+# ---------------------------------------------------------------------------
+
+_FRAME_BYTES = 64
+_MAX_FRAMES = 8
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id AS media_id, text FROM documents
+    ), f AS (
+        SELECT media_id, text,
+               unnest(generate_series(0, {_MAX_FRAMES - 1})) AS frame_no
+        FROM m
+    )
+    SELECT media_id,
+           frame_no::BIGINT AS frame_no,
+           length(substring(text, frame_no * {_FRAME_BYTES} + 1,
+                            {_FRAME_BYTES}))::BIGINT AS n_frame_bytes,
+           md5(substring(text, frame_no * {_FRAME_BYTES} + 1,
+                         {_FRAME_BYTES})) AS frame_md5
+    FROM f WHERE frame_no * {_FRAME_BYTES} < length(text)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-stride frame sampling over opaque binary payloads — the video
+    keyframe-extraction plumbing (functions/multimodal.py sample_frames)
+    promoted to an oracle-checked catalog entry: every frame slice runs on
+    the BINARY column JVM-side (substr on bytes, bounded <= {MF}-frame
+    fan-out per row), with the per-frame checksum the downstream decode
+    stage would key on.
+
+    Oracle trick (the multimodal_features precedent): payloads are UTF-8
+    bytes of the ASCII corpus, so byte offsets == char offsets and DuckDB
+    can mirror the slices on VARCHAR — the Spark side still exercises the
+    real binary path end-to-end.
+    """.format(MF=_MAX_FRAMES)
+    from ..functions import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.attach_payload(docs)
+    frames = multimodal.sample_frames(
+        media, every_n_bytes=_FRAME_BYTES, max_frames=_MAX_FRAMES
+    )
+    return frames.select(
+        "media_id",
+        F.col("frame_no").cast("long").alias("frame_no"),
+        F.length("frame_bytes").cast("long").alias("n_frame_bytes"),
+        F.md5("frame_bytes").alias("frame_md5"),
+    )
+
+
+@query(
+    "er_fuzzy_resolution",
+    oracle=f"""
+    WITH RECURSIVE n AS (
+        SELECT p_name, count(*) AS n_listings FROM part GROUP BY 1
+    ), k AS (
+        SELECT p_name, n_listings, string_split(p_name, ' ')[-1] AS blk
+        FROM n
+    ), prs AS (
+        SELECT a.p_name AS name_a, b.p_name AS name_b
+        FROM k a JOIN k b ON a.blk = b.blk AND a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= {_ER_MAX_EDIT}
+    ), edges AS (
+        SELECT name_a AS src, name_b AS dst FROM prs
+        UNION ALL
+        SELECT name_b, name_a FROM prs
+    ), reach(id, r) AS (
+        SELECT src, src FROM edges GROUP BY src
+        UNION
+        SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+    ), comp AS (
+        SELECT id, min(r) AS canonical_name FROM reach GROUP BY id
+    ), sizes AS (
+        SELECT canonical_name, count(*) AS entity_size
+        FROM comp GROUP BY 1
+    )
+    SELECT comp.id AS name,
+           comp.canonical_name,
+           n.n_listings::BIGINT AS n_listings,
+           sizes.entity_size::BIGINT AS entity_size
+    FROM comp
+    JOIN n ON comp.id = n.p_name
+    JOIN sizes USING (canonical_name)
+    """,
+)
+def er_fuzzy_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: the blocked fuzzy pairs contracted to
+    entities by connected components (transitively linked names share one
+    canonical id — A~B, B~C merge even when A~C exceeds the edit bound),
+    with each member name mapped to its canonical (minimum) name, its
+    listing count, and the entity's member count. Names with no fuzzy
+    match are singletons and excluded (their resolution is the identity).
+
+    Composition: er_fuzzy_name_pairs (dimension-blocked candidate
+    generation) -> dedup.connected_components (min-label propagation on
+    the name graph, string labels — the same iterative operator the
+    near-dup cluster entry uses) -> broadcast joins of the listing and
+    size marginals. Oracle: DuckDB recursive-CTE transitive closure over
+    the identical pair set (the dedup_clusters precedent).
+    """
+    from ..functions import dedup
+
+    pairs = er_fuzzy_name_pairs(spark, sf_dir).select("name_a", "name_b")
+    comps = dedup.connected_components(pairs, "name_a", "name_b")
+    part = _t(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(F.count("*").alias("n_listings"))
+    sizes = comps.groupBy("comp").agg(F.count("*").alias("entity_size"))
+    return (
+        comps.join(F.broadcast(names), comps["id"] == names["p_name"])
+        .join(F.broadcast(sizes), "comp")
+        .select(
+            F.col("id").alias("name"),
+            F.col("comp").alias("canonical_name"),
+            F.col("n_listings").cast("long").alias("n_listings"),
+            F.col("entity_size").cast("long").alias("entity_size"),
+        )
     )
