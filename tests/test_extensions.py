@@ -581,3 +581,119 @@ def test_span_redact_crafted(spark):
     assert 1 not in got  # first occurrence keeps everything
     assert got[2] == (6, 2, "head1 tail3")
     assert got[3] == (4, 0, None)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 pipeline extensions: behavioral invariants beyond oracle equality
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_windows_cover_every_token(spark):
+    """Sliding chunks must tile each document: starts are stride-multiples,
+    the first chunk starts at 0, consecutive starts differ by exactly the
+    stride, and the last chunk reaches the final token."""
+    from mapreducer_pi_cs4433_spark.queries.pipeline_ext import (
+        _CHUNK_S,
+        _CHUNK_W,
+    )
+    from .conftest import SF_SMOKE
+
+    chunks = QUERIES["text_chunk_windows"](spark, SF_SMOKE).collect()
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n")
+    )
+    n_by_doc = {r.doc_id: r.n for r in docs.collect()}
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        assert r.start_tok == r.chunk_idx * _CHUNK_S
+        assert 1 <= r.n_tok <= _CHUNK_W
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(n_by_doc)
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r.chunk_idx)
+        assert rs[0].chunk_idx == 0
+        assert [r.chunk_idx for r in rs] == list(range(len(rs)))
+        last = rs[-1]
+        assert last.start_tok + last.n_tok == n_by_doc[doc_id]
+
+
+def test_budget_fill_admits_prefix_until_budget(spark):
+    """Every source admits at least one doc; the pre-document running total
+    is strictly under budget for every admitted doc (the crossing doc is
+    kept, nothing after it)."""
+    from mapreducer_pi_cs4433_spark.queries.pipeline_ext import (
+        _MIXTURE_BUDGET,
+    )
+    from .conftest import SF_SMOKE
+
+    rows = QUERIES["mixture_token_budget_fill"](spark, SF_SMOKE).collect()
+    sources = {
+        r.source for r in load_table(spark, SF_SMOKE, "documents").collect()
+    }
+    by_src: dict[str, list] = {}
+    for r in rows:
+        assert r.cum_tokens - r.n_tokens < _MIXTURE_BUDGET
+        by_src.setdefault(r.source, []).append(r)
+    assert set(by_src) == sources
+    for rs in by_src.values():
+        # admitted docs form a contiguous prefix of the cum ordering
+        rs.sort(key=lambda r: r.cum_tokens)
+        total = 0
+        for r in rs:
+            total += r.n_tokens
+            assert r.cum_tokens == total
+
+
+def test_source_divergence_is_bounded_ppm(spark):
+    from .conftest import SF_SMOKE
+
+    rows = QUERIES["text_source_divergence"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.tvd_ppm <= 1_000_000
+
+
+def test_bpe_merges_are_deterministic_and_shrinking(spark):
+    """Same corpus -> identical merge table across invocations; counts are
+    positive and the merged symbols are concatenations of their parts."""
+    from .conftest import SF_SMOKE
+
+    a = sorted(map(tuple, QUERIES["text_bpe_merges"](spark, SF_SMOKE).collect()))
+    b = sorted(map(tuple, QUERIES["text_bpe_merges"](spark, SF_SMOKE).collect()))
+    assert a == b
+    assert len(a) == 3
+    for step, left, right, cnt in a:
+        assert cnt > 0 and left and right
+
+
+def test_dim_stats_bounds(spark):
+    """Per-dimension mean must sit inside [min, max]; every one of the 64
+    dims is present with the full vector count."""
+    from .conftest import SF_SMOKE
+
+    rows = QUERIES["embedding_dim_stats"](spark, SF_SMOKE).collect()
+    assert {r.dim for r in rows} == set(range(1, 65))
+    counts = {r.n_vectors for r in rows}
+    assert len(counts) == 1
+    for r in rows:
+        assert r.min_micro <= r.mean_micro <= r.max_micro
+
+
+def test_er_resolution_is_consistent_with_pairs(spark):
+    """Every fuzzy pair lands in one entity; canonical names are members
+    and are the minimum of their entity; entity sizes agree with member
+    counts."""
+    from .conftest import SF_SMOKE
+
+    pairs = QUERIES["er_fuzzy_name_pairs"](spark, SF_SMOKE).collect()
+    res = QUERIES["er_fuzzy_resolution"](spark, SF_SMOKE).collect()
+    canon = {r.name: r.canonical_name for r in res}
+    for p in pairs:
+        assert canon[p.name_a] == canon[p.name_b]
+    from collections import Counter
+
+    sizes = Counter(canon.values())
+    for r in res:
+        assert canon[r.canonical_name] == r.canonical_name
+        assert r.canonical_name <= r.name
+        assert r.entity_size == sizes[r.canonical_name]
