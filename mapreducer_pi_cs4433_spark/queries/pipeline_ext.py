@@ -923,3 +923,76 @@ def er_fuzzy_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("entity_size").cast("long").alias("entity_size"),
         )
     )
+
+
+@query(
+    "dedup_chunk_exact",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+    ), c AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(0,
+                   CASE WHEN len(toks) <= {_CHUNK_W} THEN 0
+                        ELSE (len(toks) - {_CHUNK_W} + {_CHUNK_S} - 1)
+                             // {_CHUNK_S} END)) AS chunk_idx
+        FROM t
+    ), h AS (
+        SELECT doc_id, chunk_idx,
+               md5(array_to_string(
+                   list_slice(toks, chunk_idx * {_CHUNK_S} + 1,
+                              chunk_idx * {_CHUNK_S} + {_CHUNK_W}), ' '))
+                   AS chunk_hash
+        FROM c
+    ), dup AS (
+        SELECT chunk_hash, count(*) AS n_copies,
+               count(DISTINCT doc_id) AS n_docs,
+               min(doc_id * 1000000 + chunk_idx) AS keeper_key
+        FROM h GROUP BY 1 HAVING count(*) > 1
+    )
+    SELECT h.chunk_hash,
+           dup.n_copies::BIGINT AS n_copies,
+           dup.n_docs::BIGINT AS n_docs,
+           h.doc_id, h.chunk_idx::BIGINT AS chunk_idx,
+           (h.doc_id * 1000000 + h.chunk_idx = dup.keeper_key) AS is_keeper
+    FROM h JOIN dup USING (chunk_hash)
+    """,
+)
+def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup — the retrieval-index hygiene pass composed
+    over text_chunk_windows: duplicated chunk contents (same hash in more
+    than one place) listed with every occurrence and a deterministic
+    keeper flag (minimum (doc_id, chunk_idx)), so an indexer embeds each
+    duplicated span once and maps the other occurrences to it.
+
+    Scale shape: the chunker's zero-shuffle stream, then ONE grouped count
+    keyed by the 16-byte hash (never chunk text), then the occurrence list
+    re-joined on the hash — the same shuffle-carries-hashes discipline as
+    dedup_exact. The keeper key packs (doc, idx) into one int64 so the
+    argmin is a plain MIN."""
+    chunks = text_chunk_windows(spark, sf_dir).select(
+        "doc_id", "chunk_idx", "chunk_hash"
+    )
+    dup = (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min(
+                F.col("doc_id") * 1_000_000 + F.col("chunk_idx")
+            ).alias("keeper_key"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+    return chunks.join(dup, "chunk_hash").select(
+        "chunk_hash",
+        F.col("n_copies").cast("long").alias("n_copies"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        (
+            F.col("doc_id") * 1_000_000 + F.col("chunk_idx")
+            == F.col("keeper_key")
+        ).alias("is_keeper"),
+    )

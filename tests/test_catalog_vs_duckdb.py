@@ -45,6 +45,7 @@ _MUST_EMIT_ROWS = [
     "dedup_clusters",
     "dedup_keeper_selection",
     "dedup_embedding_neardup",
+    "dedup_chunk_exact",
 ]
 
 
