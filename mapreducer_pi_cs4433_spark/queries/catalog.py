@@ -486,7 +486,7 @@ _DRIVER_PRIORITY = [
     "text_chunk_windows",
     "mixture_token_budget_fill",
     "text_ngram_novelty",
-    "olap_custkey_skew_profile",
+    "diagnose_custkey_skew",
     "er_fuzzy_name_pairs",
     "text_bpe_merges",
     "embedding_dim_stats",

@@ -10,7 +10,7 @@ training-data pipeline needs and the earlier suites did not yet cover:
 - ``mixture_token_budget_fill`` — per-domain token-budget corpus sampling.
 - ``text_ngram_novelty`` — per-document novelty vs the corpus (the inverse
   of boilerplate/near-dup coverage).
-- ``olap_custkey_skew_profile`` — heavy-key diagnostics for a join key
+- ``diagnose_custkey_skew`` — heavy-key diagnostics for a join key
   (the pre-flight a skew-aware planner needs; operators/skew.py is the
   mitigation, this is the measurement).
 - ``er_fuzzy_name_pairs`` / ``er_fuzzy_resolution`` — blocked fuzzy
@@ -369,7 +369,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "olap_custkey_skew_profile",
+    "diagnose_custkey_skew",
     oracle="""
     WITH pk AS (
         SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1
@@ -385,7 +385,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 10
     """,
 )
-def olap_custkey_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def diagnose_custkey_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter profile of a join key (orders.o_custkey): the 10
     heaviest keys with their corpus share (ppm) and their multiple of the
     mean key load (x1000, integer-exact). This is the measurement side of
