@@ -533,27 +533,12 @@ def _bpe_oracle() -> str:
     """
 
 
-@query("text_bpe_merges", oracle=_bpe_oracle())
-def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed BPE tokenizer training, first {N} merge rounds: learn the
-    merge table (the artifact a tokenizer ships) from corpus word
-    frequencies. Each round counts adjacent symbol pairs weighted by word
-    frequency, picks the most frequent pair (total-order tiebreak on the
-    pair string), and rewrites the vocabulary by merging that pair.
-
-    Symbols are marker-prefixed ("_e _y ") so the merge rewrite is a plain
-    string replace with exact symbol-boundary semantics — no regex, no
-    Python, cross-engine identical (leftmost non-overlapping, so a run
-    "aaa" merges to "aa"+"a" exactly as greedy BPE does). Scale shape: the
-    corpus-sized work is ONE wordcount shuffle; every round then runs on
-    the distinct-word table (vocabulary-sized, shrinking as merges land),
-    with the argmax pair a 1-row broadcast onto it — the exact lifecycle
-    of production BPE training, where the corpus is scanned once and
-    rounds iterate on the in-memory vocab. Per-round results are
-    localCheckpoint-ed: the vocab table feeds both the next round's pair
-    counts and its own rewrite, and an unmaterialized lineage would
-    re-execute exponentially.
-    """.format(N=_BPE_STEPS)
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Shared BPE training loop (see text_bpe_merges for the full design
+    narrative): one corpus wordcount shuffle, then _BPE_STEPS rounds of
+    pair-count -> argmax-broadcast -> string-replace rewrite on the
+    vocabulary table. Returns (word-frequency table, final merged vocab,
+    per-round merge frames)."""
     docs = _t(spark, sf_dir, "documents").select("text")
     # Token-explode amplification on a one-split corpus runs on 1 of 32
     # cores (the exploded_shingles lesson) — repartition the slim text
@@ -569,6 +554,9 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
+        # feeds both the symbol table and (for encode stats) the
+        # before-encoding aggregate
+        .localCheckpoint()
     )
     cur = words.select(
         F.regexp_replace("word", "(.)", "_$1 ").alias("sym"), "freq"
@@ -629,6 +617,31 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
+    return words, cur, merges
+
+
+@query("text_bpe_merges", oracle=_bpe_oracle())
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training, first {N} merge rounds: learn the
+    merge table (the artifact a tokenizer ships) from corpus word
+    frequencies. Each round counts adjacent symbol pairs weighted by word
+    frequency, picks the most frequent pair (total-order tiebreak on the
+    pair string), and rewrites the vocabulary by merging that pair.
+
+    Symbols are marker-prefixed ("_e _y ") so the merge rewrite is a plain
+    string replace with exact symbol-boundary semantics — no regex, no
+    Python, cross-engine identical (leftmost non-overlapping, so a run
+    "aaa" merges to "aa"+"a" exactly as greedy BPE does). Scale shape: the
+    corpus-sized work is ONE wordcount shuffle; every round then runs on
+    the distinct-word table (vocabulary-sized, shrinking as merges land),
+    with the argmax pair a 1-row broadcast onto it — the exact lifecycle
+    of production BPE training, where the corpus is scanned once and
+    rounds iterate on the in-memory vocab. Per-round results are
+    localCheckpoint-ed: the vocab table feeds both the next round's pair
+    counts and its own rewrite, and an unmaterialized lineage would
+    re-execute exponentially.
+    """.format(N=_BPE_STEPS)
+    _, _, merges = _bpe_train(spark, sf_dir)
     out = merges[0]
     for m in merges[1:]:
         out = out.unionAll(m)
@@ -995,4 +1008,194 @@ def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id") * 1_000_000 + F.col("chunk_idx")
             == F.col("keeper_key")
         ).alias("is_keeper"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe splitting, BPE application, weighted sampling
+# ---------------------------------------------------------------------------
+
+
+def _leakage_oracle() -> str:
+    from .extensions import _NGRAM_JACCARD_ORACLE
+
+    return f"""
+    WITH RECURSIVE prs AS (
+        {_NGRAM_JACCARD_ORACLE}
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM prs
+        UNION ALL
+        SELECT id_b, id_a FROM prs
+    ), reach(id, r) AS (
+        SELECT src, src FROM edges GROUP BY src
+        UNION
+        SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+    ), comp AS (
+        SELECT id, min(r) AS cluster FROM reach GROUP BY id
+    )
+    SELECT d.doc_id,
+           coalesce(comp.cluster, d.doc_id) AS cluster_id,
+           (comp.id IS NOT NULL) AS is_clustered,
+           CASE WHEN substring(md5(CAST(coalesce(comp.cluster, d.doc_id)
+                                        AS VARCHAR)), 1, 1) >= 'c'
+                THEN 'heldout' ELSE 'train' END AS split
+    FROM documents d LEFT JOIN comp ON d.doc_id = comp.id
+    """
+
+
+@query("split_leakage_safe", oracle=_leakage_oracle())
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/heldout split: the hash gate keys on the NEAR-DUP
+    CLUSTER id, not the document id, so a document and its near-copies
+    always land on the same side — the split every eval pipeline needs and
+    naive per-doc hashing silently violates (a train doc's near-duplicate
+    in the heldout set is contamination by construction).
+
+    Composition: the persisted component artifact
+    (dedup.ensure_neardup_components — exact-verified LSH pairs contracted
+    by min-label propagation) left-joined onto the corpus; unclustered
+    documents are their own singleton cluster. The gate is the repo's
+    standard md5-hex >= 'c' 75/25 carve, applied to the cluster id. The
+    oracle recomputes the full recursive-CTE clustering plus the identical
+    gate, so cluster-coherence of the split is hash-checked end-to-end.
+    """
+    from .extensions import _JACCARD_T, _SHINGLE_K
+
+    from ..functions import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    comp = dedup.ensure_neardup_components(
+        spark, docs, sf_dir, k=_SHINGLE_K, num_perm=64, bands=32,
+        threshold=_JACCARD_T,
+    ).select(F.col("id").alias("cid"), F.col("comp").alias("cluster"))
+    cluster_id = F.coalesce(F.col("cluster"), F.col("doc_id"))
+    return (
+        docs.select("doc_id")
+        .join(F.broadcast(comp), F.col("doc_id") == F.col("cid"), "left")
+        .select(
+            "doc_id",
+            cluster_id.alias("cluster_id"),
+            F.col("cid").isNotNull().alias("is_clustered"),
+            F.when(
+                F.substring(F.md5(cluster_id.cast("string")), 1, 1) >= "c",
+                F.lit("heldout"),
+            )
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        )
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    its = ",".join(_bpe_iteration_sql(k) for k in range(1, _BPE_STEPS + 1))
+    return f"""
+    WITH w AS (
+        SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  t -> t <> '')) AS word
+        FROM documents
+    ), wf AS (
+        SELECT word, count(*) AS freq FROM w GROUP BY 1
+    ), c0 AS (
+        SELECT regexp_replace(word, '(.)', '_\\1 ', 'g') AS sym, freq FROM wf
+    ), {its}, sb AS (
+        SELECT count(*) AS n_distinct_words, sum(freq) AS words_total,
+               sum(freq * length(word)) AS chars_total
+        FROM wf
+    ), sa AS (
+        SELECT sum(freq * len(string_split(trim(sym), ' '))) AS tokens_total
+        FROM c{_BPE_STEPS}
+    )
+    SELECT n_distinct_words::BIGINT AS n_distinct_words,
+           words_total::BIGINT AS words_total,
+           chars_total::BIGINT AS chars_total,
+           tokens_total::BIGINT AS tokens_total,
+           (tokens_total * 1000000 // chars_total)::BIGINT
+               AS compression_ppm
+    FROM sb, sa
+    """
+
+
+@query("text_bpe_encode_stats", oracle=_bpe_encode_oracle())
+def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The apply side of BPE training: encode the corpus vocabulary with
+    the learned merge table and report the compression it buys —
+    tokens-after over chars-before (ppm), the number a tokenizer team
+    actually tracks when sizing a vocab.
+
+    Runs the same {N}-round training loop as text_bpe_merges (one corpus
+    wordcount, vocabulary-sized rounds), then two 1-row aggregates over
+    the before/after vocab tables joined by broadcast. Token counts are
+    frequency-weighted, so the stat reflects corpus encoding cost, not
+    vocabulary-entry cost.
+    """.format(N=_BPE_STEPS)
+    words, cur, _ = _bpe_train(spark, sf_dir)
+    before = words.agg(
+        F.count("*").alias("n_distinct_words"),
+        F.sum("freq").alias("words_total"),
+        F.sum(F.col("freq") * F.length("word")).alias("chars_total"),
+    )
+    after = cur.select(
+        F.size(F.split(F.trim(F.col("sym")), " ")).alias("nt"), "freq"
+    ).agg(F.sum(F.col("freq") * F.col("nt")).alias("tokens_total"))
+    return (
+        before.crossJoin(F.broadcast(after))
+        .select(
+            F.col("n_distinct_words").cast("long").alias("n_distinct_words"),
+            F.col("words_total").cast("long").alias("words_total"),
+            F.col("chars_total").cast("long").alias("chars_total"),
+            F.col("tokens_total").cast("long").alias("tokens_total"),
+            F.expr("tokens_total * 1000000 div chars_total")
+            .cast("long")
+            .alias("compression_ppm"),
+        )
+    )
+
+
+_QW_SCALE = 3000  # p_ppm = min(1e6, n_chars * 3000): docs over ~333 chars
+# are always kept, shorter docs kept with probability proportional to size
+
+
+@query(
+    "sample_quality_weighted",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               least(1000000, n_chars * {_QW_SCALE}) AS p_ppm,
+               ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   AS u32
+        FROM documents
+    )
+    SELECT doc_id, source, p_ppm::BIGINT AS p_ppm
+    FROM d
+    WHERE u32 * 1000000 < p_ppm * 4294967296
+    """,
+)
+def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted deterministic sampling: each document is admitted with
+    probability proportional to a quality weight (here: length-derived,
+    saturating at 1) — soft quality filtering without an RNG. The
+    admission test compares a 32-bit md5-derived uniform against the
+    weight entirely in int64 cross-multiplication (u32 * 1e6 < p_ppm *
+    2^32), so every engine, retry, and cluster size admits the SAME
+    documents; the u32 draw is independent of the >= 'c' first-hex-char
+    gates used by the split family (different digest positions).
+
+    Scale shape: scan -> project -> filter, zero shuffles; the weight uses
+    the ingest-time n_chars metadata column, so payload text is never
+    read (column pruning leaves a 3-column scan).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    p_ppm = F.least(F.lit(1_000_000), F.col("n_chars") * _QW_SCALE)
+    u32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            p_ppm.cast("long").alias("p_ppm"),
+            u32.alias("u32"),
+        )
+        .filter(F.col("u32") * 1_000_000 < F.col("p_ppm") * F.lit(4294967296))
+        .select("doc_id", "source", "p_ppm")
     )

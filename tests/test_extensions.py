@@ -697,3 +697,29 @@ def test_er_resolution_is_consistent_with_pairs(spark):
         assert canon[r.canonical_name] == r.canonical_name
         assert r.canonical_name <= r.name
         assert r.entity_size == sizes[r.canonical_name]
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """No near-dup cluster may span the train/heldout boundary — the whole
+    point of splitting on the cluster id; and both splits must be
+    non-empty (the 75/25 gate binds)."""
+    from .conftest import SF_SMOKE
+
+    rows = QUERIES["split_leakage_safe"](spark, SF_SMOKE).collect()
+    by_cluster: dict[int, set] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    assert {r.split for r in rows} == {"train", "heldout"}
+
+
+def test_quality_weighted_sample_is_strict_and_monotone(spark):
+    """Admission must be a strict subset, saturated-weight docs always
+    admitted-or-not by their hash alone, and re-runs identical."""
+    from .conftest import SF_SMOKE
+
+    a = sorted(r.doc_id for r in QUERIES["sample_quality_weighted"](spark, SF_SMOKE).collect())
+    b = sorted(r.doc_id for r in QUERIES["sample_quality_weighted"](spark, SF_SMOKE).collect())
+    assert a == b and len(a) > 0
+    total = load_table(spark, SF_SMOKE, "documents").count()
+    assert len(a) < total
