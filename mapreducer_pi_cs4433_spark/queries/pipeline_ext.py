@@ -1199,3 +1199,165 @@ def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u32") * 1_000_000 < F.col("p_ppm") * F.lit(4294967296))
         .select("doc_id", "source", "p_ppm")
     )
+
+
+# ---------------------------------------------------------------------------
+# Constrained funnels + freshness-weighted popularity over `events`
+# ---------------------------------------------------------------------------
+
+_FUNNEL_W = 86400  # each stage must follow the previous within 24h
+
+
+@query(
+    "events_funnel_windowed",
+    oracle=f"""
+    WITH v AS (
+        SELECT user_id, min(epoch(date_trunc('second', ts))) AS view_s
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+        SELECT e.user_id,
+               min(epoch(date_trunc('second', e.ts))) AS click_s
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click'
+          AND epoch(date_trunc('second', e.ts)) > v.view_s
+          AND epoch(date_trunc('second', e.ts)) <= v.view_s + {_FUNNEL_W}
+        GROUP BY 1
+    ), p AS (
+        SELECT e.user_id
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase'
+          AND epoch(date_trunc('second', e.ts)) > c.click_s
+          AND epoch(date_trunc('second', e.ts)) <= c.click_s + {_FUNNEL_W}
+        GROUP BY 1
+    )
+    SELECT (SELECT count(*) FROM v)::BIGINT AS n_view,
+           (SELECT count(*) FROM c)::BIGINT AS n_click_within,
+           (SELECT count(*) FROM p)::BIGINT AS n_purchase_within,
+           ((SELECT count(*) FROM p) * 1000000
+            // (SELECT count(*) FROM v))::BIGINT AS conversion_ppm
+    """,
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained conversion funnel: first view -> first click within
+    24h AFTER that view -> first purchase within 24h after THAT click.
+    Unlike events_funnel (any-order-respecting firsts), each stage anchors
+    on the previous stage's chosen event and must land inside the window —
+    the attribution semantics product analytics actually uses.
+
+    Scale shape: each stage is one grouped MIN; the stage-to-stage handoff
+    joins raw stage events against the USER-SIZED previous-stage aggregate
+    on user_id (co-partitioned with the groupBy that follows, so AQE
+    reuses the exchange); the three stage counts are 1-row aggregates
+    broadcast into a single summary row. Timestamps are second-truncated
+    integers in both engines, strict inequality for tie-determinism.
+    """
+    events = _t(spark, sf_dir, "events")
+    sec = F.col("ts").cast("long")
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(sec).alias("view_s"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .select("user_id", sec.alias("c_s"))
+        .join(v, "user_id")
+        .filter(
+            (F.col("c_s") > F.col("view_s"))
+            & (F.col("c_s") <= F.col("view_s") + _FUNNEL_W)
+        )
+        .groupBy("user_id")
+        .agg(F.min("c_s").alias("click_s"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", sec.alias("p_s"))
+        .join(c, "user_id")
+        .filter(
+            (F.col("p_s") > F.col("click_s"))
+            & (F.col("p_s") <= F.col("click_s") + _FUNNEL_W)
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").alias("_n"))
+    )
+    nv = v.agg(F.count("*").alias("n_view"))
+    nc = c.agg(F.count("*").alias("n_click_within"))
+    np_ = p.agg(F.count("*").alias("n_purchase_within"))
+    return (
+        nv.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            F.col("n_view").cast("long").alias("n_view"),
+            F.col("n_click_within").cast("long").alias("n_click_within"),
+            F.col("n_purchase_within")
+            .cast("long")
+            .alias("n_purchase_within"),
+            F.expr("n_purchase_within * 1000000 div n_view")
+            .cast("long")
+            .alias("conversion_ppm"),
+        )
+    )
+
+
+_DECAY_HORIZON = 30  # days; weight halves per day of age, ages > horizon drop
+
+
+@query(
+    "events_decayed_type_scores",
+    oracle=f"""
+    WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ), mx AS (
+        SELECT max(day) AS max_day FROM d
+    ), w AS (
+        SELECT event_type, n,
+               date_diff('day', day, max_day) AS age_d
+        FROM d CROSS JOIN mx
+        WHERE date_diff('day', day, max_day) <= {_DECAY_HORIZON}
+    )
+    SELECT event_type,
+           sum(n)::BIGINT AS n_events,
+           sum(n * (1::BIGINT << ({_DECAY_HORIZON} - age_d)))::BIGINT
+               AS decayed_score
+    FROM w GROUP BY 1
+    """,
+)
+def events_decayed_type_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness-weighted popularity per event type: exponential decay with
+    a one-day half-life, computed EXACTLY — the day-age weight is a power
+    of two applied as an int64 bit shift (n * 2^(horizon - age)), so the
+    trending score is reduction-order independent and hash-matches across
+    engines (a float pow() would be neither). Ages beyond the {H}-day
+    horizon drop out, bounding the shift and the score magnitude
+    (n * 2^{H} per day bucket).
+
+    Scale shape: the raw scan collapses to (type, day) grain first; the
+    global newest day is a 1-row broadcast (the C2 idiom); weighting and
+    the final per-type SUM run on the day-grain aggregate.
+    """.format(H=_DECAY_HORIZON)
+    events = _t(spark, sf_dir, "events")
+    d = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    mx = d.agg(F.max("day").alias("max_day"))
+    w = (
+        d.crossJoin(F.broadcast(mx))
+        .select(
+            "event_type",
+            "n",
+            F.datediff("max_day", "day").alias("age_d"),
+        )
+        .filter(F.col("age_d") <= _DECAY_HORIZON)
+    )
+    return w.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.sum(
+            F.col("n")
+            * F.expr(
+                f"shiftleft(1L, cast({_DECAY_HORIZON} - age_d AS int))"
+            )
+        )
+        .cast("long")
+        .alias("decayed_score"),
+    )
