@@ -1253,10 +1253,16 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     events = _t(spark, sf_dir, "events")
     sec = F.col("ts").cast("long")
+    # Each stage aggregate feeds BOTH the next stage's join and its own
+    # count; unmaterialized, the lineage re-executes every upstream stage
+    # per consumer (measured: 6 events scans instead of 3). The aggregates
+    # are user-sized — at cluster scale these are the persisted funnel
+    # checkpoint tables.
     v = (
         events.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min(sec).alias("view_s"))
+        .localCheckpoint()
     )
     c = (
         events.filter(F.col("event_type") == "click")
@@ -1268,6 +1274,7 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id")
         .agg(F.min("c_s").alias("click_s"))
+        .localCheckpoint()
     )
     p = (
         events.filter(F.col("event_type") == "purchase")
@@ -1337,9 +1344,15 @@ def events_decayed_type_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final per-type SUM run on the day-grain aggregate.
     """.format(H=_DECAY_HORIZON)
     events = _t(spark, sf_dir, "events")
-    d = events.groupBy(
-        "event_type", F.to_date("ts").alias("day")
-    ).agg(F.count("*").alias("n"))
+    # (type, day) grain feeds both the global-max-day aggregate and the
+    # weighting pass; ReuseExchange does not bridge the two consumers
+    # (verified: 2 scans, 0 reuse) — materialize the tiny aggregate so the
+    # events scan + shuffle runs once (the gap-fill lesson).
+    d = (
+        events.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()
+    )
     mx = d.agg(F.max("day").alias("max_day"))
     w = (
         d.crossJoin(F.broadcast(mx))

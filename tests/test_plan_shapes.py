@@ -555,3 +555,30 @@ def test_dim_stats_single_exchange(spark):
     keyed by dim — arrays never cross the exchange."""
     df = QUERIES["embedding_dim_stats"](spark, SF_SMOKE)
     assert count_exchanges(df) == 1
+
+
+def test_weighted_sample_prunes_payload(spark):
+    """Weighted sampling must never read document text: the scan schema is
+    exactly (doc_id, source, n_chars) and the plan is scan -> project ->
+    filter with zero exchanges."""
+    df = QUERIES["sample_quality_weighted"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert count_exchanges(df) == 0
+    assert "text" not in "".join(
+        l for l in plan.splitlines() if "ReadSchema" in l
+    )
+
+
+def test_decayed_scores_scan_events_once(spark):
+    """The (type, day) aggregate is materialized — zero parquet scans in
+    the live plan, so the events scan + shuffle runs once."""
+    df = QUERIES["events_decayed_type_scores"](spark, SF_SMOKE)
+    assert formatted_plan(df).count("Scan parquet") == 0
+
+
+def test_windowed_funnel_scans_each_stage_once(spark):
+    """Stage aggregates are materialized: the live plan reads only the
+    purchase-stage scan (1 physical scan; scan nodes print twice), not
+    the re-executed view/click lineage."""
+    df = QUERIES["events_funnel_windowed"](spark, SF_SMOKE)
+    assert formatted_plan(df).count("Scan parquet") == 2
