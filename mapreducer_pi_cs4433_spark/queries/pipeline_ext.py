@@ -1374,3 +1374,80 @@ def events_decayed_type_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("decayed_score"),
     )
+
+
+@query(
+    "orders_backlog_sweep",
+    oracle="""
+    WITH li AS (
+        SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS last_ship
+        FROM lineitem GROUP BY 1
+    ), iv AS (
+        SELECT CAST(o_orderdate AS DATE) AS start_d,
+               greatest(li.last_ship, CAST(o_orderdate AS DATE)) AS close_d
+        FROM orders JOIN li ON o_orderkey = l_orderkey
+    ), ev AS (
+        SELECT start_d AS day, 1 AS delta FROM iv
+        UNION ALL
+        SELECT close_d + 1, -1 FROM iv
+    ), d AS (
+        SELECT day, sum(delta) AS delta FROM ev GROUP BY 1
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           delta::BIGINT AS delta,
+           sum(delta) OVER (
+               ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           )::BIGINT AS open_orders
+    FROM d
+    """,
+)
+def orders_backlog_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval aggregation by sweep line: how many orders are OPEN (placed
+    but not yet fully shipped) on each change day — the classic
+    concurrent-intervals problem (active sessions, open tickets, in-flight
+    jobs) solved without ever joining rows to days.
+
+    Each order interval [orderdate, last shipdate] emits a +1 at its start
+    and a -1 the day after it closes — both deltas from ONE pass via
+    explode(array(struct,struct)), so the interval table is never consumed
+    twice. Daily deltas aggregate first (the only fact-sized shuffle is
+    the per-order max-shipdate groupBy + the join), then the running sum
+    over change days runs on a table bounded by the calendar — at 100 TB
+    the window input is still a few thousand rows. Orders that somehow
+    ship before they are placed clamp to zero-length (greatest guard).
+    """
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max(F.to_date("l_shipdate")).alias("last_ship"))
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("start_d")
+    )
+    iv = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        "start_d",
+        F.greatest("last_ship", "start_d").alias("close_d"),
+    )
+    ev = iv.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("start_d").alias("day"), F.lit(1).alias("delta")
+                ),
+                F.struct(
+                    F.date_add("close_d", 1).alias("day"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.day", "e.delta")
+    d = ev.groupBy("day").agg(F.sum("delta").alias("delta"))
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return d.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("delta").cast("long").alias("delta"),
+        F.sum("delta").over(w).cast("long").alias("open_orders"),
+    )
