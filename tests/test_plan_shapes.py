@@ -560,7 +560,11 @@ def test_dim_stats_single_exchange(spark):
 def test_weighted_sample_prunes_payload(spark):
     """Weighted sampling must never read document text: the scan schema is
     exactly (doc_id, source, n_chars) and the plan is scan -> project ->
-    filter with zero exchanges."""
+    filter with zero exchanges. Another test's .cache() of the documents
+    table would swap the scan for an InMemoryRelation whose embedded plan
+    reads every column — clear the cache so we assert the query's own
+    pruning, not cross-test cache state."""
+    spark.catalog.clearCache()
     df = QUERIES["sample_quality_weighted"](spark, SF_SMOKE)
     plan = formatted_plan(df)
     assert count_exchanges(df) == 0
