@@ -20,6 +20,13 @@ training-data pipeline needs and the earlier suites did not yet cover:
 - ``embedding_dim_stats`` — exact per-dimension feature statistics.
 - ``text_source_divergence`` — exact TVD drift per source vs the corpus.
 - ``multimodal_frame_sample`` — binary frame-slice sampling, oracle-checked.
+- ``dedup_chunk_exact`` — keeper-flagged chunk-level dedup over the chunker.
+- ``split_leakage_safe`` — train/heldout carve keyed on near-dup CLUSTER ids.
+- ``text_bpe_encode_stats`` — apply the learned merges; compression report.
+- ``sample_quality_weighted`` — RNG-free weighted admission (int64 compare).
+- ``events_funnel_windowed`` — stage-anchored 24h-window conversion funnel.
+- ``events_decayed_type_scores`` — exact power-of-2 decay trending scores.
+- ``orders_backlog_sweep`` — concurrent-intervals sweep line (+1/-1 deltas).
 
 Every query follows the cross-engine determinism rules in catalog.py:
 integer/string outputs only, identical aliases in both engines, total
