@@ -500,6 +500,8 @@ _DRIVER_PRIORITY = [
     "events_funnel_windowed",
     "events_decayed_type_scores",
     "orders_backlog_sweep",
+    "dq_referential_census",
+    "embedding_norm_profile",
     # The final six classic TPC-H shapes (Q2/Q6/Q8/Q10/Q12/Q20), completing
     # all 22 — new this session, below the zero-sum window with the same
     # FULL-file + sf0.001/sf0.01 test evidence as the rest of this band

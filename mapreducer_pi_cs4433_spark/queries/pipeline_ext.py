@@ -1458,3 +1458,186 @@ def orders_backlog_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("delta").cast("long").alias("delta"),
         F.sum("delta").over(w).cast("long").alias("open_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality census operators
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq_referential_census",
+    oracle="""
+    WITH rel AS (
+        SELECT 'lineitem->orders' AS relationship,
+               (SELECT count(*) FROM lineitem) AS n_child,
+               (SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey))
+                   AS n_orphans
+        UNION ALL
+        SELECT 'lineitem->part',
+               (SELECT count(*) FROM lineitem),
+               (SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM part p
+                                  WHERE p.p_partkey = l.l_partkey))
+        UNION ALL
+        SELECT 'lineitem->supplier',
+               (SELECT count(*) FROM lineitem),
+               (SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                  WHERE s.s_suppkey = l.l_suppkey))
+        UNION ALL
+        SELECT 'orders->customer',
+               (SELECT count(*) FROM orders),
+               (SELECT count(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey))
+    )
+    SELECT relationship, n_child::BIGINT AS n_child,
+           n_orphans::BIGINT AS n_orphans,
+           (n_orphans * 1000000 // n_child)::BIGINT AS orphan_ppm
+    FROM rel
+    """,
+)
+def dq_referential_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity census: for every foreign-key relationship in
+    the star schema, how many child rows point at a missing parent — the
+    ingest-validation report that decides whether a join may silently drop
+    rows (every inner join in this catalog assumes these are ~zero; this
+    query is what checks that assumption on real data).
+
+    Scale shape: each relationship is one left_anti join against the
+    parent KEY projection (a one-column table — broadcastable for dims,
+    shuffled for orders) aggregated to a count; the four 1-row results
+    union into the report. No row data beyond the key column ever moves.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+
+    def census(rel: str, child: DataFrame, ckey: str, parent: DataFrame,
+               pkey: str) -> DataFrame:
+        keys = child.select(ckey)
+        orphans = keys.join(
+            parent.select(pkey), keys[ckey] == F.col(pkey), "left_anti"
+        ).agg(F.count("*").alias("n_orphans"))
+        total = keys.agg(F.count("*").alias("n_child"))
+        return (
+            total.crossJoin(F.broadcast(orphans))
+            .select(
+                F.lit(rel).alias("relationship"),
+                F.col("n_child").cast("long").alias("n_child"),
+                F.col("n_orphans").cast("long").alias("n_orphans"),
+                F.expr("n_orphans * 1000000 div n_child")
+                .cast("long")
+                .alias("orphan_ppm"),
+            )
+        )
+
+    parts = [
+        census("lineitem->orders", li, "l_orderkey", orders, "o_orderkey"),
+        census("lineitem->part", li, "l_partkey",
+               _t(spark, sf_dir, "part"), "p_partkey"),
+        census("lineitem->supplier", li, "l_suppkey",
+               _t(spark, sf_dir, "supplier"), "s_suppkey"),
+        census("orders->customer", orders, "o_custkey",
+               _t(spark, sf_dir, "customer"), "c_custkey"),
+    ]
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionAll(x)
+    return out
+
+
+@query(
+    "embedding_norm_profile",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+                   AS qv
+        FROM embeddings CROSS JOIN range(1, 65) t(i)
+        WHERE embedding IS NOT NULL
+    ), n AS (
+        SELECT vec_id, sum(qv * qv) AS sq FROM q GROUP BY 1
+    ), med AS (
+        SELECT quantile_disc(sq, 0.5) AS m FROM n
+    )
+    SELECT count(*)::BIGINT AS n_vectors,
+           min(sq)::BIGINT AS min_norm2,
+           quantile_disc(sq, 0.01)::BIGINT AS p01_norm2,
+           max(m)::BIGINT AS med_norm2,
+           quantile_disc(sq, 0.99)::BIGINT AS p99_norm2,
+           max(sq)::BIGINT AS max_norm2,
+           sum(CASE WHEN sq * 2 < m OR sq > m * 2 THEN 1 ELSE 0 END)::BIGINT
+               AS n_outliers_2x
+    FROM n CROSS JOIN med
+    """,
+)
+def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broken-embedding detector, reported as a corpus norm profile: exact
+    order-statistic spread of per-vector squared norms plus the count of
+    vectors more than 2x from the median in either direction — the
+    hygiene report that catches zeroed, truncated, or double-scaled
+    vectors before they poison similarity search. (On this corpus the
+    embeddings are unit-normalized to within ppm, so the healthy answer
+    is a tight band and n_outliers_2x = 0 — the REPORT is the product,
+    which is why the output is the always-non-empty summary row rather
+    than an outlier listing that would be empty at every scale factor.)
+
+    Exactness: norms are integer micro-unit sums of squares (the
+    embedding_centroids quantization contract); min/percentile/median/max
+    are exact order statistics over those integers (percentile_disc cast
+    back to BIGINT — the selected value is one of the inputs, < 2^53, so
+    the double round-trip is lossless); the outlier test is pure int64.
+    Scale shape: posexplode -> one grouped SUM per vector -> 1-row
+    broadcast median -> one final 1-row aggregate.
+    """
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    n = (
+        emb.select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+        .select(
+            "vec_id",
+            F.floor(F.col("v").cast("double") * 1_000_000)
+            .cast("long")
+            .alias("qv"),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("qv") * F.col("qv")).alias("sq"))
+        # feeds the median subquery AND the final profile aggregate; the
+        # posexplode lineage must not run twice
+        .localCheckpoint()
+    )
+    n.createOrReplaceTempView("_norm_sq")
+    med = spark.sql(
+        "SELECT CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY sq) "
+        "AS BIGINT) AS m FROM _norm_sq"
+    )
+    return (
+        n.crossJoin(F.broadcast(med))
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.min("sq").cast("long").alias("min_norm2"),
+            F.expr(
+                "CAST(percentile_disc(0.01) WITHIN GROUP (ORDER BY sq) "
+                "AS BIGINT)"
+            ).alias("p01_norm2"),
+            F.max("m").cast("long").alias("med_norm2"),
+            F.expr(
+                "CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY sq) "
+                "AS BIGINT)"
+            ).alias("p99_norm2"),
+            F.max("sq").cast("long").alias("max_norm2"),
+            F.sum(
+                F.when(
+                    (F.col("sq") * 2 < F.col("m"))
+                    | (F.col("sq") > F.col("m") * 2),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers_2x"),
+        )
+    )
