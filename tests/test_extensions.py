@@ -723,3 +723,51 @@ def test_quality_weighted_sample_is_strict_and_monotone(spark):
     assert a == b and len(a) > 0
     total = load_table(spark, SF_SMOKE, "documents").count()
     assert len(a) < total
+
+
+def test_backlog_sweep_invariants(spark):
+    """The sweep's running count can never go negative, and because every
+    +1 has a matching -1, the final open-order count is exactly zero."""
+    from .conftest import SF_SMOKE
+
+    rows = QUERIES["orders_backlog_sweep"](spark, SF_SMOKE).collect()
+    rows.sort(key=lambda r: r.day)
+    assert rows
+    assert all(r.open_orders >= 0 for r in rows)
+    assert rows[-1].open_orders == 0
+    assert sum(r.delta for r in rows) == 0
+
+
+def test_windowed_funnel_is_monotone(spark):
+    """Each funnel stage can only lose users, and the windowed funnel can
+    never convert MORE users than the unconstrained one."""
+    from .conftest import SF_SMOKE
+
+    w = QUERIES["events_funnel_windowed"](spark, SF_SMOKE).first()
+    assert w.n_view >= w.n_click_within >= w.n_purchase_within >= 0
+    u = QUERIES["events_funnel"](spark, SF_SMOKE).first()
+    assert w.n_purchase_within <= u.n_view  # same user universe
+
+
+def test_referential_census_is_clean_on_testdata(spark):
+    """The synthetic star schema is referentially intact — the census must
+    say so (any nonzero orphan count means a loader or generator bug the
+    inner-join queries would silently absorb)."""
+    from .conftest import SF_SMOKE
+
+    rows = QUERIES["dq_referential_census"](spark, SF_SMOKE).collect()
+    assert len(rows) == 4
+    assert all(r.n_orphans == 0 and r.orphan_ppm == 0 for r in rows)
+    assert all(r.n_child > 0 for r in rows)
+
+
+def test_norm_profile_order_statistics_are_ordered(spark):
+    from .conftest import SF_SMOKE
+
+    r = QUERIES["embedding_norm_profile"](spark, SF_SMOKE).first()
+    assert (
+        r.min_norm2 <= r.p01_norm2 <= r.med_norm2
+        <= r.p99_norm2 <= r.max_norm2
+    )
+    assert r.n_outliers_2x == 0  # unit-normalized corpus
+    assert r.n_vectors > 0
