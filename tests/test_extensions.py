@@ -771,3 +771,35 @@ def test_norm_profile_order_statistics_are_ordered(spark):
     )
     assert r.n_outliers_2x == 0  # unit-normalized corpus
     assert r.n_vectors > 0
+
+
+def test_bpe_marker_replace_boundary_semantics(spark):
+    """The marker-prefixed symbol encoding must make plain string replace
+    behave exactly like greedy leftmost non-overlapping BPE merging, in
+    BOTH engines: runs merge floor(n/2) times ("aaaa" -> "aa aa",
+    "aaa" -> "aa a"), and a pattern can never match mid-symbol
+    ("xa a" does NOT contain the pair (a, a))."""
+    import duckdb
+
+    cases = [
+        ("_a _a _a _a ", "_a _a ", "_aa ", "_aa _aa "),
+        ("_a _a _a ", "_a _a ", "_aa ", "_aa _a "),
+        ("_xa _a ", "_a _a ", "_aa ", "_xa _a "),  # no mid-symbol match
+        ("_e _y _e _y ", "_e _y ", "_ey ", "_ey _ey "),
+    ]
+    df = spark.createDataFrame(
+        [(s, pat, rep) for s, pat, rep, _ in cases], ["sym", "pat", "rep"]
+    )
+    got = [
+        r[0]
+        for r in df.select(
+            F.replace(F.col("sym"), F.col("pat"), F.col("rep"))
+        ).collect()
+    ]
+    assert got == [want for *_, want in cases]
+    con = duckdb.connect()
+    for s, pat, rep, want in cases:
+        assert con.execute(
+            "SELECT replace(?, ?, ?)", [s, pat, rep]
+        ).fetchone()[0] == want
+    con.close()
