@@ -19,10 +19,12 @@ Cross-engine determinism rules (the driver hash-compares values):
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, MapType, StructType
 
 from ..operators import social
 from ..sources.loaders import load_table
@@ -31,15 +33,42 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
 
+def _check_output_schema(name: str, df: DataFrame) -> DataFrame:
+    """Hard-reject Array/Map/Struct-typed OUTPUT columns from catalog
+    queries. The driver's correctness gate canonicalizes results through
+    pandas (per-column sort_values -> factorize), which hash-tables cell
+    values — a list/dict cell raises `TypeError: unhashable type` and the
+    whole query records as an error (r3 driver failure:
+    olap_customer_order_years). Failing HERE, on every call path (driver,
+    full_oracle_check, tests, bench), makes the bug class unshippable:
+    emit concat_ws/array_to_string or explode to rows instead."""
+    for f in df.schema.fields:
+        if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+            raise TypeError(
+                f"catalog query {name!r} emits complex-typed output column "
+                f"{f.name!r} ({f.dataType.simpleString()}); downstream "
+                "pandas canonicalizers cannot hash Array/Map/Struct cells "
+                "— serialize it (concat_ws / array_to_string) or explode "
+                "to one row per element"
+            )
+    return df
+
+
 def query(name: str, oracle: str | None = None):
     """Register a (spark, sf_dir) -> DataFrame query, optionally with its
-    ANSI-SQL DuckDB oracle twin. No oracle => driver runs rows-only check."""
+    ANSI-SQL DuckDB oracle twin. No oracle => driver runs rows-only check.
+    The registered callable validates its own output schema — see
+    _check_output_schema."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        QUERIES[name] = fn
+        @functools.wraps(fn)
+        def guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return _check_output_schema(name, fn(spark, sf_dir))
+
+        QUERIES[name] = guarded
         if oracle is not None:
             ORACLE[name] = oracle
-        return fn
+        return guarded
 
     return deco
 

@@ -652,52 +652,78 @@ def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_anomaly_mad",
     oracle="""
-    WITH med AS (
-        SELECT event_type, quantile_disc(value, 0.5) AS med
-        FROM events WHERE value IS NOT NULL GROUP BY event_type
+    WITH ev AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL
+    ), mr AS (
+        SELECT event_type, v,
+               row_number() OVER (PARTITION BY event_type ORDER BY v) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM ev
+    ), med AS (
+        SELECT event_type, MIN(CASE WHEN rk = (n + 1) // 2 THEN v END) AS med
+        FROM mr GROUP BY event_type
+    ), dr AS (
+        SELECT e.event_type, abs(e.v - m.med) AS d
+        FROM ev e JOIN med m USING (event_type)
+    ), drr AS (
+        SELECT event_type, d,
+               row_number() OVER (PARTITION BY event_type ORDER BY d) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM dr
     ), mad AS (
-        SELECT e.event_type, any_value(med) AS med,
-               quantile_disc(abs(value - med), 0.5) AS mad
-        FROM events e JOIN med USING (event_type)
-        WHERE value IS NOT NULL GROUP BY e.event_type
+        SELECT event_type, MIN(CASE WHEN rk = (n + 1) // 2 THEN d END) AS mad
+        FROM drr GROUP BY event_type
     )
     SELECT e.event_type,
            COUNT(*) AS n_events,
-           SUM(CASE WHEN abs(value - med) > 3 * mad THEN 1 ELSE 0 END)
+           SUM(CASE WHEN abs(e.v - m.med) > 3 * a.mad THEN 1 ELSE 0 END)
              AS n_outliers,
-           any_value(med) AS median_value,
-           any_value(mad) AS mad_value
-    FROM events e JOIN mad USING (event_type)
-    WHERE value IS NOT NULL
+           any_value(m.med) AS median_centi,
+           any_value(a.mad) AS mad_centi
+    FROM ev e JOIN med m USING (event_type) JOIN mad a USING (event_type)
     GROUP BY e.event_type
     """,
 )
 def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier detection per event type: |value - median| > 3*MAD
     (median absolute deviation) — the quality gate that survives the
-    heavy-tailed metrics that break mean/stddev z-scores. Every statistic
-    is an ORDER STATISTIC (percentile_disc selects an actual element,
-    never interpolates) and the derived values are single IEEE ops on
-    them (one subtraction, one abs, one multiply), so Spark and DuckDB
-    compute bit-identical thresholds and the outlier COUNTS hash-match —
-    a float pipeline that stays cross-engine deterministic by using
-    selection + closed-form arithmetic only.
+    heavy-tailed metrics that break mean/stddev z-scores.
 
-    Scale shape: two grouped percentile passes (type-keyed shuffles of
-    (type, value) pairs) with the tiny per-type tables broadcast back
-    onto the event stream; no window functions, no global sort."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    Determinism contract (hardened after the r3 driver hash-fail): the
+    pipeline runs entirely in INT64 CENTI-UNITS — `value` has 2-decimal
+    granularity, so round(value*100) is a lossless bijection — and the
+    medians are pure order statistics over those integers. No IEEE
+    arithmetic reaches the output and no engine quantile POLICY is in the
+    oracle: the DuckDB side selects the median explicitly by
+    row_number() = (n+1)//2 (== ceil(n*0.5), the percentile_disc rank),
+    so a DuckDB version changing its quantile_disc convention cannot move
+    the hash. The Spark side keeps the cheap percentile_disc aggregate —
+    pyspark is pinned in this environment and its rank policy
+    (smallest value with cume_dist >= q, i.e. the element at rank
+    ceil(n*q)) is pinned by tests/test_extensions.py::
+    test_spark_percentile_disc_is_ceil_rank.
+
+    Scale shape: two grouped order-statistic passes (type-keyed shuffles
+    of (type, int64) pairs) with the tiny per-type tables broadcast back
+    onto the event stream; no window over the fact table, no global sort."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
     med = ev.groupBy("event_type").agg(
-        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("med")
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)")
+        .cast("long")
+        .alias("med")
     )
     mad = (
         ev.join(F.broadcast(med), "event_type")
         .groupBy("event_type")
         .agg(
             F.first("med").alias("med"),
-            F.expr(
-                "percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(value - med))"
-            ).alias("mad"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(v - med))")
+            .cast("long")
+            .alias("mad"),
         )
     )
     return (
@@ -706,12 +732,12 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.sum(
-                (F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad")).cast(
+                (F.abs(F.col("v") - F.col("med")) > 3 * F.col("mad")).cast(
                     "long"
                 )
             ).alias("n_outliers"),
-            F.first("med").alias("median_value"),
-            F.first("mad").alias("mad_value"),
+            F.first("med").alias("median_centi"),
+            F.first("mad").alias("mad_centi"),
         )
     )
 
@@ -1206,12 +1232,22 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_value_quartiles_disc",
     oracle="""
-    SELECT event_type,
-           quantile_disc(value, 0.25) AS p25,
-           quantile_disc(value, 0.5) AS p50,
-           quantile_disc(value, 0.75) AS p75,
-           COUNT(*) AS n_events
-    FROM events GROUP BY event_type
+    WITH c AS (
+        SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type
+    ), r AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events WHERE value IS NOT NULL
+    ), q AS (
+        SELECT event_type,
+               MIN(CASE WHEN rk = (n * 25 + 99) // 100 THEN value END) AS p25,
+               MIN(CASE WHEN rk = (n * 50 + 99) // 100 THEN value END) AS p50,
+               MIN(CASE WHEN rk = (n * 75 + 99) // 100 THEN value END) AS p75
+        FROM r GROUP BY event_type
+    )
+    SELECT c.event_type, q.p25, q.p50, q.p75, c.n_events
+    FROM c LEFT JOIN q USING (event_type)
     """,
 )
 def events_value_quartiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1221,7 +1257,16 @@ def events_value_quartiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (both engines pick the same stored double; an interpolated percentile
     would manufacture new floats whose rounding could differ). The
     order-statistic selection family, complementing the interpolating
-    olap_quantity_median and the sketched events_value_quantiles."""
+    olap_quantity_median and the sketched events_value_quantiles.
+
+    Version-proofing (r3 verdict ask #3): the ORACLE never calls DuckDB's
+    quantile_disc — it selects the element at rank ceil(n*q) explicitly
+    (row_number + exact integer arithmetic, `(n*q_num + q_den-1) // q_den`),
+    so a DuckDB release changing its discrete-quantile rank convention
+    cannot shift the hash. The Spark side keeps percentile_disc (engine
+    pinned here); its rank policy — smallest value with cume_dist >= q,
+    i.e. the ceil(n*q)-th element — is pinned by
+    tests/test_extensions.py::test_spark_percentile_disc_is_ceil_rank."""
     ev = _t(spark, sf_dir, "events")
     ev.createOrReplaceTempView("_ev_disc")
     return spark.sql(
@@ -1266,13 +1311,22 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_value_quantiles",
     oracle="""
-    WITH w AS (
+    WITH r AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY value)
+                   AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events WHERE value IS NOT NULL
+    ), w AS (
         SELECT event_type,
-               quantile_disc(value, 0.5)  AS d50,
-               quantile_disc(value, 0.95) AS d95,
-               quantile_disc(value, 0.99) AS d99,
+               MIN(CASE WHEN rk = (n * 500 + 999) // 1000 THEN value END)
+                   AS d50,
+               MIN(CASE WHEN rk = (n * 950 + 999) // 1000 THEN value END)
+                   AS d95,
+               MIN(CASE WHEN rk = (n * 990 + 999) // 1000 THEN value END)
+                   AS d99,
                COUNT(*) AS n_events
-        FROM events WHERE value IS NOT NULL GROUP BY event_type
+        FROM r GROUP BY event_type
     )
     SELECT event_type, CAST(0.5 AS DOUBLE) AS q, d50 AS exact_value,
            TRUE AS approx_in_band, n_events FROM w
@@ -1298,26 +1352,47 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output is one row per (event_type, quantile) with SCALAR columns only —
     array-typed output columns are banned from catalog entries because
-    downstream canonicalizers (pandas sort/factorize) cannot hash lists."""
+    downstream canonicalizers (pandas sort/factorize) cannot hash lists.
+
+    Version-proofing (r3 verdict ask #3): BOTH engines select each exact
+    quantile by the literally identical formula — the element at
+    row_number rank `(n*q_num + q_den-1) div q_den` == ceil(n*q), exact
+    integer arithmetic, never a float cume_dist comparison and never an
+    engine quantile function whose rank convention could drift across
+    releases."""
     # All nine exact discrete quantiles (q and the two band edges per q)
-    # come from ONE windowed sort via cume_dist — percentile_disc(q) is by
-    # definition the smallest value whose cume_dist >= q — instead of nine
-    # independent sort-based percentile_disc aggregates (bench: 1.8s ->
-    # one sort; and at 100 TB the single per-group sort is the whole cost).
+    # come from ONE windowed sort — row_number + the partition count feed
+    # nine rank-equality selections — instead of nine independent
+    # sort-based percentile_disc aggregates (bench: 1.8s -> one sort; and
+    # at 100 TB the single per-group sort is the whole cost). The count
+    # window shares the row_number window's exchange and sort.
     from pyspark.sql import Window
 
     ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     w = Window.partitionBy("event_type").orderBy("value")
-    cd = ev.select("event_type", "value", F.cume_dist().over(w).alias("cd"))
+    wp = Window.partitionBy("event_type")
+    rk = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
 
-    def disc(q: float):
-        return F.min(F.when(F.col("cd") >= q, F.col("value")))
+    def disc(num: int):
+        # ceil(n * num/1000) in exact int64 arithmetic — identical to the
+        # oracle's (n*num + 999) // 1000 selection.
+        return F.min(
+            F.when(
+                F.col("rk") == F.expr(f"(n * {num} + 999) div 1000"),
+                F.col("value"),
+            )
+        )
 
-    agg = cd.groupBy("event_type").agg(
+    agg = rk.groupBy("event_type").agg(
         F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), 10000).alias("qa"),
-        disc(0.495).alias("lo50"), disc(0.5).alias("d50"), disc(0.505).alias("hi50"),
-        disc(0.945).alias("lo95"), disc(0.95).alias("d95"), disc(0.955).alias("hi95"),
-        disc(0.985).alias("lo99"), disc(0.99).alias("d99"), disc(0.995).alias("hi99"),
+        disc(495).alias("lo50"), disc(500).alias("d50"), disc(505).alias("hi50"),
+        disc(945).alias("lo95"), disc(950).alias("d95"), disc(955).alias("hi95"),
+        disc(985).alias("lo99"), disc(990).alias("d99"), disc(995).alias("hi99"),
         F.count("*").alias("n_events"),
     )
     agg.createOrReplaceTempView("_ev_q_agg")
@@ -2911,8 +2986,18 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM os a JOIN os b ON a.l_orderkey = b.l_orderkey
                            AND a.l_suppkey < b.l_suppkey
         GROUP BY 1, 2
+    ), pr AS (
+        SELECT support,
+               row_number() OVER (ORDER BY support) AS rk,
+               COUNT(*) OVER () AS n
+        FROM pairs
     ), thr AS (
-        SELECT quantile_disc(support, 0.9) AS t FROM pairs
+        -- element at rank ceil(n*0.9), exact integer arithmetic: the
+        -- percentile_disc(0.9) contract without DuckDB's quantile policy
+        -- in the loop (Spark-side policy pinned by
+        -- test_spark_percentile_disc_is_ceil_rank)
+        SELECT MIN(CASE WHEN rk = (n * 90 + 99) // 100 THEN support END) AS t
+        FROM pr
     ), edges AS (
         SELECT a, b FROM pairs CROSS JOIN thr WHERE support >= t
     )

@@ -547,21 +547,29 @@ def olap_status_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "olap_customer_order_years",
     oracle="""
     SELECT o_custkey,
-           list_sort(list(DISTINCT CAST(year(o_orderdate) AS INT))) AS years,
+           array_to_string(
+               list_sort(list(DISTINCT CAST(year(o_orderdate) AS INT))), ','
+           ) AS years,
            COUNT(*) AS n_orders
     FROM orders
     GROUP BY o_custkey
     """,
 )
 def olap_customer_order_years(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array-valued aggregation done deterministically: collect_set gathers
-    in arrival order (non-deterministic under parallelism), so the output
-    contract is sort_array(collect_set(...)) — same canonical form DuckDB
-    reaches via list_sort(list(DISTINCT ...)). The one array-typed output
-    column in the catalog; stringified identically by both fetch paths."""
+    """Array-valued aggregation emitted in its CANONICAL SCALAR form:
+    collect_set gathers in arrival order (non-deterministic under
+    parallelism), so the contract is sort_array(collect_set(...)) joined
+    to a comma string — the same canonical form DuckDB reaches via
+    array_to_string(list_sort(list(DISTINCT ...))). The serialization is
+    not cosmetic: array-typed output columns are banned from catalog
+    entries (enforced at query-call time by catalog._check_output_schema)
+    because the driver's pandas canonicalizer factorizes cells and
+    `list` is unhashable — the r3 driver failure mode this query caused."""
     orders = _t(spark, sf_dir, "orders")
     return orders.groupBy("o_custkey").agg(
-        F.sort_array(F.collect_set(F.year("o_orderdate"))).alias("years"),
+        F.concat_ws(
+            ",", F.sort_array(F.collect_set(F.year("o_orderdate")))
+        ).alias("years"),
         F.count("*").alias("n_orders"),
     )
 

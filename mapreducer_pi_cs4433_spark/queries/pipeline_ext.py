@@ -1560,18 +1560,28 @@ def dq_referential_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE embedding IS NOT NULL
     ), n AS (
         SELECT vec_id, sum(qv * qv) AS sq FROM q GROUP BY 1
-    ), med AS (
-        SELECT quantile_disc(sq, 0.5) AS m FROM n
+    ), r AS (
+        SELECT sq,
+               row_number() OVER (ORDER BY sq) AS rk,
+               COUNT(*) OVER () AS cnt
+        FROM n
+    ), s AS (
+        -- explicit ceil(n*q)-rank order statistics (the percentile_disc
+        -- contract) so DuckDB's quantile_disc policy is out of the loop
+        SELECT MIN(CASE WHEN rk = (cnt + 1) // 2 THEN sq END) AS m,
+               MIN(CASE WHEN rk = (cnt * 1 + 99) // 100 THEN sq END) AS p01,
+               MIN(CASE WHEN rk = (cnt * 99 + 99) // 100 THEN sq END) AS p99
+        FROM r
     )
     SELECT count(*)::BIGINT AS n_vectors,
            min(sq)::BIGINT AS min_norm2,
-           quantile_disc(sq, 0.01)::BIGINT AS p01_norm2,
+           max(p01)::BIGINT AS p01_norm2,
            max(m)::BIGINT AS med_norm2,
-           quantile_disc(sq, 0.99)::BIGINT AS p99_norm2,
+           max(p99)::BIGINT AS p99_norm2,
            max(sq)::BIGINT AS max_norm2,
            sum(CASE WHEN sq * 2 < m OR sq > m * 2 THEN 1 ELSE 0 END)::BIGINT
                AS n_outliers_2x
-    FROM n CROSS JOIN med
+    FROM n CROSS JOIN s
     """,
 )
 def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -803,3 +803,73 @@ def test_bpe_marker_replace_boundary_semantics(spark):
             "SELECT replace(?, ?, ?)", [s, pat, rep]
         ).fetchone()[0] == want
     con.close()
+
+
+# --- r4 determinism hardening: quantile policy + canonicalizer parity --------
+def test_spark_percentile_disc_is_ceil_rank(spark):
+    """Pin Spark's percentile_disc rank policy: the selected element is the
+    one at row_number rank ceil(n*q) (ascending). Every reformulated oracle
+    (events_anomaly_mad, events_value_quartiles_disc, graph_triangle_count
+    threshold, embedding_norm_profile) selects that rank EXPLICITLY with
+    integer arithmetic on the DuckDB side; this test is the proof that the
+    Spark side's percentile_disc aggregate picks the identical element, so
+    the two formulations can share a hash. If a pyspark upgrade ever moves
+    this policy, this test — not a driver hash-fail — reports it."""
+    for n in range(1, 12):
+        df = spark.createDataFrame([(float(i),) for i in range(1, n + 1)], "v double")
+        df.createOrReplaceTempView("_pd_probe")
+        for num, den in [(1, 100), (25, 100), (50, 100), (75, 100),
+                         (90, 100), (95, 100), (99, 100),
+                         (495, 1000), (505, 1000), (945, 1000), (995, 1000)]:
+            q = num / den
+            got = spark.sql(
+                f"SELECT percentile_disc({q!r}) WITHIN GROUP (ORDER BY v) "
+                "AS p FROM _pd_probe"
+            ).first().p
+            want = float((n * num + den - 1) // den)  # ceil(n*q), exact ints
+            assert got == want, (n, q, got, want)
+
+
+def test_catalog_rejects_complex_output_columns(spark):
+    """The registration guard must make the r3 driver failure class
+    (array-typed output column -> pandas factorize TypeError) unshippable:
+    any catalog-registered query whose DataFrame carries an Array, Map, or
+    Struct output column raises at call time, on every call path."""
+    from mapreducer_pi_cs4433_spark.queries.catalog import _check_output_schema
+
+    ok = spark.createDataFrame([(1, "a,b")], "k int, vals string")
+    assert _check_output_schema("probe", ok) is ok
+    for bad in [
+        spark.createDataFrame([(1, ["a"])], "k int, vals array<string>"),
+        spark.createDataFrame([(1, {"a": 1})], "k int, vals map<string,int>"),
+        spark.sql("SELECT 1 AS k, named_struct('a', 1) AS vals"),
+    ]:
+        with pytest.raises(TypeError, match="complex-typed output column"):
+            _check_output_schema("probe", bad)
+
+
+def test_local_gate_canonicalizer_matches_driver_on_lists():
+    """tools/full_oracle_check must reproduce the DRIVER's pandas
+    canonicalization, including its failure mode: a list-valued cell must
+    raise TypeError (factorize path), not silently stringify — the exact
+    gap that let olap_customer_order_years ship green in r3 and fail in
+    the driver."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "full_oracle_check",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "full_oracle_check.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    # scalar rows: canonical form is order- and column-order-insensitive
+    a = mod._canon([(1, "x"), (2, "y")], ["k", "s"])
+    b = mod._canon([("y", 2), ("x", 1)], ["s", "k"])
+    assert a == b
+    # float cells must require BIT-exact equality
+    assert mod._canon([(0.1 + 0.2,)], ["v"]) != mod._canon([(0.3,)], ["v"])
+    # the r3 failure mode: list cells crash the multi-column sort
+    with pytest.raises(TypeError):
+        mod._canon([(1, [2020, 2021]), (2, [1999])], ["k", "years"])

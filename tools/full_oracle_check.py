@@ -23,6 +23,7 @@ from decimal import Decimal
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb  # noqa: E402
+import pandas as pd  # noqa: E402
 
 from mapreducer_pi_cs4433_spark.queries.catalog import ORACLE, QUERIES  # noqa: E402
 from mapreducer_pi_cs4433_spark.schemas import DRIVER_TABLES  # noqa: E402
@@ -30,18 +31,41 @@ from mapreducer_pi_cs4433_spark.session import get_spark  # noqa: E402
 
 
 def _norm_cell(v) -> str:
-    if v is None:
+    if v is None or v is pd.NA or (isinstance(v, float) and math.isnan(v)):
         return "\0NULL"
     if isinstance(v, Decimal):
         v = float(v)
     if isinstance(v, float):
-        return "nan" if math.isnan(v) else repr(v)
+        return repr(v)  # full precision: floats must match BIT-exactly
     return str(v)
 
 
 def _canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    """DRIVER-FAITHFUL canonicalization (r3 lesson). The driver compares
+    engines by loading both results into pandas, ordering columns by name,
+    and multi-column sort_values — whose lexsort FACTORIZES each column
+    through a hash table, so an unhashable cell (list/dict from an
+    Array/Map/Struct column) raises `TypeError: unhashable type` and the
+    driver records the query as an error. The old local gate stringified
+    cells BEFORE sorting, which green-lit exactly the queries the driver
+    rejects (olap_customer_order_years, r3). Routing the comparison
+    through the same pandas path makes the local gate predict the
+    driver's verdict: crash parity AND value parity (floats normalized by
+    repr => bit-exact requirement, NULL/NaN folded to one sentinel)."""
+    df = pd.DataFrame(list(rows), columns=list(cols))
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        # multi-column sort_values is the driver's factorize path; it is
+        # deliberately NOT wrapped in try/except — a TypeError here IS the
+        # driver's failure mode and must surface as one
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    out = [
+        tuple(_norm_cell(v) for v in row)
+        for row in df.itertuples(index=False, name=None)
+    ]
+    # final normalized sort: dtype-dependent placement (NaN-last vs the
+    # NULL sentinel's byte order) must not flip a value-identical pair of
+    # results into a false mismatch
     out.sort()
     return out
 
