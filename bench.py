@@ -134,8 +134,35 @@ def _bucketed_join_extra(spark, sf_dir: str) -> dict:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Artifact build-cost visibility (r3/r4 carried ask): unless the
+    # caller pinned an index dir, every bench run builds its indexes into
+    # a FRESH scratch root, so pass 1 pays (and functions/artifacts.py's
+    # BUILD_TIMES ledger records) each cold ensure_* materialization —
+    # reported under extra.artifact_builds. The headline keeps the min of
+    # two passes, i.e. warm artifact reads, as before; what changes is
+    # that the build cost is now measured in-process instead of silently
+    # absent whenever a previous run's /tmp artifacts happened to linger.
+    index_tmp = None
+    if "SPARK_GRAFT_INDEX_DIR" not in os.environ:
+        import tempfile
+
+        index_tmp = tempfile.mkdtemp(prefix="bench_idx_")
+        os.environ["SPARK_GRAFT_INDEX_DIR"] = index_tmp
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
+
+    # Dedicated untimed BUILD phase (the ops lifecycle step, cli.py
+    # build-index, which shares the catalog's canonical params): artifacts
+    # materialize — and BUILD_TIMES records each cold build — BEFORE the
+    # timed passes, so the headline measures warm artifact READS on both
+    # passes, exactly like production queries against a built corpus.
+    # Its progress lines go to stderr: stdout stays one JSON line.
+    import contextlib
+
+    from mapreducer_pi_cs4433_spark.cli import _build_index
+
+    with contextlib.redirect_stdout(sys.stderr):
+        _build_index(spark, sf_dir, "all")
 
     # Two passes per query, report the min (steady state). First-invocation
     # cost in this JVM is dominated by Janino compile + JIT warm-up of each
@@ -165,6 +192,14 @@ def main() -> None:
     extra = _bucketed_join_extra(spark, sf_dir)
     extra["pass1_total_sec"] = pass_totals[0]
     extra["pass2_total_sec"] = pass_totals[1]
+    from mapreducer_pi_cs4433_spark.functions.artifacts import BUILD_TIMES
+
+    extra["artifact_builds"] = dict(sorted(BUILD_TIMES.items()))
+    extra["artifact_builds_total_sec"] = round(sum(BUILD_TIMES.values()), 2)
+    if index_tmp is not None:
+        import shutil
+
+        shutil.rmtree(index_tmp, ignore_errors=True)
 
     total = round(sum(timings.values()), 2)
     # One compact line; per-query timings FIRST and summary keys LAST —

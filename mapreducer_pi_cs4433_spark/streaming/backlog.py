@@ -1,0 +1,131 @@
+"""Streaming twin of orders_backlog_sweep (queries/pipeline_ext.py): the
+interval sweep-line as an ``applyInPandasWithState`` state machine
+(VERDICT r4 ask #7 — the sweep-line was the designated candidate).
+
+Batch semantics being twinned: every order interval emits a +1 delta at
+its start day and a -1 the day after it closes; the running sum over
+change days is the number of open orders. The streaming version consumes
+the SAME endpoint-delta stream and finalizes a day exactly when the event
+-time watermark passes the end of that day — so each change day is
+emitted once, in day order, with the same (day, delta, open_orders) row
+the batch query produces for it.
+
+Why a single global key is the right shape here and NOT a scale bug: a
+running sum over calendar days is inherently sequential in its output
+dimension. The state machine therefore never sees fact-sized data — the
+upstream pipeline (per-order max-shipdate, day-grain delta aggregation)
+does the fact-sized work with ordinary scalable streaming aggregations,
+and what reaches the sweep is bounded by the calendar (a few thousand
+day-grain rows per year at ANY corpus scale). State is likewise
+calendar-bounded: the pending (not-yet-watermark-final) day deltas plus
+one cumulative counter.
+
+Late-data policy: a whole day whose end has already passed the watermark
+can never change an emitted row — incoming rows for such days are dropped
+by the state machine itself (deterministic even if the engine's row-level
+late filter were to deliver them), mirroring Spark's watermark drop
+semantics; pinned by tests/test_streaming_backlog.py.
+
+Serialization: the update function is a local closure (module-level
+functions ship by cloudpickle reference and break when executors can't
+import this package — see functions/multimodal.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_DAY_MS = 86_400_000
+
+BACKLOG_SCHEMA = StructType(
+    [
+        StructField("day", StringType(), True),
+        StructField("delta", LongType(), True),
+        StructField("open_orders", LongType(), True),
+    ]
+)
+
+_BACKLOG_STATE_SCHEMA = StructType(
+    [
+        StructField("cum", LongType(), True),
+        StructField("days", ArrayType(LongType()), True),
+        StructField("deltas", ArrayType(LongType()), True),
+    ]
+)
+
+
+def backlog_sweep_stateful(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    delta_col: str = "delta",
+    watermark: str = "1 second",
+) -> DataFrame:
+    """Sweep-line over a streaming (event-time, delta) endpoint stream.
+
+    Emits one append-mode row per FINALIZED change day — a day is final
+    when the watermark has passed its end (no receivable row can still
+    land in it) — carrying the day's net delta and the running
+    open-interval count. Pending days and the cumulative sum live in
+    per-query state; both are calendar-bounded (see module docstring).
+    """
+    import pandas as pd
+
+    def update(key, pdf_iter, state: GroupState):
+        if state.exists:
+            cum, days, deltas = state.get
+            pending = dict(zip(days, deltas))
+        else:
+            cum, pending = 0, {}
+        wm_ms = state.getCurrentWatermarkMs()
+        for pdf in pdf_iter:
+            day_idx = (
+                pd.to_datetime(pdf["__ts"]).astype("int64") // (_DAY_MS * 10**6)
+            ).to_numpy()
+            dvals = pdf["__delta"].to_numpy()
+            for d, dv in zip(day_idx, dvals):
+                d = int(d)
+                if (d + 1) * _DAY_MS <= wm_ms:
+                    continue  # whole day already past finalization: late
+                pending[d] = pending.get(d, 0) + int(dv)
+        out_day, out_delta, out_cum = [], [], []
+        for d in sorted(pending):
+            if (d + 1) * _DAY_MS > wm_ms:
+                break  # this day (and all later) can still receive rows
+            dv = pending.pop(d)
+            cum += dv
+            out_day.append(
+                pd.Timestamp(d * 86_400, unit="s").strftime("%Y-%m-%d")
+            )
+            out_delta.append(dv)
+            out_cum.append(cum)
+        keys = sorted(pending)
+        state.update((cum, keys, [pending[d] for d in keys]))
+        if out_day:
+            yield pd.DataFrame(
+                {"day": out_day, "delta": out_delta, "open_orders": out_cum}
+            )
+
+    prepared = (
+        stream.withWatermark(ts_col, watermark)
+        .select(
+            F.lit(0).cast("int").alias("__g"),
+            F.col(ts_col).alias("__ts"),
+            F.col(delta_col).cast("long").alias("__delta"),
+        )
+    )
+    return prepared.groupBy("__g").applyInPandasWithState(
+        update,
+        outputStructType=BACKLOG_SCHEMA,
+        stateStructType=_BACKLOG_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -362,6 +362,67 @@ def test_pq_topk_recall_and_determinism(spark, emb):
     assert got == got2
 
 
+def test_build_index_prebuilds_exactly_what_queries_consume(
+    spark, tmp_path, monkeypatch
+):
+    """Lifecycle pin for the ops build step (r5): after `cli build-index
+    --kinds all`, every artifact-consuming catalog query must find its
+    artifact PRE-BUILT — zero cold builds during the query pass. Pre-r5
+    the cli used the ensure_* defaults (k=5, planes=8) while queries
+    consume k=12 / planes=4, so build-index warmed nothing."""
+    from mapreducer_pi_cs4433_spark.cli import _build_index
+    from mapreducer_pi_cs4433_spark.functions.artifacts import BUILD_TIMES
+    from mapreducer_pi_cs4433_spark.queries.catalog import QUERIES
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    BUILD_TIMES.clear()
+    assert _build_index(spark, SF_SMOKE, "all") == 0
+    built = set(BUILD_TIMES)
+    assert built  # the build step actually built into the fresh root
+    BUILD_TIMES.clear()
+    for name in [
+        "dedup_ngram_jaccard",
+        "dedup_clusters",
+        "dedup_span_coverage",
+        "similarity_topk_ivf",
+        "similarity_topk_pq",
+        "similarity_topk_hnsw",
+        "graph_pagerank_suppliers",
+    ]:
+        QUERIES[name](spark, SF_SMOKE).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    assert BUILD_TIMES == {}, (
+        f"queries cold-built {sorted(BUILD_TIMES)} despite build-index; "
+        f"build step produced {sorted(built)}"
+    )
+
+
+def test_pq_topk_multi_matches_per_query_path(spark, emb):
+    """The batched multi-query path (one code-table scan, one re-rank
+    join) must return row-for-row what the per-query pq_topk returns for
+    each query — same 9-dp rounding + id tie-break, so the sets and the
+    order are identical, not merely recall-equivalent."""
+    books = similarity.train_pq_codebooks(emb, m=8, k=256, sample_rows=5000)
+    enc = similarity.encode_pq(emb, books)
+    qrows = emb.filter(F.col("vec_id") < 3).select("vec_id", "embedding").collect()
+    queries = [(int(r[0]), [float(x) for x in r[1]]) for r in qrows]
+    multi = similarity.pq_topk_multi(
+        enc, books, queries, k=10, rerank=emb, rerank_factor=5
+    ).collect()
+    got = {}
+    for r in multi:
+        got.setdefault(r.query_id, []).append((r.id, r.cosine_sim))
+    for qid, vec in queries:
+        single = [
+            (r.id, r.cosine_sim)
+            for r in similarity.pq_topk(
+                enc, books, vec, k=10, rerank=emb, rerank_factor=5
+            ).collect()
+        ]
+        assert got[qid] == single, f"query {qid} diverges from pq_topk"
+
+
 def test_pq_codes_compress(spark, emb):
     """Encoded rows are m small ints — the 32x hot-scan compression claim."""
     books = similarity.train_pq_codebooks(emb, m=8, k=256, sample_rows=2000)
@@ -644,6 +705,41 @@ def test_budget_fill_admits_prefix_until_budget(spark):
             assert r.cum_tokens == total
 
 
+def test_ppm_queries_null_out_on_empty_inputs(spark, tmp_path):
+    """Zero-denominator policy (ADVICE r4): conversion_ppm / orphan_ppm
+    must be NULL — not an error, not engine-divergent — when the
+    denominator population is empty. Both engines run the guard on a
+    crafted all-empty star schema; DuckDB's `//` raises on /0 and Spark's
+    `div` nulls silently, so only an explicit CASE gives parity."""
+    import duckdb
+
+    from mapreducer_pi_cs4433_spark.queries.catalog import ORACLE
+
+    sf = str(tmp_path)
+    for t in ("events", "lineitem", "orders", "customer", "part",
+              "supplier"):
+        load_table(spark, SF_SMOKE, t).limit(0).write.parquet(
+            f"{sf}/{t}.parquet"
+        )
+    con = duckdb.connect()
+    for t in ("events", "lineitem", "orders", "customer", "part",
+              "supplier"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf}/{t}.parquet/*.parquet')"
+        )
+    funnel = QUERIES["events_funnel_windowed"](spark, sf).collect()
+    assert len(funnel) == 1
+    assert funnel[0].n_view == 0 and funnel[0].conversion_ppm is None
+    d_funnel = con.sql(ORACLE["events_funnel_windowed"]).fetchall()
+    assert d_funnel[0][3] is None  # conversion_ppm NULL, no /0 error
+    census = QUERIES["dq_referential_census"](spark, sf).collect()
+    assert len(census) == 4
+    assert all(r.n_child == 0 and r.orphan_ppm is None for r in census)
+    d_census = con.sql(ORACLE["dq_referential_census"]).fetchall()
+    assert all(row[3] is None for row in d_census)
+
+
 def test_source_divergence_is_bounded_ppm(spark):
     from .conftest import SF_SMOKE
 
@@ -828,6 +924,26 @@ def test_spark_percentile_disc_is_ceil_rank(spark):
             ).first().p
             want = float((n * num + den - 1) // den)  # ceil(n*q), exact ints
             assert got == want, (n, q, got, want)
+    # Large-n cases where n*q lands EXACTLY on an integer (ADVICE r4): the
+    # only theoretical divergence point between ceil-rank and a float
+    # cume_dist>=q convention is whether an exactly-integer product selects
+    # rank n*q or n*q+1. Production calls run q in {0.01,0.25,0.5,0.75,
+    # 0.9,0.99} over groups of thousands, so pin the boundary at the sizes
+    # where those literals hit integers.
+    for n, num, den in [(1000, 90, 100), (100, 1, 100), (100, 99, 100),
+                        (1000, 25, 100), (200, 50, 100), (500, 99, 100)]:
+        df = spark.createDataFrame(
+            [(float(i),) for i in range(1, n + 1)], "v double"
+        )
+        df.createOrReplaceTempView("_pd_probe")
+        q = num / den
+        got = spark.sql(
+            f"SELECT percentile_disc({q!r}) WITHIN GROUP (ORDER BY v) "
+            "AS p FROM _pd_probe"
+        ).first().p
+        want = float((n * num + den - 1) // den)  # == n*q exactly here
+        assert (n * num) % den == 0  # the case under test: integer product
+        assert got == want, (n, q, got, want)
 
 
 def test_catalog_rejects_complex_output_columns(spark):

@@ -30,9 +30,16 @@ from mapreducer_pi_cs4433_spark.schemas import DRIVER_TABLES  # noqa: E402
 from mapreducer_pi_cs4433_spark.session import get_spark  # noqa: E402
 
 
-def _norm_cell(v) -> str:
-    if v is None or v is pd.NA or (isinstance(v, float) and math.isnan(v)):
+def _norm_cell(v, float_col: bool) -> str:
+    if v is None or v is pd.NA:
         return "\0NULL"
+    if isinstance(v, float) and math.isnan(v):
+        # In a float64 column pandas has ALREADY folded NULL -> NaN on
+        # ingest, so the NULL/NaN distinction is unrecoverable there and
+        # one sentinel is forced (documented conflation). In object-dtype
+        # columns the distinction survives pandas — keep it, so a genuine
+        # cross-engine NaN-vs-NULL divergence fails the gate (ADVICE r4).
+        return "\0NULL" if float_col else "\0NAN"
     if isinstance(v, Decimal):
         v = float(v)
     if isinstance(v, float):
@@ -59,8 +66,11 @@ def _canon(rows, cols):
         # deliberately NOT wrapped in try/except — a TypeError here IS the
         # driver's failure mode and must surface as one
         df = df.sort_values(by=list(df.columns), kind="mergesort")
+    float_cols = [
+        pd.api.types.is_float_dtype(df[c].dtype) for c in df.columns
+    ]
     out = [
-        tuple(_norm_cell(v) for v in row)
+        tuple(_norm_cell(v, fc) for v, fc in zip(row, float_cols))
         for row in df.itertuples(index=False, name=None)
     ]
     # final normalized sort: dtype-dependent placement (NaN-last vs the
@@ -70,10 +80,28 @@ def _canon(rows, cols):
     return out
 
 
+def _default_out() -> str:
+    """Derive the current round from the driver's committed
+    CORRECTNESS_r{N}.json artifacts so a no-arg run can never clobber a
+    PRIOR round's FULL evidence (ADVICE r4: the hardcoded r03 default
+    would have silently overwritten the committed r3 artifact)."""
+    import glob
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+        if (m := re.fullmatch(r"CORRECTNESS_r(\d+)\.json", os.path.basename(p)))
+    ]
+    n = max(rounds, default=0) + 1
+    return f"CORRECTNESS_FULL_r{n:02d}.json"
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
-    ap.add_argument("--out", default="CORRECTNESS_FULL_r03.json")
+    ap.add_argument("--out", default=_default_out())
     ap.add_argument(
         "--only",
         default=None,
