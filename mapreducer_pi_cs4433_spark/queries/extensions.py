@@ -695,47 +695,71 @@ def _events_centi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _median_per_type(df: DataFrame, col: str, out: str) -> DataFrame:
-    """Exact per-type median by explicit integer rank selection:
-    row_number() over (event_type ORDER BY col) == (n+1) div 2 — the
-    LITERAL algorithm the DuckDB oracle runs (_MAD_ORACLE_CTE), so both
-    engines compute the identical order statistic with no quantile-policy
-    surface (Spark's percentile_disc convention changed across releases,
-    e.g. SPARK-44871; this depends on no such convention). The count
-    window shares the rank window's exchange+sort (one shuffle of
-    (type, int64) pairs per pass)."""
+def _median_grain(grain: DataFrame, col: str, cnt: str, out: str) -> DataFrame:
+    """Exact per-type median over a (event_type, value, count) GRAIN
+    table: the value whose cumulative count first reaches rank
+    (n+1) div 2 — exactly the element row_number() == (n+1) div 2 would
+    select over the expanded rows, which is the LITERAL algorithm the
+    DuckDB oracle runs (_MAD_ORACLE_CTE). Both engines therefore compute
+    the identical order statistic with no quantile-policy surface
+    (Spark's percentile_disc convention changed across releases, e.g.
+    SPARK-44871; this depends on no such convention). The rank falls
+    inside exactly one value's run (cum - c < target <= cum), so the
+    filter keeps one row per type. The cum/n windows share one
+    exchange+sort over the grain table — bounded by value cardinality,
+    never by event count."""
     from pyspark.sql import Window
 
-    w_rank = Window.partitionBy("event_type").orderBy(col)
+    w_cum = Window.partitionBy("event_type").orderBy(col)
     w_type = Window.partitionBy("event_type")
+    target = F.expr("(n + 1) div 2")
     return (
-        df.withColumn("rk", F.row_number().over(w_rank))
-        .withColumn("n", F.count(F.lit(1)).over(w_type))
-        .filter(F.col("rk") == F.expr("(n + 1) div 2"))
+        grain.withColumn("cum", F.sum(cnt).over(w_cum))
+        .withColumn("n", F.sum(cnt).over(w_type))
+        .filter(
+            (F.col("cum") - F.col(cnt) < target) & (target <= F.col("cum"))
+        )
         .select("event_type", F.col(col).alias(out))
     )
 
 
 def _mad_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-type outlier profile: |v - median| > 3*MAD in int64
-    centi-units, medians via _median_per_type (explicit-rank, identical
-    to the oracle by construction)."""
+    centi-units, medians by explicit rank selection (identical to the
+    oracle by construction — see _median_grain).
+
+    Scale shape (r5 rework): ONE pass over the fact table — a map-side-
+    combinable groupBy to (type, value, count) grain — and everything
+    after (both weighted medians, the deviation regroup, the final
+    counts) runs on that grain table, whose size is bounded by value
+    cardinality at any corpus size. The grain feeds three consumers, so
+    it is localCheckpoint-ed (the dual-consumer rule); the per-type
+    median/MAD tables broadcast onto it. Compare the r4 shape: two full
+    window sorts + one aggregate over the raw event stream."""
     ev = _events_centi(spark, sf_dir)
-    med = _median_per_type(ev, "v", "med")
-    dev = ev.join(F.broadcast(med), "event_type").select(
-        "event_type", F.abs(F.col("v") - F.col("med")).alias("d")
+    grain = (
+        ev.groupBy("event_type", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
     )
-    mad = _median_per_type(dev, "d", "mad")
+    med = _median_grain(grain, "v", "c", "med")
+    dgrain = (
+        grain.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", F.abs(F.col("v") - F.col("med")).alias("d"))
+        .agg(F.sum("c").alias("c"))
+    )
+    mad = _median_grain(dgrain, "d", "c", "mad")
     return (
-        ev.join(F.broadcast(med), "event_type")
+        grain.join(F.broadcast(med), "event_type")
         .join(F.broadcast(mad), "event_type")
         .groupBy("event_type")
         .agg(
-            F.count(F.lit(1)).alias("n_events"),
+            F.sum("c").alias("n_events"),
             F.sum(
-                (F.abs(F.col("v") - F.col("med")) > 3 * F.col("mad")).cast(
-                    "long"
-                )
+                F.when(
+                    F.abs(F.col("v") - F.col("med")) > 3 * F.col("mad"),
+                    F.col("c"),
+                ).otherwise(F.lit(0))
             ).alias("n_outliers"),
             F.min("med").alias("median_centi"),
             F.min("mad").alias("mad_centi"),
@@ -773,12 +797,10 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     entries below (events_anomaly_mad_counts / _stats) isolate which
     column diverges.
 
-    Scale shape: two grouped order-statistic passes — each ONE shuffle of
-    (type, int64) pairs into a per-type sort, count window sharing the
-    rank window's exchange+sort — with the tiny per-type median tables
-    broadcast back onto the event stream. No global sort; the windowed
-    sort is per-type, the same work percentile_disc's sort-based
-    aggregate did."""
+    Scale shape: one fact-table pass to (type, value, count) grain, then
+    weighted explicit-rank medians and the outlier counts all run on the
+    value-cardinality-bounded grain table (see _mad_frame). No sort ever
+    touches the raw event stream."""
     return _mad_frame(spark, sf_dir)
 
 
@@ -1343,25 +1365,54 @@ def events_value_quartiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-statistic selection family, complementing the interpolating
     olap_quantity_median and the sketched events_value_quantiles.
 
-    Version-proofing (r3 verdict ask #3): the ORACLE never calls DuckDB's
-    quantile_disc — it selects the element at rank ceil(n*q) explicitly
-    (row_number + exact integer arithmetic, `(n*q_num + q_den-1) // q_den`),
-    so a DuckDB release changing its discrete-quantile rank convention
-    cannot shift the hash. The Spark side keeps percentile_disc (engine
-    pinned here); its rank policy — smallest value with cume_dist >= q,
-    i.e. the ceil(n*q)-th element — is pinned by
-    tests/test_extensions.py::test_spark_percentile_disc_is_ceil_rank."""
+    Version-proofing (r3 ask #3, completed r5): NEITHER engine calls a
+    quantile function any more. The oracle selects the element at rank
+    ceil(n*q) explicitly (row_number + exact integer arithmetic,
+    `(n*q_num + q_den-1) // q_den`); the Spark side selects the same
+    element as the smallest value whose cumulative count reaches that
+    rank, over the (type, value, count) GRAIN — so no engine's
+    discrete-quantile rank convention is anywhere in the loop. (Spark's
+    own percentile_disc policy remains pinned by
+    tests/test_extensions.py::test_spark_percentile_disc_is_ceil_rank as
+    documentation, but no production path depends on it.)
+
+    Scale shape (r5, the _mad_frame rework applied here): one
+    map-side-combinable groupBy to value grain, the cum/n windows over
+    the grain (bounded by value cardinality), and a broadcast join of the
+    two type-sized tables. No sort ever touches the raw event stream;
+    n_events counts ALL rows (null values included) per the original
+    COUNT(*) semantics, hence the separate unfiltered aggregate and the
+    left join that keeps all-null types with NULL quartiles."""
+    from pyspark.sql import Window
+
     ev = _t(spark, sf_dir, "events")
-    ev.createOrReplaceTempView("_ev_disc")
-    return spark.sql(
-        """
-        SELECT event_type,
-               percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS p25,
-               percentile_disc(0.5)  WITHIN GROUP (ORDER BY value) AS p50,
-               percentile_disc(0.75) WITHIN GROUP (ORDER BY value) AS p75,
-               COUNT(*) AS n_events
-        FROM _ev_disc GROUP BY event_type
-        """
+    cnts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    grain = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("event_type", "value")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_cum = Window.partitionBy("event_type").orderBy("value")
+    w_type = Window.partitionBy("event_type")
+    g = grain.withColumn("cum", F.sum("c").over(w_cum)).withColumn(
+        "n", F.sum("c").over(w_type)
+    )
+
+    def disc(num: int):
+        # smallest value with cum >= ceil(n * num/100) — the element at
+        # row_number rank (n*num + 99) // 100, the oracle's selection
+        return F.min(
+            F.when(
+                F.col("cum") >= F.expr(f"(n * {num} + 99) div 100"),
+                F.col("value"),
+            )
+        )
+
+    quart = g.groupBy("event_type").agg(
+        disc(25).alias("p25"), disc(50).alias("p50"), disc(75).alias("p75")
+    )
+    return cnts.join(F.broadcast(quart), "event_type", "left").select(
+        "event_type", "p25", "p50", "p75", "n_events"
     )
 
 
@@ -1445,40 +1496,45 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine quantile function whose rank convention could drift across
     releases."""
     # All nine exact discrete quantiles (q and the two band edges per q)
-    # come from ONE windowed sort — row_number + the partition count feed
-    # nine rank-equality selections — instead of nine independent
-    # sort-based percentile_disc aggregates (bench: 1.8s -> one sort; and
-    # at 100 TB the single per-group sort is the whole cost). The count
-    # window shares the row_number window's exchange and sort.
+    # come from rank selections over the (type, value, count) GRAIN (the
+    # _mad_frame r5 rework): a map-side-combinable groupBy, cum/n windows
+    # bounded by value cardinality, nine suffix-min selections. The GK
+    # sketch aggregates over the raw stream in its own pass — a shuffle
+    # of fixed-size mergeable sketches, no sort — and joins the
+    # type-sized rank table by broadcast. r4's shape sorted the full
+    # event stream per type; now no sort touches it at all.
     from pyspark.sql import Window
 
     ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    w = Window.partitionBy("event_type").orderBy("value")
-    wp = Window.partitionBy("event_type")
-    rk = ev.select(
-        "event_type",
-        "value",
-        F.row_number().over(w).alias("rk"),
-        F.count(F.lit(1)).over(wp).alias("n"),
+    sketch = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), 10000).alias("qa"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w_cum = Window.partitionBy("event_type").orderBy("value")
+    w_type = Window.partitionBy("event_type")
+    g = (
+        ev.groupBy("event_type", "value")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("cum", F.sum("c").over(w_cum))
+        .withColumn("n", F.sum("c").over(w_type))
     )
 
     def disc(num: int):
-        # ceil(n * num/1000) in exact int64 arithmetic — identical to the
-        # oracle's (n*num + 999) // 1000 selection.
+        # smallest value with cum >= ceil(n * num/1000) — the element at
+        # row_number rank (n*num + 999) // 1000, the oracle's selection
         return F.min(
             F.when(
-                F.col("rk") == F.expr(f"(n * {num} + 999) div 1000"),
+                F.col("cum") >= F.expr(f"(n * {num} + 999) div 1000"),
                 F.col("value"),
             )
         )
 
-    agg = rk.groupBy("event_type").agg(
-        F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), 10000).alias("qa"),
+    ranks = g.groupBy("event_type").agg(
         disc(495).alias("lo50"), disc(500).alias("d50"), disc(505).alias("hi50"),
         disc(945).alias("lo95"), disc(950).alias("d95"), disc(955).alias("hi95"),
         disc(985).alias("lo99"), disc(990).alias("d99"), disc(995).alias("hi99"),
-        F.count("*").alias("n_events"),
     )
+    agg = sketch.join(F.broadcast(ranks), "event_type")
     agg.createOrReplaceTempView("_ev_q_agg")
     return spark.sql(
         """

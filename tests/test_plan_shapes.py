@@ -355,6 +355,26 @@ def test_zorder_stats_single_exchange_pure_codegen(spark):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
+def test_quantile_family_sorts_grain_not_facts(spark):
+    """r5 grain discipline: the order-statistic family (MAD, discrete
+    quartiles, the quantile rank-band contract) must never sort the raw
+    event stream — ranks come from cumulative-count windows over the
+    (type, value, count) aggregate, whose size is bounded by value
+    cardinality at any corpus scale. A regression back to
+    row_number-over-facts reintroduces a fact-sized per-type sort."""
+    import re as _re
+
+    for name in [
+        "events_anomaly_mad",
+        "events_value_quartiles_disc",
+        "events_value_quantiles",
+    ]:
+        plan = formatted_plan(QUERIES[name](spark, SF_SMOKE))
+        assert "row_number" not in plan, name
+        # the cum/n windows aggregate the grain's count column
+        assert _re.search(r"sum\(c#", plan), name
+
+
 def test_anomaly_mad_broadcasts_tiny_stats(spark):
     """The per-type median/MAD tables are |event types| rows: both must
     ride broadcast joins back onto the event stream — shuffling the fact
