@@ -723,6 +723,27 @@ def _median_grain(grain: DataFrame, col: str, cnt: str, out: str) -> DataFrame:
     )
 
 
+def _mad_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (event_type, v, c) centi-unit value grain, materialized ONCE
+    per (session, sf_dir) and memoized on the session object — the
+    load_table idiom, same static-table caveat. The three MAD catalog
+    entries (full + the two bisection instruments) all start from this
+    table, so a driver pass over the window materializes the fact-side
+    aggregate once, not three times."""
+    cache = getattr(spark, "_graft_mad_grain", None)
+    if cache is None:
+        cache = {}
+        spark._graft_mad_grain = cache
+    if sf_dir not in cache:
+        cache[sf_dir] = (
+            _events_centi(spark, sf_dir)
+            .groupBy("event_type", "v")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .localCheckpoint()
+        )
+    return cache[sf_dir]
+
+
 def _mad_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-type outlier profile: |v - median| > 3*MAD in int64
     centi-units, medians by explicit rank selection (identical to the
@@ -736,12 +757,7 @@ def _mad_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     it is localCheckpoint-ed (the dual-consumer rule); the per-type
     median/MAD tables broadcast onto it. Compare the r4 shape: two full
     window sorts + one aggregate over the raw event stream."""
-    ev = _events_centi(spark, sf_dir)
-    grain = (
-        ev.groupBy("event_type", "v")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint()
-    )
+    grain = _mad_grain(spark, sf_dir)
     med = _median_grain(grain, "v", "c", "med")
     dgrain = (
         grain.join(F.broadcast(med), "event_type")

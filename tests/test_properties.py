@@ -296,3 +296,34 @@ def test_md5_hash64_matches_hashlib(spark, texts):
         u = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:16], 16)
         want = u - (1 << 64) if u >= 1 << 63 else u
         assert got[t] == want, t
+
+
+@settings(deadline=None, max_examples=20, suppress_health_check=list(HealthCheck))
+@given(
+    groups=st.dictionaries(
+        st.sampled_from(["a", "b", "c"]),
+        st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=30),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_median_grain_equals_sorted_rank_selection(spark, groups):
+    """_median_grain (the r5 grain-based explicit-rank median powering the
+    events_anomaly_mad family) must equal the naive definition — the
+    element at 1-based rank (n+1)//2 of the sorted multiset — for
+    arbitrary multisets: duplicates, negatives, ties at the rank
+    boundary, single-element and all-equal groups."""
+    from pyspark.sql import functions as F
+
+    from mapreducer_pi_cs4433_spark.queries.extensions import _median_grain
+
+    rows = [(g, v) for g, vals in groups.items() for v in vals]
+    df = spark.createDataFrame(rows, "event_type string, v long")
+    grain = df.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("c"))
+    got = {
+        r.event_type: r.med
+        for r in _median_grain(grain, "v", "c", "med").collect()
+    }
+    for g, vals in groups.items():
+        want = sorted(vals)[(len(vals) + 1) // 2 - 1]
+        assert got[g] == want, (g, sorted(vals))
