@@ -171,3 +171,72 @@ def test_backlog_sweep_stream_matches_batch_query(spark):
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_backlog_sweep_arbitrary_batch_splits_match_reference(spark):
+    """Seeded randomized replay: a random balanced delta stream, arriving
+    in event-time order but split at ARBITRARY points across four
+    checkpointed runs, must finalize to exactly the running sums a
+    pure-Python sweep computes — state and watermark survive every split
+    point, emissions never duplicate or reorder. (In-order arrival is the
+    precondition for a drop-free reference: cross-run event-time disorder
+    beyond the 1s watermark delay is LATE by contract and covered by the
+    crafted late-drop test above. Seeded RNG, not hypothesis: each
+    streaming run costs seconds, so one adversarial deterministic example
+    beats twenty shrunk ones.)"""
+    import random
+
+    rng = random.Random(0x5EED)
+    days = [f"2024-02-{d:02d}" for d in range(1, 11)]
+    events = [
+        (rng.choice(days) + " 12:00:00", rng.choice([1, 1, 1, -1]))
+        for _ in range(40)
+    ]
+    # balance: every +1 eventually closes so the final count is exact
+    net = sum(d for _, d in events)
+    if net > 0:
+        events += [("2024-02-10 13:00:00", -1)] * net
+    elif net < 0:
+        events += [("2024-02-01 11:00:00", 1)] * (-net)
+    events.sort()  # in-order arrival; the RANDOM part is the split points
+    splits = sorted(rng.sample(range(1, len(events)), 3))
+    chunks = [
+        events[i:j]
+        for i, j in zip([0] + splits, splits + [len(events)])
+    ]
+
+    src = tempfile.mkdtemp(prefix="bkr_src_")
+    ckpt = tempfile.mkdtemp(prefix="bkr_ck_")
+    out = tempfile.mkdtemp(prefix="bkr_out_")
+    try:
+        for chunk in chunks:
+            _write(spark, src, [
+                Row(ts=ts, delta=dv) for ts, dv in chunk
+            ])
+            _run(spark, src, ckpt, out)
+        # two sentinel runs push the watermark past every data day and
+        # trigger the final emissions
+        _write(spark, src, [Row(ts="2024-03-01 00:00:00", delta=0)])
+        _run(spark, src, ckpt, out)
+        _write(spark, src, [Row(ts="2024-03-02 00:00:00", delta=0)])
+        _run(spark, src, ckpt, out)
+
+        got = sorted(
+            (r.day, r.delta, r.open_orders)
+            for r in spark.read.parquet(out).collect()
+            if r.day < "2024-03"  # exclude the sentinel day
+        )
+        # pure-Python reference sweep
+        per_day: dict[str, int] = {}
+        for ts, dv in events:
+            per_day[ts[:10]] = per_day.get(ts[:10], 0) + dv
+        cum, want = 0, []
+        for day in sorted(per_day):
+            cum += per_day[day]
+            want.append((day, per_day[day], cum))
+        assert got == want
+        assert got[-1][2] == 0  # balanced stream: everything closed
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
