@@ -149,3 +149,79 @@ def test_funnel_stream_matches_batch_counts(spark):
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_funnel_arbitrary_batch_splits_match_reference(spark):
+    """Seeded randomized replay: a random multi-user event stream,
+    arriving in event-time order but split at random points across four
+    checkpointed runs, must resolve every user's funnel exactly as a
+    pure-Python fold of their sorted history — stage anchors and pending
+    buffers survive every split boundary. (Seeded RNG over hypothesis:
+    each streaming run costs seconds.)"""
+    import random
+
+    rng = random.Random(0xF01D)
+    base = datetime.datetime(2024, 3, 1)
+    events = []
+    for _ in range(60):
+        events.append((
+            base + datetime.timedelta(seconds=rng.randrange(0, 5 * 86400)),
+            rng.randrange(1, 9),
+            rng.choice(["view", "click", "purchase", "error"]),
+        ))
+    events.sort()
+    splits = sorted(rng.sample(range(1, len(events)), 3))
+    chunks = [
+        events[i:j] for i, j in zip([0] + splits, splits + [len(events)])
+    ]
+
+    src = tempfile.mkdtemp(prefix="fnr_src_")
+    ckpt = tempfile.mkdtemp(prefix="fnr_ck_")
+    out = tempfile.mkdtemp(prefix="fnr_out_")
+    try:
+        for chunk in chunks:
+            _write(spark, src, [
+                Row(user_id=u, ts=str(ts), event_type=k)
+                for ts, u, k in chunk
+            ])
+            _run(spark, src, ckpt, out)
+        last = events[-1][0]
+        for off in (1, 2):
+            _write(spark, src, [
+                Row(user_id=-1,
+                    ts=str(last + datetime.timedelta(seconds=off)),
+                    event_type="view"),
+            ])
+            _run(spark, src, ckpt, out)
+
+        got = {}
+        for r in spark.read.parquet(out).collect():
+            if r.user_id != -1:
+                got[(r.user_id, r.stage)] = r.at_s
+
+        # pure-Python reference fold per user over sorted history
+        W = 86400
+        want = {}
+        per_user = {}
+        for ts, u, k in events:
+            per_user.setdefault(u, []).append((int(ts.timestamp()), k))
+        for u, evs in per_user.items():
+            view = click = None
+            purchased = False
+            for t, k in sorted(evs):
+                if k == "view" and view is None:
+                    view = t
+                    want[(u, "view")] = t
+                elif (k == "click" and click is None and view is not None
+                      and view < t <= view + W):
+                    click = t
+                    want[(u, "click")] = t
+                elif (k == "purchase" and not purchased and click is not None
+                      and click < t <= click + W):
+                    purchased = True
+                    want[(u, "purchase")] = t
+        assert got == want
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
