@@ -152,6 +152,14 @@ def invalidate_table_cache(
     refresh Spark's cached file listings for the affected paths. Required
     after any in-place rewrite of a table directory (see load_table's
     static-table assumption)."""
+    # Derived memos keyed on the same corpus must fall with the table
+    # plans: the MAD value grain (queries/extensions._mad_grain) is
+    # materialized FROM events, so a stale grain would survive an events
+    # rewrite even after the plan cache is dropped.
+    grain = getattr(spark, "_graft_mad_grain", None)
+    if grain and (name is None or name == "events"):
+        for d in [d for d in grain if sf_dir is None or d == sf_dir]:
+            grain.pop(d)
     cache = getattr(spark, "_graft_table_plans", None)
     if not cache:
         return

@@ -989,3 +989,25 @@ def test_local_gate_canonicalizer_matches_driver_on_lists():
     # the r3 failure mode: list cells crash the multi-column sort
     with pytest.raises(TypeError):
         mod._canon([(1, [2020, 2021]), (2, [1999])], ["k", "years"])
+
+
+def test_invalidate_table_cache_drops_mad_grain_memo(spark, tmp_path):
+    """invalidate_table_cache must drop DERIVED memos along with the
+    load_table plans: the MAD value grain is materialized from events, so
+    after an in-place events rewrite a stale grain would silently survive
+    the plan-cache flush (r5 fix)."""
+    from mapreducer_pi_cs4433_spark.queries.extensions import _mad_grain
+    from mapreducer_pi_cs4433_spark.sources.loaders import (
+        invalidate_table_cache,
+    )
+
+    sf = str(tmp_path)
+    src = load_table(spark, SF_SMOKE, "events")
+    src.limit(50).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    g1 = _mad_grain(spark, sf).agg(F.sum("c").alias("n")).first().n
+    assert g1 == 50
+    # in-place rewrite with different data, then the required invalidation
+    src.limit(10).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    invalidate_table_cache(spark, sf)
+    g2 = _mad_grain(spark, sf).agg(F.sum("c").alias("n")).first().n
+    assert g2 == 10
