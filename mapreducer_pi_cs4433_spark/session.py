@@ -54,10 +54,17 @@ def tune_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable scale/parity conf to an externally-built session.
 
     The correctness driver hands us its own SparkSession; only runtime-mutable
-    settings are touched (timezone for DuckDB parity, AQE for scale).
+    settings are touched (timezone for DuckDB parity, AQE for scale, ANSI
+    pinned to the locally-tested value). Pinning ANSI matters for hash
+    parity: every local gate (tests, full_oracle_check, the partition-count
+    sweep) runs under Spark 4's ansi=true default, and div/cast/overflow
+    semantics differ across ANSI modes — an externally-built session with a
+    different setting would be running semantics no local gate ever
+    exercised.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
     return spark
 
 
