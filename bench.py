@@ -148,6 +148,21 @@ def main() -> None:
 
         index_tmp = tempfile.mkdtemp(prefix="bench_idx_")
         os.environ["SPARK_GRAFT_INDEX_DIR"] = index_tmp
+    try:
+        _run(sf_dir)
+    finally:
+        # The scratch root and the env mutation must not outlive the run
+        # even when a build or timed pass raises (ADVICE r5): the env key
+        # is process-global state and the mkdtemp dir is multi-GB at
+        # bench SFs.
+        if index_tmp is not None:
+            import shutil
+
+            shutil.rmtree(index_tmp, ignore_errors=True)
+            os.environ.pop("SPARK_GRAFT_INDEX_DIR", None)
+
+
+def _run(sf_dir: str) -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -196,10 +211,6 @@ def main() -> None:
 
     extra["artifact_builds"] = dict(sorted(BUILD_TIMES.items()))
     extra["artifact_builds_total_sec"] = round(sum(BUILD_TIMES.values()), 2)
-    if index_tmp is not None:
-        import shutil
-
-        shutil.rmtree(index_tmp, ignore_errors=True)
 
     total = round(sum(timings.values()), 2)
     # One compact line; per-query timings FIRST and summary keys LAST —

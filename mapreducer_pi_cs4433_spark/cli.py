@@ -68,6 +68,7 @@ def _build_index(spark, sf_dir: str, kinds_csv: str) -> int:
         _PQ_M,
         _PQ_SAMPLE,
         _SHINGLE_K,
+        _SPAN_K,
     )
 
     kinds = (
@@ -97,7 +98,7 @@ def _build_index(spark, sf_dir: str, kinds_csv: str) -> int:
         built.append(
             (
                 "posshingle",
-                fdedup.ensure_positional_shingles(spark, docs, sf_dir).count(),
+                fdedup.ensure_positional_shingles(spark, docs, sf_dir, k=_SPAN_K).count(),
             )
         )
     if "pairs" in kinds:

@@ -12,13 +12,25 @@ the batch query produces for it.
 
 Why a single global key is the right shape here and NOT a scale bug: a
 running sum over calendar days is inherently sequential in its output
-dimension. The state machine therefore never sees fact-sized data — the
-upstream pipeline (per-order max-shipdate, day-grain delta aggregation)
-does the fact-sized work with ordinary scalable streaming aggregations,
-and what reaches the sweep is bounded by the calendar (a few thousand
-day-grain rows per year at ANY corpus scale). State is likewise
-calendar-bounded: the pending (not-yet-watermark-final) day deltas plus
-one cumulative counter.
+dimension, so SOME task must see every change day — the design goal is
+that it sees ONLY change days, not fact rows. Spark cannot express the
+fact-sized reduction and the sweep in one query: both "aggregation
+before applyInPandasWithState" and "two chained applyInPandasWithState"
+are analyzer-rejected (verified on this Spark — AnalysisException in
+both shapes). The scalable composition is therefore a TWO-QUERY
+pipeline, the standard Structured Streaming answer to stateful-chaining
+limits: :func:`day_grain_deltas` (an ordinary distributed windowed
+aggregation, append mode — each day emitted once, finalized) runs as
+its own query into an intermediate sink, and the sweep consumes that
+calendar-bounded stream (a few thousand day-grain rows per year at ANY
+corpus scale). Pinned end-to-end by tests/test_streaming_backlog.py::
+test_backlog_two_query_pipeline_matches_batch. Feeding raw endpoint
+rows straight to the sweep stays CORRECT (the tests that do so pin
+exactly that) and is fine at test volumes, but funnels fact-sized data
+through one task — the state machine chunk-reduces vectorized, yet the
+wire cost is the caller's. State is calendar-bounded either way: the
+pending (not-yet-watermark-final) day deltas plus one cumulative
+counter.
 
 Late-data policy: a whole day whose end has already passed the watermark
 can never change an emitted row — incoming rows for such days are dropped
@@ -63,6 +75,32 @@ _BACKLOG_STATE_SCHEMA = StructType(
 )
 
 
+def day_grain_deltas(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    delta_col: str = "delta",
+    watermark: str = "1 second",
+) -> DataFrame:
+    """Distributed day-grain pre-aggregation for the sweep (ADVICE r5).
+
+    An ordinary windowed streaming aggregation: fact-sized endpoint rows
+    reduce to one (ts=day start, delta=net) row per change day via a
+    normal scalable shuffle; in append mode each day emits exactly once,
+    when the watermark passes its end. Spark's analyzer forbids chaining
+    this into :func:`backlog_sweep_stateful` inside one query (see module
+    docstring), so at scale it runs as its OWN query writing an
+    intermediate sink, and the sweep streams from that sink — output
+    column names match the sweep's input contract, so the composition is
+    ``backlog_sweep_stateful(read_from(sink))`` verbatim.
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, "1 day").alias("__w"))
+        .agg(F.sum(F.col(delta_col).cast("long")).alias("delta"))
+        .select(F.col("__w.start").alias("ts"), "delta")
+    )
+
+
 def backlog_sweep_stateful(
     stream: DataFrame,
     ts_col: str = "ts",
@@ -76,6 +114,10 @@ def backlog_sweep_stateful(
     land in it) — carrying the day's net delta and the running
     open-interval count. Pending days and the cumulative sum live in
     per-query state; both are calendar-bounded (see module docstring).
+
+    Input contract: rows are (event-time, delta) at ANY grain — day-grain
+    input (see :func:`day_grain_deltas`) is what a fact-sized deployment
+    must supply, since everything here flows through one sweep task.
     """
     import pandas as pd
 
@@ -90,8 +132,10 @@ def backlog_sweep_stateful(
             day_idx = (
                 pd.to_datetime(pdf["__ts"]).astype("int64") // (_DAY_MS * 10**6)
             ).to_numpy()
-            dvals = pdf["__delta"].to_numpy()
-            for d, dv in zip(day_idx, dvals):
+            # chunk-level vectorized combine: Python cost is per (chunk,
+            # day), not per row; the late check is day-functional so it
+            # commutes with the per-day sum
+            for d, dv in pdf["__delta"].groupby(day_idx).sum().items():
                 d = int(d)
                 if (d + 1) * _DAY_MS <= wm_ms:
                     continue  # whole day already past finalization: late

@@ -23,7 +23,10 @@ timeouts, this module covers the event-time variant.
 
 State per type: the (day, count) map inside the horizon behind the anchor
 plus days still ahead of the watermark — bounded by horizon_days + the
-watermark lag, never by stream length. Late rows for a day already past
+watermark lag, never by stream length. A type that goes permanently
+silent emits ONE final zero snapshot when its last bucket ages past the
+horizon, then its state and timer are REMOVED (ADVICE r5) — the live key
+set is bounded by types active within the horizon, not types ever seen. Late rows for a day already past
 an emitted anchor but inside the horizon still merge (they affect FUTURE
 anchors — correct, since a late event still counts toward later scores);
 rows older than horizon behind the watermark are dropped.
@@ -92,11 +95,20 @@ def decayed_scores_stateful(
 
     def update(key, pdf_iter, state: GroupState):
         (etype,) = key
+        wm_ms = state.getCurrentWatermarkMs()
+        # newest COMPLETED day: its end (anchor+1)*_DAY_MS <= wm_ms, so
+        # every event of the anchor day is already behind the watermark
+        anchor = wm_ms // _DAY_MS - 1
         if state.exists:
             days, counts, last_emit = state.get
             pend = dict(zip(days, counts))
         else:
-            pend, last_emit = {}, -1
+            # a fresh key's emission floor is the CURRENT anchor: days
+            # completed before the key existed carry zero counts by
+            # construction (the engine's late filter guarantees incoming
+            # rows sit above the watermark), and a key re-created after
+            # dead-state removal must not re-emit its dead anchor
+            pend, last_emit = {}, anchor
         if not state.hasTimedOut:
             for pdf in pdf_iter:
                 day_idx = (
@@ -106,10 +118,6 @@ def decayed_scores_stateful(
                 for d in day_idx:
                     d = int(d)
                     pend[d] = pend.get(d, 0) + 1
-        wm_ms = state.getCurrentWatermarkMs()
-        # newest COMPLETED day: its end (anchor+1)*_DAY_MS <= wm_ms, so
-        # every event of the anchor day is already behind the watermark
-        anchor = wm_ms // _DAY_MS - 1
         out = None
         if wm_ms > 0 and anchor >= 0:
             # horizon prune is safe once anchored: those days can never
@@ -135,11 +143,22 @@ def decayed_scores_stateful(
                     }
                 )
                 last_emit = anchor
-        keys = sorted(pend)
-        state.update((keys, [pend[d] for d in keys], last_emit))
-        # re-arm at the moment the NEXT anchor completes — the engine
-        # re-invokes this key when the watermark crosses it, data or not
-        state.setTimeoutTimestamp((anchor + 2) * _DAY_MS)
+        if not pend and anchor >= 0:
+            # decayed to zero with nothing pending: the final (0, 0)
+            # snapshot for this anchor is in `out` (or already emitted) —
+            # drop state AND timer instead of re-arming forever (ADVICE
+            # r5: a permanently silent type would otherwise emit a zero
+            # row every day and hold a state-store key indefinitely). A
+            # later row re-creates state; the fresh-key emission floor
+            # above keeps the dead anchor from double-emitting.
+            state.remove()
+        else:
+            keys = sorted(pend)
+            state.update((keys, [pend[d] for d in keys], last_emit))
+            # re-arm at the moment the NEXT anchor completes — the engine
+            # re-invokes this key when the watermark crosses it, data or
+            # not
+            state.setTimeoutTimestamp((anchor + 2) * _DAY_MS)
         if out is not None:
             yield out
 

@@ -109,6 +109,94 @@ def test_backlog_sweep_finalizes_in_order_and_drops_late(spark):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def test_backlog_two_query_pipeline_matches_batch(spark):
+    """The documented scale composition (ADVICE r5): query A =
+    day_grain_deltas (distributed windowed aggregation, append mode,
+    finalized days only) writes an intermediate parquet sink; query B =
+    the single-key sweep streams from that sink and must reproduce the
+    crafted running sums exactly. Spark's analyzer forbids fusing the two
+    into one query (aggregation before applyInPandasWithState AND chained
+    applyInPandasWithState both raise), so the two-query shape IS the
+    production deployment, pinned here end-to-end."""
+    from mapreducer_pi_cs4433_spark.streaming.backlog import day_grain_deltas
+
+    src = tempfile.mkdtemp(prefix="bk2_src_")
+    ck_a = tempfile.mkdtemp(prefix="bk2_cka_")
+    mid = tempfile.mkdtemp(prefix="bk2_mid_")
+    ck_b = tempfile.mkdtemp(prefix="bk2_ckb_")
+    out = tempfile.mkdtemp(prefix="bk2_out_")
+
+    def _run_a():
+        stream = spark.readStream.schema("ts timestamp, delta int").parquet(src)
+        q = (
+            day_grain_deltas(stream)
+            .writeStream.format("parquet")
+            .option("path", mid)
+            .option("checkpointLocation", ck_a)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    def _run_b():
+        stream = spark.readStream.schema("ts timestamp, delta long").parquet(mid)
+        q = (
+            backlog_sweep_stateful(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck_b)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    try:
+        _write(spark, src, [
+            Row(ts="2024-01-01 06:00:00", delta=1),
+            Row(ts="2024-01-01 18:00:00", delta=1),
+            Row(ts="2024-01-03 12:00:00", delta=-1),
+        ])
+        _run_a()
+        # sentinel cascade: each stage finalizes a day only when ITS
+        # watermark passes the day's end, and stage B's event times are
+        # stage A's day STARTS — so sentinels must clear both stages'
+        # thresholds, and each stage needs a second run for the
+        # checkpointed watermark to become visible to emissions
+        # four sentinels: stage A finalizes day d only once it sees day
+        # d+2's start (1s delay + window-end strictness), and stage B
+        # lags one more A-emission behind that
+        for s in ["2024-02-01 00:00:00", "2024-02-02 00:00:00",
+                  "2024-02-03 00:00:00", "2024-02-04 00:00:00"]:
+            _write(spark, src, [Row(ts=s, delta=0)])
+            _run_a()
+            _run_b()
+        got = sorted(
+            (r.day, r.delta, r.open_orders)
+            for r in spark.read.schema(
+                "day string, delta long, open_orders long"
+            ).parquet(out).collect()
+            if r.day < "2024-02"
+        )
+        assert got == [("2024-01-01", 2, 2), ("2024-01-03", -1, 1)]
+        # the intermediate sink carries DAY-GRAIN rows only: the sweep's
+        # single task saw 2 finalized January change-days, not 3 raw rows
+        mid_rows = sorted(
+            (str(r.ts), r.delta)
+            for r in spark.read.schema("ts timestamp, delta long")
+            .parquet(mid).collect()
+            if str(r.ts) < "2024-02"
+        )
+        assert mid_rows == [
+            ("2024-01-01 00:00:00", 2),
+            ("2024-01-03 00:00:00", -1),
+        ]
+    finally:
+        for d in (src, ck_a, mid, ck_b, out):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def test_backlog_sweep_stream_matches_batch_query(spark):
     """Feed the batch query's own endpoint-delta stream (rebuilt from
     lineitem/orders at sf0.001) through the state machine; once the

@@ -111,6 +111,34 @@ def test_decay_snapshots_and_timer_driven_reemission(spark):
         assert rows[("click", "2024-01-08")] == (0, 0)
         assert rows[("view", "2024-01-08")] == (0, 0)
         assert rows[("ping", "2024-01-08")] == (1, 1)
+
+        # run 5 (ADVICE r5 dead-key removal): click re-appears AFTER its
+        # zero snapshot removed its state, while the watermark still sits
+        # inside the already-emitted Jan 8 anchor. The fresh-key emission
+        # floor must prevent a duplicate (click, 2024-01-08) row — naive
+        # re-creation with last_emit=-1 would re-emit it as (0, 0).
+        _write(spark, src, [Row(ts="2024-01-09 13:00:00", event_type="click")])
+        _run(spark, src, ckpt, out, H)
+        emitted = [
+            (r.event_type, r.as_of_day)
+            for r in spark.read.parquet(out).collect()
+        ]
+        assert emitted.count(("click", "2024-01-08")) == 1
+        # view went dead at run 4: state and timer removed, so no
+        # timer-driven zero rows accrue past its final snapshot
+        assert max(d for t, d in emitted if t == "view") == "2024-01-08"
+
+        # run 6: the anchor advances to Jan 9 — the re-created click key
+        # emits its first post-rebirth snapshot counting the run-5 row
+        # (1 event at age 0 -> 2^4 = 16); view stays dead.
+        _write(spark, src, [Row(ts="2024-01-10 12:00:00", event_type="click")])
+        _run(spark, src, ckpt, out, H)
+        rows = {
+            (r.event_type, r.as_of_day): (r.n_events, r.decayed_score)
+            for r in spark.read.parquet(out).collect()
+        }
+        assert rows[("click", "2024-01-09")] == (1, 16)
+        assert ("view", "2024-01-09") not in rows
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
