@@ -621,6 +621,11 @@ _DRIVER_PRIORITY = [
     # dedup_embedding_exact_pairs, hash-checked)
     "pi_estimate",
     "dedup_embedding_neardup",
+    # r6: SemDeDup cluster-scoped semantic pruning (listing + census)
+    "dedup_semantic_prune",
+    "dedup_semantic_stats",
+    # r6: exact kNN self-join (blocked-GEMM local top-k + global window)
+    "similarity_knn_graph",
 ]
 
 

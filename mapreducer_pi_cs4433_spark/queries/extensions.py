@@ -1745,7 +1745,10 @@ def embedding_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KMEANS_K = 8
 
 
-def _kmeans_oracle(iters: int = 2) -> str:
+def _kmeans_ctes(iters: int = 2) -> tuple[list[str], str]:
+    """The unrolled-Lloyd CTE chain and the name of its final centroid
+    table — shared by the kmeans oracle and the semantic-dedup oracles,
+    which extend the chain rather than re-deriving the clustering."""
     # unrolled Lloyd iterations over floor-quantized integer components;
     # same pmod-then-truncate floor division as embedding_nearest_centroid
     ctes = [
@@ -1786,6 +1789,11 @@ def _kmeans_oracle(iters: int = 2) -> str:
     )"""
         )
         prev = f"c{i}"
+    return ctes, prev
+
+
+def _kmeans_oracle(iters: int = 2) -> str:
+    ctes, prev = _kmeans_ctes(iters)
     return (
         "WITH "
         + ", ".join(ctes)
@@ -1956,6 +1964,373 @@ def embedding_medoid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         medoid,
         schema="label INT, medoid_vec_id BIGINT, sum_d2 BIGINT, n_members BIGINT",
     )
+
+
+# --- semantic dedup (SemDeDup, Abbas et al. 2023): cluster-scoped
+# embedding-cosine pruning. The corpus-level exact pass
+# (dedup_embedding_exact_pairs) is O(n^2) in block pairs; SemDeDup's
+# insight is that semantic duplicates share a k-means cluster, so the
+# quadratic term is bounded by cluster size — pick K proportional to
+# corpus size and each task stays constant work at ANY scale (at huge K,
+# assignment itself composes with the IVF coarse quantizer instead of
+# the brute-force argmin used here).
+_SEM_TAU_NUM = 2  # cosine threshold tau = 2/5, as an exact rational —
+_SEM_TAU_DEN = 5  # calibrated on the synthetic corpus for a nonempty,
+# non-trivial prune at every SF (measured: 24/500 at sf0.001, 27/500 at
+# sf0.01, 265/2000 at sf0.1; tau=0.3 over-prunes to 85% at sf0.1 and
+# tau=0.5 empties sf0.001/0.01 — cos >= 0.5 holds for ONE pair corpus-wide)
+
+
+def _semantic_hit_ctes() -> tuple[list[str], str]:
+    """CTE chain ending in `hits`: every (better-ranked keeper candidate,
+    prunable vector) pair within a cluster whose exact integer cosine
+    clears tau. Extends the kmeans chain with one assignment pass against
+    the FINAL centroids (so clusters match embedding_kmeans_step's
+    output), then ranks members by (distance-to-centroid, vec_id)."""
+    ctes, prev = _kmeans_ctes(2)
+    ctes.append(
+        f"""dd AS (
+        SELECT q.vec_id, c.cl, SUM((q.vq - c.cd) * (q.vq - c.cd)) AS d
+        FROM q JOIN {prev} c ON q.dim = c.dim
+        GROUP BY 1, 2
+    ), v AS (
+        SELECT vec_id,
+               (min(struct_pack(d := d, c := cl))).c AS cl,
+               CAST((min(struct_pack(d := d, c := cl))).d AS BIGINT) AS d
+        FROM dd GROUP BY vec_id
+    ), norms AS (
+        SELECT vec_id, SUM(vq * vq) AS nn FROM q GROUP BY 1
+    ), pr AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib, a.cl, a.d AS da
+        FROM v a JOIN v b ON a.cl = b.cl
+        WHERE (a.d, a.vec_id) < (b.d, b.vec_id)
+    ), pd AS (
+        SELECT p.ia, p.ib, p.cl, p.da, SUM(qa.vq * qb.vq) AS dot
+        FROM pr p
+        JOIN q qa ON qa.vec_id = p.ia
+        JOIN q qb ON qb.vec_id = p.ib AND qb.dim = qa.dim
+        GROUP BY 1, 2, 3, 4
+    ), hits AS (
+        SELECT pd.ib, pd.cl, pd.da, pd.ia, pd.dot
+        FROM pd
+        JOIN norms na ON na.vec_id = pd.ia
+        JOIN norms nb ON nb.vec_id = pd.ib
+        WHERE pd.dot > 0
+          AND {_SEM_TAU_DEN * _SEM_TAU_DEN} * (CAST(pd.dot AS HUGEINT) * pd.dot)
+              >= {_SEM_TAU_NUM * _SEM_TAU_NUM} * (CAST(na.nn AS HUGEINT) * nb.nn)
+    )"""
+    )
+    return ctes, "hits"
+
+
+def _semantic_prune_oracle() -> str:
+    ctes, _ = _semantic_hit_ctes()
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + """
+    SELECT ib AS vec_id,
+           (min(struct_pack(d := da, i := ia))).i AS keeper_id,
+           CAST(cl AS BIGINT) AS cluster_id,
+           CAST((min(struct_pack(d := da, i := ia, dt := dot))).dt AS BIGINT)
+             AS keeper_dot_q
+    FROM hits GROUP BY ib, cl
+    """
+    )
+
+
+def _semantic_stats_oracle() -> str:
+    ctes, _ = _semantic_hit_ctes()
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + """
+    SELECT CAST(v.cl AS BIGINT) AS cluster_id,
+           COUNT(*) AS n_vectors,
+           COUNT(h.ib) AS n_pruned,
+           COUNT(*) - COUNT(h.ib) AS n_kept
+    FROM v LEFT JOIN (SELECT DISTINCT ib, cl FROM hits) h
+           ON h.cl = v.cl AND h.ib = v.vec_id
+    GROUP BY 1
+    """
+    )
+
+
+def _semantic_parts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(per-vector cluster assignment with centroid distance, pruned-row
+    listing) shared by the dedup_semantic_* queries.
+
+    Clustering is embedding_kmeans_step's exact integer Lloyd system (two
+    unrolled iterations from md5-seeded starts) plus one assignment pass
+    against the final centroids; the pairwise cosine gate then runs ONLY
+    within clusters, one grouped-map numpy task per cluster. Exactness
+    follows dedup_embedding_exact_pairs: float64 prefilter with a 1e-9
+    relative guard band, arbitrary-precision integer recheck at the rim,
+    so cos >= tau is decided as DEN^2*dot^2 >= NUM^2*|a|^2*|b|^2 in exact
+    arithmetic, bit-identical to the oracle's HUGEINT compare."""
+    import numpy as np
+    import pandas as pd
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    q = (
+        emb.select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+        .select(
+            "vec_id",
+            (F.col("pos") + 1).alias("dim"),
+            F.floor(F.col("v").cast("double") * 1_000_000)
+            .cast("long")
+            .alias("vq"),
+        )
+        .localCheckpoint()
+    )
+    seeds = (
+        emb.select("vec_id")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(_KMEANS_K)
+        .select(F.col("vec_id").alias("cl"))
+    )
+    cent = q.join(F.broadcast(seeds), q["vec_id"] == seeds["cl"]).select(
+        "cl", "dim", F.col("vq").alias("cd")
+    )
+    for _ in range(2):
+        e = F.col("vq") - F.col("cd")
+        dist = (
+            q.join(F.broadcast(cent.select("cl", "dim", "cd")), "dim")
+            .select("vec_id", "cl", (e * e).alias("e2"))
+            .groupBy("vec_id", "cl")
+            .agg(F.sum("e2").alias("d"))
+        )
+        assign = (
+            dist.groupBy("vec_id")
+            .agg(F.min(F.struct("d", "cl")).alias("b"))
+            .select("vec_id", F.col("b.cl").alias("cl"))
+        )
+        cent = (
+            q.join(assign, "vec_id")
+            .groupBy("cl", "dim")
+            .agg(F.sum("vq").alias("s"), F.count("*").alias("n"))
+            .select(
+                "cl",
+                "dim",
+                F.expr("(s - pmod(s, n)) div n").cast("long").alias("cd"),
+            )
+        )
+    e = F.col("vq") - F.col("cd")
+    final = (
+        q.join(F.broadcast(cent), "dim")
+        .select("vec_id", "cl", (e * e).alias("e2"))
+        .groupBy("vec_id", "cl")
+        .agg(F.sum("e2").alias("d"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d", "cl")).alias("b"))
+        .select(
+            "vec_id",
+            F.col("b.cl").alias("cl"),
+            F.col("b.d").cast("long").alias("d"),
+        )
+    )
+    members = final.join(emb.select("vec_id", "embedding"), "vec_id")
+    n2, t2 = _SEM_TAU_NUM * _SEM_TAU_NUM, _SEM_TAU_DEN * _SEM_TAU_DEN
+
+    def prune(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        cl = int(pdf["cl"].iloc[0])
+        ids = pdf["vec_id"].to_numpy()
+        dcent = pdf["d"].to_numpy()
+        m = np.stack(
+            [
+                np.floor(np.asarray(v, dtype=np.float64) * 1_000_000).astype(
+                    np.int64
+                )
+                for v in pdf["embedding"]
+            ]
+        )
+        rank = np.empty(len(ids), dtype=np.int64)
+        rank[np.lexsort((ids, dcent))] = np.arange(len(ids))
+        g = m @ m.T  # int64-exact: |dot| <= 64 * (1.3e5)^2 ~ 2^40
+        nn = (m * m).sum(axis=1)
+        lhs = float(t2) * g.astype(np.float64) ** 2
+        rhs = (
+            float(n2)
+            * nn[:, None].astype(np.float64)
+            * nn[None, :].astype(np.float64)
+        )
+        cand = (g > 0) & (lhs >= rhs * (1.0 - 1e-9))
+        cand &= rank[:, None] < rank[None, :]  # keeper must outrank
+        best: dict[int, tuple[int, int, int]] = {}
+        for a, b in zip(*np.nonzero(cand)):
+            dot = int(g[a, b])
+            if t2 * dot * dot >= n2 * int(nn[a]) * int(nn[b]):  # exact
+                key = int(ids[b])
+                k = (int(dcent[a]), int(ids[a]), dot)
+                if key not in best or k[:2] < best[key][:2]:
+                    best[key] = k
+        out = [(vid, ia, cl, dot) for vid, (da, ia, dot) in best.items()]
+        return pd.DataFrame(
+            out, columns=["vec_id", "keeper_id", "cluster_id", "keeper_dot_q"]
+        ).astype("int64")
+
+    pruned = members.groupBy("cl").applyInPandas(
+        prune,
+        schema="vec_id LONG, keeper_id LONG, cluster_id LONG, keeper_dot_q LONG",
+    )
+    return final, pruned
+
+
+@query("dedup_semantic_prune", oracle=_semantic_prune_oracle())
+def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-scoped semantic dedup, Abbas et al. 2023): one
+    row per PRUNED vector — a vector is pruned when its k-means cluster
+    holds a better-ranked member (closer to the centroid, ties to the
+    lower vec_id) whose exact cosine clears tau; the keeper is the
+    best-ranked such member. This is the scale path for embedding-cosine
+    dedup: the quadratic pass runs per cluster (bounded size by choosing
+    K ~ corpus size), never corpus-wide like the blocked-GEMM exact pass.
+
+    Physical shape: the kmeans centroid table broadcasts (K x 64 rows),
+    assignment is two partial-aggregated integer shuffles, and each
+    cluster is ONE numpy grouped-map task emitting only pruned rows.
+    Arithmetic is exact int64 + big-int rim recheck, so the listing
+    hash-matches the oracle's HUGEINT self-join bit-for-bit."""
+    return _semantic_parts(spark, sf_dir)[1]
+
+
+@query("dedup_semantic_stats", oracle=_semantic_stats_oracle())
+def dedup_semantic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster SemDeDup census: cluster size, pruned count, kept
+    count — the dedup-rate report a curation run reads before committing
+    a threshold (one row per cluster regardless of corpus size)."""
+    assign, pruned = _semantic_parts(spark, sf_dir)
+    pr = pruned.select(F.col("vec_id").alias("p_id"))
+    j = assign.join(pr, assign["vec_id"] == pr["p_id"], "left")
+    return j.groupBy(F.col("cl").cast("long").alias("cluster_id")).agg(
+        F.count("*").alias("n_vectors"),
+        F.count("p_id").alias("n_pruned"),
+        (F.count("*") - F.count("p_id")).alias("n_kept"),
+    )
+
+
+_KNN_K = 3
+
+
+@query(
+    "similarity_knn_graph",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vq
+        FROM embeddings WHERE embedding IS NOT NULL
+    ), n AS (
+        SELECT vec_id, vq, CAST(list_inner_product(vq, vq) AS BIGINT) AS nn
+        FROM v
+    ), d AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+               a.nn + b.nn
+                 - 2 * CAST(list_inner_product(a.vq, b.vq) AS BIGINT) AS d2
+        FROM n a JOIN n b ON a.vec_id <> b.vec_id
+    ), r AS (
+        SELECT ia, ib, d2,
+               ROW_NUMBER() OVER (PARTITION BY ia ORDER BY d2, ib) AS rk
+        FROM d
+    )
+    SELECT ia AS vec_id, rk AS nbr_rank, ib AS nbr_id, d2 AS d2_q
+    FROM r WHERE rk <= {_KNN_K}
+    """,
+)
+def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-nearest-neighbor SELF-join over the embedding corpus — the
+    kNN-graph primitive behind SemDeDup variants, dataset cartography,
+    kNN-LM retrieval and label-propagation curation. For every vector:
+    its {k} nearest neighbors by squared euclidean distance on the
+    floor-quantized micro-unit grid (exact int64 d2 = |a|^2 + |b|^2 -
+    2ab), ties broken on the neighbor id — both engines rank the
+    identical integers, so the full graph hash-matches.
+
+    Scale shape (the blocked-GEMM discipline of
+    dedup_embedding_exact_pairs, plus a top-k cascade): vectors hash into
+    {nb} blocks; each unordered block PAIR is one numpy grouped-map task
+    that emits only each anchor's LOCAL top-{k} against the other block —
+    per-task candidates, never full distance rows. The global pass is a
+    row_number window over n*{nb}*{k} candidate rows (top-{k} of the
+    per-block top-{k} union is the true top-{k}: every true neighbor
+    lives in exactly one block task). Quadratic work happens inside
+    Arrow-batch GEMMs; shuffle volume stays O(n * blocks * k)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    pairs = [
+        (i, j, m)
+        for i in range(_EMB_BLOCKS)
+        for j in range(i, _EMB_BLOCKS)
+        for m in ({i, j})
+    ]
+    pdf = spark.createDataFrame(pairs, "gi INT, gj INT, member INT")
+    tagged = emb.withColumn(
+        "blk", F.pmod("vec_id", F.lit(_EMB_BLOCKS)).cast("int")
+    ).join(F.broadcast(pdf), F.col("blk") == F.col("member"))
+
+    def local_topk(pdf_: "pd.DataFrame") -> "pd.DataFrame":
+        gi, gj = int(pdf_["gi"].iloc[0]), int(pdf_["gj"].iloc[0])
+
+        def quant(rows: "pd.DataFrame"):
+            m = np.stack(
+                [
+                    np.floor(np.asarray(v, dtype=np.float64) * 1_000_000)
+                    .astype(np.int64)
+                    for v in rows["embedding"]
+                ]
+            )
+            return rows["vec_id"].to_numpy(), m
+
+        left = pdf_[pdf_["blk"] == gi]
+        ids_l, m_l = quant(left)
+        if gi == gj:
+            ids_r, m_r = ids_l, m_l
+        else:
+            right = pdf_[pdf_["blk"] == gj]
+            ids_r, m_r = quant(right)
+        d2 = (
+            (m_l * m_l).sum(axis=1)[:, None]
+            + (m_r * m_r).sum(axis=1)[None, :]
+            - 2 * (m_l @ m_r.T)
+        )
+        out: list[tuple[int, int, int]] = []
+
+        def emit(ids_a, ids_b, dmat):
+            for r in range(dmat.shape[0]):
+                mask = ids_b != ids_a[r]
+                cb, cd = ids_b[mask], dmat[r][mask]
+                sel = np.lexsort((cb, cd))[: min(_KNN_K, cb.size)]
+                out.extend(
+                    (int(ids_a[r]), int(cb[s]), int(cd[s])) for s in sel
+                )
+
+        emit(ids_l, ids_r, d2)
+        if gi != gj:
+            emit(ids_r, ids_l, d2.T)
+        return pd.DataFrame(
+            out, columns=["vec_id", "nbr_id", "d2_q"]
+        ).astype("int64")
+
+    cand = tagged.groupBy("gi", "gj").applyInPandas(
+        local_topk, schema="vec_id LONG, nbr_id LONG, d2_q LONG"
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2_q", "nbr_id")
+    return (
+        cand.withColumn("nbr_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("nbr_rank") <= _KNN_K)
+        .select("vec_id", "nbr_rank", "nbr_id", "d2_q")
+    )
+
+
+similarity_knn_graph.__doc__ = similarity_knn_graph.__doc__.format(
+    k=_KNN_K, nb=_EMB_BLOCKS
+)
 
 
 _Z_BITS = 16

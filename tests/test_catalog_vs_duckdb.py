@@ -46,6 +46,7 @@ _MUST_EMIT_ROWS = [
     "dedup_keeper_selection",
     "dedup_embedding_neardup",
     "dedup_chunk_exact",
+    "dedup_semantic_prune",
 ]
 
 
