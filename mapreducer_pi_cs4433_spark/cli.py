@@ -80,6 +80,7 @@ def _build_index(spark, sf_dir: str, kinds_csv: str) -> int:
             "components",
             "ivf",
             "pq",
+            "ivfpq",
             "hnsw",
             "graph",
         }
@@ -109,7 +110,7 @@ def _build_index(spark, sf_dir: str, kinds_csv: str) -> int:
         built.append(
             ("components", fdedup.ensure_neardup_components(spark, docs, sf_dir, k=_SHINGLE_K).count())
         )
-    if "ivf" in kinds or "pq" in kinds or "hnsw" in kinds:
+    if "ivf" in kinds or "pq" in kinds or "ivfpq" in kinds or "hnsw" in kinds:
         emb = loaders.load_table(spark, sf_dir, "embeddings")
         if "ivf" in kinds:
             built.append(("ivf", fsim.ensure_ivf_index(spark, emb, sf_dir, planes=_IVF_PLANES).count()))
@@ -118,6 +119,17 @@ def _build_index(spark, sf_dir: str, kinds_csv: str) -> int:
                 spark, emb, sf_dir, m=_PQ_M, k=_PQ_CODE_K, sample_rows=_PQ_SAMPLE
             )
             built.append(("pq", codes.count()))
+        if "ivfpq" in kinds:
+            built.append(
+                (
+                    "ivfpq",
+                    fsim.ensure_ivfpq_codes(
+                        spark, emb, sf_dir,
+                        m=_PQ_M, k=_PQ_CODE_K, sample_rows=_PQ_SAMPLE,
+                        planes=_IVF_PLANES,
+                    ).count(),
+                )
+            )
         if "hnsw" in kinds:
             from .functions import hnsw as fhnsw
 

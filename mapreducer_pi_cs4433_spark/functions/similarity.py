@@ -307,6 +307,57 @@ def ensure_pq_artifacts(
     return np.load(books_file), spark.read.parquet(codes_path)
 
 
+def ensure_ivfpq_codes(
+    spark: SparkSession,
+    df: DataFrame,
+    sf_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    k: int = 256,
+    sample_rows: int = 10_000,
+    planes: int = 8,
+) -> DataFrame:
+    """Build-once/reuse IVF-PQ inverted lists: the PQ code table keyed and
+    PARTITIONED by the coarse sign-LSH bucket — the FAISS IVFPQ layout in
+    parquet. A probe's `bucket IN (ball)` filter prunes partitions at the
+    source AND the surviving scan reads 8-byte codes instead of full
+    vectors, so probed-fraction × 32x-compression compound: an h=1 probe
+    over p planes reads (1+p)/2^p of the corpus, in codes.
+    Composes the two existing artifacts (ensure_ivf_index bucket
+    assignment, ensure_pq_artifacts codes) with one build-time join; both
+    parents persist independently, so rebuilding one layout never
+    retrains the other."""
+    key = f"ivfpq_p{planes}_m{m}_k{k}_s{sample_rows}"
+    path = _artifact_dir(sf_dir, key)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        import time
+
+        from .artifacts import record_build
+
+        t0 = time.perf_counter()
+        _, codes = ensure_pq_artifacts(
+            spark, df, sf_dir, vec_col, id_col, m, k, sample_rows
+        )
+        index = ensure_ivf_index(spark, df, sf_dir, vec_col, id_col, planes)
+        codes.join(index.select("id", "bucket"), "id").write.mode(
+            "overwrite"
+        ).partitionBy("bucket").parquet(path)
+        record_build(key, time.perf_counter() - t0)
+    return spark.read.parquet(path)
+
+
+def hamming_ball(bucket: int, planes: int, radius: int) -> list[int]:
+    """All buckets within `radius` sign-bit flips of `bucket` — the IVF
+    probe set, enumerated directly (sum of C(planes, i) values) instead of
+    filtering 2^planes candidates."""
+    return sorted(
+        bucket ^ sum(1 << b for b in bits)
+        for h in range(radius + 1)
+        for bits in itertools.combinations(range(planes), h)
+    )
+
+
 def train_pq_codebooks(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -473,6 +524,8 @@ def pq_topk_multi(
     rerank_factor: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    bucket_probes: list[list[int]] | None = None,
+    bucket_col: str = "bucket",
 ) -> DataFrame:
     """PQ asymmetric-distance top-k for SEVERAL queries in ONE pass over
     the code table (r3/r4 carried ask: kills similarity_topk_pq's
@@ -491,7 +544,14 @@ def pq_topk_multi(
 
     Scale: the final window shuffles to Q partitions, but its input is
     already bounded (candidates only), so no skew risk; the scan side
-    stays one pass over 8-byte codes regardless of Q."""
+    stays one pass over 8-byte codes regardless of Q.
+
+    `bucket_probes` (one bucket list per query, aligned with `queries`)
+    turns this into the IVF-PQ probe: the scan filters to the UNION of
+    probe sets (partition pruning against an ensure_ivfpq_codes layout),
+    and inside the kernel each query scores only rows of ITS OWN probe
+    buckets — a candidate outside a query's Hamming ball never enters
+    that query's ranking, exactly like per-query inverted-list access."""
     from pyspark.sql import Window
 
     qids = [int(q) for q, _ in queries]
@@ -514,6 +574,14 @@ def pq_topk_multi(
     )  # (Q, m, k) partial dots
     lut_list = luts.tolist()
     n_cand = k * rerank_factor if rerank is not None else k
+    probe_list = (
+        [sorted(int(b) for b in bs) for bs in bucket_probes]
+        if bucket_probes is not None
+        else None
+    )
+    if probe_list is not None:
+        union = sorted({b for bs in probe_list for b in bs})
+        encoded = encoded.filter(F.col(bucket_col).isin(union))
 
     def _local_topk(batches):
         import numpy as np
@@ -527,20 +595,31 @@ def pq_topk_multi(
                 continue
             cm = np.vstack(pdf["codes"].to_numpy()).astype(np.int64)
             ids = pdf["id"].to_numpy()
+            bks = (
+                pdf[bucket_col].to_numpy() if probe_list is not None else None
+            )
             frames = []
             for qi in range(nq):
-                sims = np.round(lt[qi][midx, cm].sum(axis=1), 9)
-                keep = np.lexsort((ids, -sims))[:n_cand]
+                if probe_list is not None:
+                    msk = np.isin(bks, probe_list[qi])
+                    if not msk.any():
+                        continue
+                    cids, ccodes = ids[msk], cm[msk]
+                else:
+                    cids, ccodes = ids, cm
+                sims = np.round(lt[qi][midx, ccodes].sum(axis=1), 9)
+                keep = np.lexsort((cids, -sims))[:n_cand]
                 frames.append(
                     pd.DataFrame(
                         {
                             "qi": np.full(len(keep), qi, dtype=np.int32),
-                            "id": ids[keep],
+                            "id": cids[keep],
                             "cosine_sim": sims[keep],
                         }
                     )
                 )
-            yield pd.concat(frames, ignore_index=True)
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
 
     local = encoded.mapInPandas(
         _local_topk, "qi INT, id LONG, cosine_sim DOUBLE"

