@@ -81,6 +81,7 @@ def _build_index(spark, sf_dir: str, kinds_csv: str) -> int:
             "ivf",
             "pq",
             "ivfpq",
+            "semantic",
             "hnsw",
             "graph",
         }
@@ -110,7 +111,7 @@ def _build_index(spark, sf_dir: str, kinds_csv: str) -> int:
         built.append(
             ("components", fdedup.ensure_neardup_components(spark, docs, sf_dir, k=_SHINGLE_K).count())
         )
-    if "ivf" in kinds or "pq" in kinds or "ivfpq" in kinds or "hnsw" in kinds:
+    if kinds & {"ivf", "pq", "ivfpq", "semantic", "hnsw"}:
         emb = loaders.load_table(spark, sf_dir, "embeddings")
         if "ivf" in kinds:
             built.append(("ivf", fsim.ensure_ivf_index(spark, emb, sf_dir, planes=_IVF_PLANES).count()))
@@ -127,6 +128,27 @@ def _build_index(spark, sf_dir: str, kinds_csv: str) -> int:
                         spark, emb, sf_dir,
                         m=_PQ_M, k=_PQ_CODE_K, sample_rows=_PQ_SAMPLE,
                         planes=_IVF_PLANES,
+                    ).count(),
+                )
+            )
+        if "semantic" in kinds:
+            from .queries.extensions import _KMEANS_K
+
+            built.append(
+                (
+                    "semantic",
+                    fsim.ensure_kmeans_assignment(
+                        spark, emb, sf_dir, k=_KMEANS_K
+                    ).count(),
+                )
+            )
+            # the k*d centroid 'model' the streaming assigner broadcasts
+            # (streaming/enrich.py) — tiny, built alongside the assignment
+            built.append(
+                (
+                    "semantic_cent",
+                    fsim.ensure_kmeans_centroids(
+                        spark, emb, sf_dir, k=_KMEANS_K
                     ).count(),
                 )
             )

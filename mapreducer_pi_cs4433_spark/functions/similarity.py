@@ -347,6 +347,175 @@ def ensure_ivfpq_codes(
     return spark.read.parquet(path)
 
 
+def kmeans_assignment(
+    df: DataFrame,
+    k: int,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, cl, d): each vector's cluster under the exact integer
+    Lloyd system (md5-seeded starts, floor-quantized micro-unit
+    components, pmod-then-truncate centroid floor division, argmin ties
+    to the lower cluster id) plus its exact squared distance to the FINAL
+    centroid — the clustering primitive behind SemDeDup-style semantic
+    dedup. Deterministic by construction: every quantity is int64, so the
+    assignment is reproducible across engines, partitionings and runs
+    (the embedding_kmeans_step contract, extended with one more
+    assignment pass against the converged centroids).
+
+    Scale shape: centroids (k x 64 rows) BROADCAST per iteration; the
+    data-sized exchanges are partial-aggregated integer shuffles. The
+    quantized component stream is localCheckpoint-ed once — 2*iters + 2
+    plan references otherwise re-explode the corpus each time."""
+    q, cent = _kmeans_plan(df, k, iters, vec_col, id_col)
+    e = F.col("vq") - F.col("cd")
+    return (
+        q.join(F.broadcast(cent), "dim")
+        .select("vid", "cl", (e * e).alias("e2"))
+        .groupBy("vid", "cl")
+        .agg(F.sum("e2").alias("d"))
+        .groupBy("vid")
+        .agg(F.min(F.struct("d", "cl")).alias("b"))
+        .select(
+            F.col("vid").alias(id_col),
+            F.col("b.cl").alias("cl"),
+            F.col("b.d").cast("long").alias("d"),
+        )
+    )
+
+
+def _kmeans_plan(
+    df: DataFrame,
+    k: int,
+    iters: int,
+    vec_col: str,
+    id_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """(quantized component stream, FINAL centroid table (cl, dim, cd))
+    after `iters` Lloyd iterations — the shared tail of kmeans_assignment
+    and kmeans_centroids. The centroid table is what a query-time or
+    stream-time assigner must score against to reproduce the persisted
+    assignment bit-for-bit (recomputing means from the final assignment
+    would yield the NEXT iteration's centroids and a different argmin)."""
+    emb = df.filter(F.col(vec_col).isNotNull())
+    q = (
+        emb.select(id_col, F.posexplode(vec_col).alias("pos", "v"))
+        .select(
+            F.col(id_col).alias("vid"),
+            (F.col("pos") + 1).alias("dim"),
+            F.floor(F.col("v").cast("double") * 1_000_000)
+            .cast("long")
+            .alias("vq"),
+        )
+        .localCheckpoint()
+    )
+    seeds = (
+        emb.select(id_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+        .limit(k)
+        .select(F.col(id_col).alias("cl"))
+    )
+    cent = q.join(F.broadcast(seeds), q["vid"] == seeds["cl"]).select(
+        "cl", "dim", F.col("vq").alias("cd")
+    )
+    for _ in range(iters):
+        e = F.col("vq") - F.col("cd")
+        dist = (
+            q.join(F.broadcast(cent.select("cl", "dim", "cd")), "dim")
+            .select("vid", "cl", (e * e).alias("e2"))
+            .groupBy("vid", "cl")
+            .agg(F.sum("e2").alias("d"))
+        )
+        assign = (
+            dist.groupBy("vid")
+            .agg(F.min(F.struct("d", "cl")).alias("b"))
+            .select("vid", F.col("b.cl").alias("cl"))
+        )
+        cent = (
+            q.join(assign, "vid")
+            .groupBy("cl", "dim")
+            .agg(F.sum("vq").alias("s"), F.count("*").alias("n"))
+            .select(
+                "cl",
+                "dim",
+                F.expr("(s - pmod(s, n)) div n").cast("long").alias("cd"),
+            )
+        )
+    return q, cent
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    k: int,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The FINAL centroid table (cl, dim, cd) of the exact integer Lloyd
+    system — the 'model' a stream-time assigner broadcasts to score new
+    vectors onto the same clusters the persisted assignment uses."""
+    return _kmeans_plan(df, k, iters, vec_col, id_col)[1]
+
+
+def ensure_kmeans_assignment(
+    spark: SparkSession,
+    df: DataFrame,
+    sf_dir: str,
+    k: int,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Build-once/reuse semantic-cluster assignment: the (vec_id, cl, d)
+    table persisted per (corpus, k, iters). Clustering is a corpus-level
+    BUILD in SemDeDup — every consumer (prune listing, census, future
+    incremental passes) reads the same assignment instead of re-running
+    Lloyd per query, exactly like the IVF/PQ/HNSW artifacts."""
+    key = f"kmeans_k{k}_i{iters}"
+    path = _artifact_dir(sf_dir, key)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        import time
+
+        from .artifacts import record_build
+
+        t0 = time.perf_counter()
+        kmeans_assignment(df, k, iters, vec_col, id_col).write.mode(
+            "overwrite"
+        ).parquet(path)
+        record_build(key, time.perf_counter() - t0)
+    return spark.read.parquet(path)
+
+
+def ensure_kmeans_centroids(
+    spark: SparkSession,
+    df: DataFrame,
+    sf_dir: str,
+    k: int,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Build-once/reuse FINAL centroid table (cl, dim, cd) — k x d rows,
+    the scoring 'model' for stream-time cluster assignment
+    (streaming/enrich.py). Persisted separately from the assignment so a
+    stream consumer ships only k*d integers, never the corpus-sized
+    assignment."""
+    key = f"kmeans_cent_k{k}_i{iters}"
+    path = _artifact_dir(sf_dir, key)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        import time
+
+        from .artifacts import record_build
+
+        t0 = time.perf_counter()
+        kmeans_centroids(df, k, iters, vec_col, id_col).write.mode(
+            "overwrite"
+        ).parquet(path)
+        record_build(key, time.perf_counter() - t0)
+    return spark.read.parquet(path)
+
+
 def hamming_ball(bucket: int, planes: int, radius: int) -> list[int]:
     """All buckets within `radius` sign-bit flips of `bucket` — the IVF
     probe set, enumerated directly (sum of C(planes, i) values) instead of

@@ -481,18 +481,19 @@ _DRIVER_PRIORITY = [
     "range_join_click_error_pairs",
     # New in r4 (Q13/Q21 shapes registered in the OLAP band above) —
     # fresh driver evidence required
-    "text_token_classes",
-    "text_blocklist_filter",
-    "reconcile_customers_events",
     "profile_documents_columns",
     "events_anomaly_mad",
-    # r5 bisection instruments for the 2-round events_anomaly_mad driver
-    # divergence (VERDICT r4 ask #1): if the full row is red again, these
-    # two rows pinpoint the divergent column family. Window stays at 50:
-    # layout_zorder_stats + pi_estimate_hash (both r4 driver-green,
-    # untouched since) demoted below the cap in exchange.
-    "events_anomaly_mad_counts",
-    "events_anomaly_mad_stats",
+    # r6 first-evidence band: the five new operators take the window
+    # seats (zero-sum, window stays at 50). Demoted in exchange, all
+    # driver-green r5 and re-verified every round by the FULL files:
+    # the two MAD bisection instruments (their target went green in r5,
+    # so the diagnostic seats are free), text_token_classes,
+    # text_blocklist_filter, reconcile_customers_events.
+    "dedup_semantic_prune",
+    "dedup_semantic_stats",
+    "similarity_knn_graph",
+    "similarity_topk_ivfpq",
+    "mine_hard_negatives",
     "embedding_kmeans_step",
     "embedding_medoid_per_label",
     "dedup_embedding_exact_pairs",
@@ -508,9 +509,16 @@ _DRIVER_PRIORITY = [
     "events_value_quantiles",
     "dedup_approx_distinct",
     # --- 50-entry driver window ends here ---------------------------------
-    # First below the cap: r5 demotions funding the two MAD bisection
-    # instruments (zero-sum policy) — both r4 driver-green on unchanged
-    # code, still re-verified every round by the FULL files.
+    # First below the cap: the r6 demotions funding the new-operator band
+    # (zero-sum policy) — all driver-green r5 on code unchanged since,
+    # still re-verified every round by the FULL files.
+    "events_anomaly_mad_counts",
+    "events_anomaly_mad_stats",
+    "text_token_classes",
+    "text_blocklist_filter",
+    "reconcile_customers_events",
+    # r5 demotions that funded the MAD bisection instruments — both r4
+    # driver-green on unchanged code.
     "pi_estimate_hash",
     "layout_zorder_stats",
     # Next two: new in r3 (window is zero-sum among never-rowed queries;
@@ -621,15 +629,6 @@ _DRIVER_PRIORITY = [
     # dedup_embedding_exact_pairs, hash-checked)
     "pi_estimate",
     "dedup_embedding_neardup",
-    # r6: SemDeDup cluster-scoped semantic pruning (listing + census)
-    "dedup_semantic_prune",
-    "dedup_semantic_stats",
-    # r6: exact kNN self-join (blocked-GEMM local top-k + global window)
-    "similarity_knn_graph",
-    # r6: IVF-PQ composite (pruned inverted lists + PQ codes + re-rank)
-    "similarity_topk_ivfpq",
-    # r6: contrastive hard-negative mining (shared blocked-kNN kernel)
-    "mine_hard_negatives",
 ]
 
 

@@ -2062,75 +2062,20 @@ def _semantic_parts(
     """(per-vector cluster assignment with centroid distance, pruned-row
     listing) shared by the dedup_semantic_* queries.
 
-    Clustering is embedding_kmeans_step's exact integer Lloyd system (two
-    unrolled iterations from md5-seeded starts) plus one assignment pass
-    against the final centroids; the pairwise cosine gate then runs ONLY
-    within clusters, one grouped-map numpy task per cluster. Exactness
-    follows dedup_embedding_exact_pairs: float64 prefilter with a 1e-9
-    relative guard band, arbitrary-precision integer recheck at the rim,
-    so cos >= tau is decided as DEN^2*dot^2 >= NUM^2*|a|^2*|b|^2 in exact
-    arithmetic, bit-identical to the oracle's HUGEINT compare."""
+    Clustering is the PERSISTED exact integer Lloyd assignment
+    (similarity.ensure_kmeans_assignment — a corpus-level build, like the
+    IVF/PQ/HNSW artifacts, shared by both semantic entries); the pairwise
+    cosine gate then runs ONLY within clusters, one grouped-map numpy
+    task per cluster. Exactness follows dedup_embedding_exact_pairs:
+    float64 prefilter with a 1e-9 relative guard band,
+    arbitrary-precision integer recheck at the rim, so cos >= tau is
+    decided as DEN^2*dot^2 >= NUM^2*|a|^2*|b|^2 in exact arithmetic,
+    bit-identical to the oracle's HUGEINT compare."""
     import numpy as np
     import pandas as pd
 
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
-    q = (
-        emb.select("vec_id", F.posexplode("embedding").alias("pos", "v"))
-        .select(
-            "vec_id",
-            (F.col("pos") + 1).alias("dim"),
-            F.floor(F.col("v").cast("double") * 1_000_000)
-            .cast("long")
-            .alias("vq"),
-        )
-        .localCheckpoint()
-    )
-    seeds = (
-        emb.select("vec_id")
-        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(_KMEANS_K)
-        .select(F.col("vec_id").alias("cl"))
-    )
-    cent = q.join(F.broadcast(seeds), q["vec_id"] == seeds["cl"]).select(
-        "cl", "dim", F.col("vq").alias("cd")
-    )
-    for _ in range(2):
-        e = F.col("vq") - F.col("cd")
-        dist = (
-            q.join(F.broadcast(cent.select("cl", "dim", "cd")), "dim")
-            .select("vec_id", "cl", (e * e).alias("e2"))
-            .groupBy("vec_id", "cl")
-            .agg(F.sum("e2").alias("d"))
-        )
-        assign = (
-            dist.groupBy("vec_id")
-            .agg(F.min(F.struct("d", "cl")).alias("b"))
-            .select("vec_id", F.col("b.cl").alias("cl"))
-        )
-        cent = (
-            q.join(assign, "vec_id")
-            .groupBy("cl", "dim")
-            .agg(F.sum("vq").alias("s"), F.count("*").alias("n"))
-            .select(
-                "cl",
-                "dim",
-                F.expr("(s - pmod(s, n)) div n").cast("long").alias("cd"),
-            )
-        )
-    e = F.col("vq") - F.col("cd")
-    final = (
-        q.join(F.broadcast(cent), "dim")
-        .select("vec_id", "cl", (e * e).alias("e2"))
-        .groupBy("vec_id", "cl")
-        .agg(F.sum("e2").alias("d"))
-        .groupBy("vec_id")
-        .agg(F.min(F.struct("d", "cl")).alias("b"))
-        .select(
-            "vec_id",
-            F.col("b.cl").alias("cl"),
-            F.col("b.d").cast("long").alias("d"),
-        )
-    )
+    final = similarity.ensure_kmeans_assignment(spark, emb, sf_dir, k=_KMEANS_K)
     members = final.join(emb.select("vec_id", "embedding"), "vec_id")
     n2, t2 = _SEM_TAU_NUM * _SEM_TAU_NUM, _SEM_TAU_DEN * _SEM_TAU_DEN
 

@@ -388,6 +388,7 @@ def test_build_index_prebuilds_exactly_what_queries_consume(
         "similarity_topk_pq",
         "similarity_topk_ivfpq",
         "similarity_topk_hnsw",
+        "dedup_semantic_prune",
         "graph_pagerank_suppliers",
     ]:
         QUERIES[name](spark, SF_SMOKE).write.format("noop").mode(

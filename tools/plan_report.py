@@ -58,9 +58,10 @@ _SHOWCASE = [
     ("similarity_topk_pq", "PQ multi-query: one code-table scan (local top-k in mapInPandas), single exact re-rank join"),
     ("dedup_chunk_exact", "chunk dedup: lexicographic struct-MIN keeper over the hash-keyed grouped count"),
     # round 6: semantic dedup + kNN graph + IVF-PQ composite
-    ("dedup_semantic_prune", "SemDeDup: broadcast Lloyd centroids, per-cluster grouped-map cosine gate"),
+    ("dedup_semantic_prune", "SemDeDup: persisted Lloyd-assignment artifact, per-cluster grouped-map cosine gate"),
     ("similarity_knn_graph", "kNN self-join: block-pair grouped-map local top-k, bounded global window"),
     ("similarity_topk_ivfpq", "IVF-PQ: partition-pruned inverted lists, ADC in mapInPandas, exact re-rank join"),
+    ("mine_hard_negatives", "hard negatives: label-masked blocked kNN over the shared _blocked_knn kernel"),
 ]
 
 _MAX_LINES = 70
