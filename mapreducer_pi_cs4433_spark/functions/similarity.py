@@ -369,9 +369,16 @@ def kmeans_assignment(
     quantized component stream is localCheckpoint-ed once — 2*iters + 2
     plan references otherwise re-explode the corpus each time."""
     q, cent = _kmeans_plan(df, k, iters, vec_col, id_col)
+    return _assign_against(q, cent, id_col)
+
+
+def _assign_against(q: DataFrame, cent: DataFrame, id_col: str) -> DataFrame:
+    """One assignment pass: (vid, dim, vq) components scored against a
+    broadcast (cl, dim, cd) centroid table — exact int64 squared
+    distances, argmin ties to the lower cluster id."""
     e = F.col("vq") - F.col("cd")
     return (
-        q.join(F.broadcast(cent), "dim")
+        q.join(F.broadcast(cent.select("cl", "dim", "cd")), "dim")
         .select("vid", "cl", (e * e).alias("e2"))
         .groupBy("vid", "cl")
         .agg(F.sum("e2").alias("d"))
@@ -440,6 +447,7 @@ def _kmeans_plan(
                 "cl",
                 "dim",
                 F.expr("(s - pmod(s, n)) div n").cast("long").alias("cd"),
+                "n",
             )
         )
     return q, cent
@@ -455,7 +463,9 @@ def kmeans_centroids(
     """The FINAL centroid table (cl, dim, cd) of the exact integer Lloyd
     system — the 'model' a stream-time assigner broadcasts to score new
     vectors onto the same clusters the persisted assignment uses."""
-    return _kmeans_plan(df, k, iters, vec_col, id_col)[1]
+    return _kmeans_plan(df, k, iters, vec_col, id_col)[1].select(
+        "cl", "dim", "cd"
+    )
 
 
 def ensure_kmeans_assignment(
@@ -471,7 +481,12 @@ def ensure_kmeans_assignment(
     table persisted per (corpus, k, iters). Clustering is a corpus-level
     BUILD in SemDeDup — every consumer (prune listing, census, future
     incremental passes) reads the same assignment instead of re-running
-    Lloyd per query, exactly like the IVF/PQ/HNSW artifacts."""
+    Lloyd per query, exactly like the IVF/PQ/HNSW artifacts.
+
+    The build derives the assignment FROM the persisted centroid
+    artifact (one scoring pass), so the two artifacts are mutually
+    consistent by construction — and a cold build of both costs one
+    Lloyd chain, not two."""
     key = f"kmeans_k{k}_i{iters}"
     path = _artifact_dir(sf_dir, key)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -480,9 +495,18 @@ def ensure_kmeans_assignment(
         from .artifacts import record_build
 
         t0 = time.perf_counter()
-        kmeans_assignment(df, k, iters, vec_col, id_col).write.mode(
-            "overwrite"
-        ).parquet(path)
+        cent = ensure_kmeans_centroids(
+            spark, df, sf_dir, k, iters, vec_col, id_col
+        )
+        emb = df.filter(F.col(vec_col).isNotNull())
+        q = emb.select(id_col, F.posexplode(vec_col).alias("pos", "v")).select(
+            F.col(id_col).alias("vid"),
+            (F.col("pos") + 1).alias("dim"),
+            F.floor(F.col("v").cast("double") * 1_000_000)
+            .cast("long")
+            .alias("vq"),
+        )
+        _assign_against(q, cent, id_col).write.mode("overwrite").parquet(path)
         record_build(key, time.perf_counter() - t0)
     return spark.read.parquet(path)
 

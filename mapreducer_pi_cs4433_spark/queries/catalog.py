@@ -629,6 +629,9 @@ _DRIVER_PRIORITY = [
     # dedup_embedding_exact_pairs, hash-checked)
     "pi_estimate",
     "dedup_embedding_neardup",
+    # r6 below-cap addition: exact-quota stratified sampling (FULL-file +
+    # sf0.001/sf0.01 test evidence, like the rest of the below-cap band)
+    "sample_stratified_quota",
 ]
 
 

@@ -1321,6 +1321,57 @@ def sample_deterministic_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QUOTA_PER_SOURCE = 10
+
+
+@query(
+    "sample_stratified_quota",
+    oracle=f"""
+    WITH r AS (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT source, doc_id, rk
+    FROM r WHERE rk <= {_QUOTA_PER_SOURCE}
+    """,
+)
+def sample_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-quota balanced downsampling: per stratum (source), keep
+    exactly min({q}, n) documents — the class-balancing primitive a
+    training mixture needs when the Bernoulli hash gate
+    (sample_deterministic_hash) can't guarantee per-stratum sizes.
+    Selection order is (md5(doc_id), doc_id): content-free, uniform, and
+    reproducible across engines/runs/retries with no RNG; the emitted rk
+    makes any SMALLER quota a prefix of this sample (monotone
+    sub-sampling — shrinking the budget never resamples).
+
+    Plan shape: one window per stratum whose rank filter pushes into
+    WindowGroupLimit — partial top-{q} per partition BEFORE the single
+    stratum shuffle, so the exchange carries O(partitions * {q}) rows per
+    stratum, not the corpus (the window_top3_orders_per_customer
+    discipline applied to sampling)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("source", "doc_id")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _QUOTA_PER_SOURCE)
+    )
+
+
+sample_stratified_quota.__doc__ = sample_stratified_quota.__doc__.format(
+    q=_QUOTA_PER_SOURCE
+)
+
+
 @query(
     "multimodal_features",
     oracle="""
@@ -1826,52 +1877,14 @@ def embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the (vec_id, cl) distance aggregation and the (cl, dim) recompute,
     both partial-aggregated. The component stream is localCheckpoint-ed
     once (the persisted quantized-components table of a production run):
-    five plan references otherwise re-explode the corpus five times."""
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
-    q = (
-        emb.select("vec_id", F.posexplode("embedding").alias("pos", "v"))
-        .select(
-            "vec_id",
-            (F.col("pos") + 1).alias("dim"),
-            F.floor(F.col("v").cast("double") * 1_000_000)
-            .cast("long")
-            .alias("vq"),
-        )
-        .localCheckpoint()
-    )
-    seeds = (
-        emb.select("vec_id")
-        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(_KMEANS_K)
-        .select(F.col("vec_id").alias("cl"))
-    )
-    cent = q.join(F.broadcast(seeds), q["vec_id"] == seeds["cl"]).select(
-        "cl", "dim", F.col("vq").alias("cd")
-    )
-    for _ in range(2):
-        e = F.col("vq") - F.col("cd")
-        dist = (
-            q.join(F.broadcast(cent.select("cl", "dim", "cd")), "dim")
-            .select("vec_id", "cl", (e * e).alias("e2"))
-            .groupBy("vec_id", "cl")
-            .agg(F.sum("e2").alias("d"))
-        )
-        assign = (
-            dist.groupBy("vec_id")
-            .agg(F.min(F.struct("d", "cl")).alias("b"))
-            .select("vec_id", F.col("b.cl").alias("cl"))
-        )
-        cent = (
-            q.join(assign, "vec_id")
-            .groupBy("cl", "dim")
-            .agg(F.sum("vq").alias("s"), F.count("*").alias("n"))
-            .select(
-                "cl",
-                "dim",
-                F.expr("(s - pmod(s, n)) div n").cast("long").alias("cd"),
-                "n",
-            )
-        )
+    five plan references otherwise re-explode the corpus five times.
+    The Lloyd system itself lives in functions/similarity._kmeans_plan —
+    ONE implementation shared with the persisted semantic-dedup artifacts
+    (ensure_kmeans_assignment / ensure_kmeans_centroids), so this entry's
+    oracle-checked dynamics are literally the dynamics the artifacts
+    persist."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = similarity._kmeans_plan(emb, _KMEANS_K, 2, "embedding", "vec_id")[1]
     return cent.select(
         F.col("cl").alias("cluster_id"),
         "dim",

@@ -62,6 +62,7 @@ _SHOWCASE = [
     ("similarity_knn_graph", "kNN self-join: block-pair grouped-map local top-k, bounded global window"),
     ("similarity_topk_ivfpq", "IVF-PQ: partition-pruned inverted lists, ADC in mapInPandas, exact re-rank join"),
     ("mine_hard_negatives", "hard negatives: label-masked blocked kNN over the shared _blocked_knn kernel"),
+    ("sample_stratified_quota", "exact-quota stratified sample: WindowGroupLimit partial top-k before the stratum shuffle"),
 ]
 
 _MAX_LINES = 70
