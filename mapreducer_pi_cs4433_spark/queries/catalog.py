@@ -419,8 +419,10 @@ def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 # circular-import trap.
 from . import (  # noqa: E402,F401  (registration side effect)
     extensions,
+    incremental,
     olap,
     pipeline_ext,
+    sketches,
     temporal_queries,
     windows,
 )
@@ -475,14 +477,10 @@ _DRIVER_PRIORITY = [
     "window_trailing_7d_spend",
     "window_order_quartiles",
     "sessionize_events",
-    "window_running_spend",
     "window_monthly_growth",
     "asof_last_purchase_per_click",
     "range_join_click_error_pairs",
-    # New in r4 (Q13/Q21 shapes registered in the OLAP band above) —
-    # fresh driver evidence required
-    "profile_documents_columns",
-    "events_anomaly_mad",
+    "window_running_spend",
     # r6 first-evidence band: the five new operators take the window
     # seats (zero-sum, window stays at 50). Demoted in exchange, all
     # driver-green r5 and re-verified every round by the FULL files:
@@ -495,23 +493,37 @@ _DRIVER_PRIORITY = [
     "similarity_topk_ivfpq",
     "mine_hard_negatives",
     "embedding_kmeans_step",
+    # r6 second-wave band (this session): the incremental/CDC suite, the
+    # frequency/membership sketches, and temperature mixture reweighting —
+    # all never driver-rowed, fresh evidence required. Seats funded by
+    # demoting seven r5-driver-green entries whose code is unchanged since
+    # the r5 driver ran (listed first below the cap).
+    "cdc_latest_state",
+    "scd2_user_type_history",
+    "merge_upsert_customer_balance",
+    "snapshot_diff_orders",
+    "events_cms_heavy_hitters",
+    "join_bloom_prune_stats",
+    "mixture_temperature_quota",
+    # --- 50-entry driver window ends here ---------------------------------
+    # First below the cap: the r6 second-wave demotions (zero-sum policy) —
+    # all driver-green r5 on code unchanged since, still re-verified every
+    # round by the FULL files. (keeper/medoid/exact_pairs/quantiles/
+    # approx_distinct got their first driver rows in r5;
+    # profile_documents_columns has been green since r2;
+    # events_anomaly_mad went green in r5 after the identical-rank
+    # rewrite — its bisection instruments were demoted last wave, and the
+    # window/temporal suite keeps its seats per the composition policy, so
+    # the MAD target funds the last second-wave seat.)
+    "events_anomaly_mad",
     "embedding_medoid_per_label",
     "dedup_embedding_exact_pairs",
-    # Near-dup pair/component artifact lifecycle: keeper selection is new
-    # (never driver-rowed); clusters/ngram_jaccard were r2-green on the
-    # SAME oracles and moved below the window with the other demotions.
     "dedup_keeper_selection",
-    # Upgraded rows-only -> oracle-backed this round (fresh evidence
-    # required): sketch accuracy-contract checks + the engine-neutral
-    # hash-stream pi twin. Slots freed by demoting three stable entries
-    # (olap_quantity_median / olap_status_pivot / olap_segment_set_ops)
-    # that were driver-green in r2 and are re-verified by the FULL file.
     "events_value_quantiles",
     "dedup_approx_distinct",
-    # --- 50-entry driver window ends here ---------------------------------
-    # First below the cap: the r6 demotions funding the new-operator band
-    # (zero-sum policy) — all driver-green r5 on code unchanged since,
-    # still re-verified every round by the FULL files.
+    "profile_documents_columns",
+    # Earlier r6 demotions that funded the first-wave band — driver-green
+    # r5, unchanged, FULL-file covered.
     "events_anomaly_mad_counts",
     "events_anomaly_mad_stats",
     "text_token_classes",

@@ -1701,3 +1701,98 @@ def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers_2x"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based mixture reweighting (alpha-sampling)
+# ---------------------------------------------------------------------------
+
+_TEMP_ALPHA_NOTE = "alpha = 0.5 (square-root temperature flattening)"
+_TEMP_BUDGET_DOCS = 400  # total documents the reweighted mixture may admit
+
+
+@query(
+    "mixture_temperature_quota",
+    oracle=f"""
+    WITH strata AS (
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                        t -> t <> ''))) AS BIGINT) AS tokens
+        FROM documents GROUP BY lang
+    ), scaled AS (
+        SELECT lang, n_docs, tokens,
+               CAST(floor(sqrt(tokens * 1000000.0)) AS BIGINT) AS s
+        FROM strata
+    ), tot AS (
+        SELECT CAST(sum(s) AS BIGINT) AS sum_s,
+               CAST(sum(tokens) AS BIGINT) AS sum_tokens
+        FROM scaled
+    )
+    SELECT sc.lang, sc.n_docs, sc.tokens,
+           (sc.tokens * 1000000) // t.sum_tokens AS flat_ppm,
+           (sc.s * 1000000) // t.sum_s AS temp_ppm,
+           ({_TEMP_BUDGET_DOCS} * sc.s) // t.sum_s AS quota_docs,
+           least(({_TEMP_BUDGET_DOCS} * sc.s) // t.sum_s, sc.n_docs)
+               AS admitted_docs
+    FROM scaled sc CROSS JOIN tot t
+    """,
+)
+def mixture_temperature_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-reweighted mixture quotas per language stratum,
+    {ALPHA}: sampling weight proportional to tokens^alpha upweights
+    low-resource strata relative to their raw share — the multilingual
+    rebalancing rule of XLM-R / mBERT-style corpus assembly (and the
+    domain-mixing rule in Gopher-style recipes). Emits raw share
+    (flat_ppm), flattened share (temp_ppm), and the integer document
+    quota out of a {B}-document budget per stratum.
+
+    Exactness: tokens^0.5 is the ONE float step — computed as
+    floor(sqrt(tokens * 1e6)) (an integer "micro-sqrt"). IEEE-754
+    requires sqrt to be correctly rounded, and tokens*1e6 <= ~1e13 is
+    exactly representable in a double, so both engines produce the
+    identical integer; every share/quota after that is int64 multiply +
+    floor-divide. Scale shape: one full-data aggregation down to stratum
+    grain; the sums-over-strata ride a 1-row broadcast (cross join), so
+    the "window over all strata" never materializes a single partition of
+    row data. The per-document admission under these quotas is the
+    sample_stratified_quota operator (extensions.py) with quota_docs as
+    its per-stratum k.
+    """
+    strata = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(text.token_count("text")).cast("long").alias("tokens"),
+        )
+    )
+    scaled = strata.select(
+        "lang",
+        "n_docs",
+        "tokens",
+        F.floor(F.sqrt(F.col("tokens") * 1000000.0)).cast("long").alias("s"),
+    )
+    tot = scaled.agg(
+        F.sum("s").cast("long").alias("sum_s"),
+        F.sum("tokens").cast("long").alias("sum_tokens"),
+    )
+    # `div` is exact int64 division (matching DuckDB `//` on BIGINTs) —
+    # float `/`-then-cast could round across the floor boundary.
+    return scaled.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "tokens",
+        F.expr("(tokens * 1000000) div sum_tokens").alias("flat_ppm"),
+        F.expr("(s * 1000000) div sum_s").alias("temp_ppm"),
+        F.expr(f"({_TEMP_BUDGET_DOCS} * s) div sum_s").alias("quota_docs"),
+        F.least(
+            F.expr(f"({_TEMP_BUDGET_DOCS} * s) div sum_s"),
+            F.col("n_docs"),
+        ).alias("admitted_docs"),
+    )
+
+
+mixture_temperature_quota.__doc__ = mixture_temperature_quota.__doc__.format(
+    ALPHA=_TEMP_ALPHA_NOTE, B=_TEMP_BUDGET_DOCS
+)

@@ -1,0 +1,273 @@
+"""Frequency / membership sketches: count-min and Bloom-filter pruning.
+
+Completes the engine's sketch family (HLL distinct counts and GK quantiles
+registered in extensions.py): CMS answers "how often did key X occur"
+from sublinear state, Bloom answers "might key X be in set S" — the two
+sketches a 100 TB pipeline uses to avoid full shuffles (CMS for heavy-key
+detection feeding the salted-join mitigation in operators/skew.py; Bloom
+for semi-join pruning before an expensive join).
+
+Both entries are EXACT cross-engine twins, not error-banded contracts:
+the hash family is md5-derived (standardized bits in any engine), so
+DuckDB reproduces the sketch bit-for-bit and the driver hash-compares
+values. The accuracy claims (CMS never undercounts; Bloom never yields
+false negatives) are asserted as output columns the oracle recomputes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import _t, query
+
+# Count-min geometry: w=64 deliberately small so the 150-user key space
+# collides measurably (the overcount column is non-zero evidence); d=4
+# rows give min-of-4 estimates. At corpus scale you size w ~ e/eps.
+_CMS_D = 4
+_CMS_W = 64
+
+# Bloom geometry: m=1024 bits, k=3 hashes over the pruned key set.
+# Membership is SCALE-FREE: users whose total event value is strictly
+# above the global mean — compared as total*n_users > grand_total (exact
+# integer cross-multiply, no division), so the set is a strict non-empty
+# subset at every SF.
+_BLOOM_M = 1024
+_BLOOM_K = 3
+
+
+def _slot(seed: int, key: Column, mod: int) -> Column:
+    """Uniform slot in [0, mod) from md5(seed|key) — first 8 hex chars
+    parsed as an integer (< 2^32, so BIGINT-safe in both engines)."""
+    h = F.md5(F.concat(F.lit(f"{seed}|"), key.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % mod
+
+
+def _slot_sql(seed: str, key_expr: str, mod: int) -> str:
+    """DuckDB twin of _slot; `seed` is an SQL expression (e.g. 's')."""
+    return (
+        f"CAST(CAST(concat('0x', substr(md5(concat({seed}, '|', "
+        f"CAST({key_expr} AS VARCHAR))), 1, 8)) AS UBIGINT) AS BIGINT) % {mod}"
+    )
+
+
+@query(
+    "events_cms_heavy_hitters",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    ), coords AS (
+        SELECT k.user_id, k.n, s.s,
+               {_slot_sql("CAST(s.s AS VARCHAR)", "k.user_id", _CMS_W)} AS col
+        FROM keyed k
+        CROSS JOIN (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS s) s
+    ), sketch AS (
+        SELECT s, col, CAST(sum(n) AS BIGINT) AS cnt
+        FROM coords GROUP BY s, col
+    ), est AS (
+        SELECT c.user_id, min(sk.cnt) AS cms_est
+        FROM coords c JOIN sketch sk ON c.s = sk.s AND c.col = sk.col
+        GROUP BY c.user_id
+    )
+    SELECT k.user_id, k.n AS true_cnt, e.cms_est,
+           e.cms_est - k.n AS overcount
+    FROM keyed k JOIN est e ON k.user_id = e.user_id
+    """,
+)
+def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the event key stream: build a d x w counter
+    grid from d md5-derived hash rows, then estimate each key's frequency
+    as the MIN of its d counters. Emits (true_cnt, cms_est, overcount)
+    per key — overcount >= 0 always (CMS never undercounts), and > 0
+    exactly where slots collide (w=64 guarantees visible collisions).
+
+    Scale shape: the stream is aggregated to (key, n) grain FIRST (one
+    map-side-combined shuffle — the only full-data pass), then the d-way
+    coordinate explode, the d*w-row sketch, and the estimate join all run
+    on key-cardinality-sized data. The sketch table is d*w rows REGARDLESS
+    of corpus size — that is the point of the sketch: at 100 TB you
+    broadcast it wherever a "is this key heavy?" predicate is needed
+    (operators/skew.py consumes exactly that signal).
+    """
+    # keyed is consumed three times (coords, the estimate join, the final
+    # truth join) — localCheckpoint it (the dual-consumer rule) so the
+    # full-data aggregation pass runs ONCE; everything after is
+    # key-cardinality-sized.
+    keyed = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()
+    )
+    coords = keyed.select(
+        "user_id",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        _slot(s, F.col("user_id"), _CMS_W).alias("col"),
+                    )
+                    for s in range(_CMS_D)
+                ]
+            )
+        ).alias("sc"),
+    ).select("user_id", "n", F.col("sc.s").alias("s"), F.col("sc.col").alias("col"))
+    sketch = (
+        coords.groupBy("s", "col")
+        .agg(F.sum("n").cast("long").alias("cnt"))
+    )
+    est = (
+        coords.join(F.broadcast(sketch), ["s", "col"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return (
+        keyed.join(est, "user_id")
+        .select(
+            "user_id",
+            F.col("n").alias("true_cnt"),
+            "cms_est",
+            (F.col("cms_est") - F.col("n")).alias("overcount"),
+        )
+    )
+
+
+@query(
+    "join_bloom_prune_stats",
+    oracle=f"""
+    WITH totals AS (
+        SELECT user_id,
+               CAST(sum(round(value * 100)) AS BIGINT) AS total_centi
+        FROM events GROUP BY user_id
+    ), tot AS (
+        SELECT CAST(sum(total_centi) AS BIGINT) AS grand,
+               count(*) AS n_users
+        FROM totals
+    ), members AS (
+        SELECT t.user_id FROM totals t CROSS JOIN tot g
+        WHERE t.total_centi * g.n_users > g.grand
+    ), bits AS (
+        SELECT DISTINCT
+               {_slot_sql("CAST(s.s AS VARCHAR)", "m.user_id", _BLOOM_M)} AS bit
+        FROM members m
+        CROSS JOIN (SELECT unnest(generate_series(0, {_BLOOM_K - 1})) AS s) s
+    ), probes AS (
+        SELECT t.user_id, s.s,
+               {_slot_sql("CAST(s.s AS VARCHAR)", "t.user_id", _BLOOM_M)} AS bit
+        FROM totals t
+        CROSS JOIN (SELECT unnest(generate_series(0, {_BLOOM_K - 1})) AS s) s
+    ), verdict AS (
+        SELECT p.user_id,
+               (count(b.bit) = {_BLOOM_K}) AS bloom_pass
+        FROM probes p LEFT JOIN bits b ON p.bit = b.bit
+        GROUP BY p.user_id
+    )
+    SELECT e.event_type,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN v.bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+               AS bloom_pass_rows,
+           CAST(sum(CASE WHEN m.user_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS true_match_rows,
+           CAST(sum(CASE WHEN v.bloom_pass AND m.user_id IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS false_pos_rows
+    FROM events e
+    JOIN verdict v ON e.user_id = v.user_id
+    LEFT JOIN members m ON e.user_id = m.user_id
+    GROUP BY e.event_type
+    """,
+)
+def join_bloom_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning, measured: build an m-bit/k-hash
+    Bloom filter over a membership key set (high-value users), probe every
+    fact row through it, and report per-partition (event_type) how many
+    rows the filter passes vs the exact semi-join — false_pos_rows is the
+    wasted shuffle the filter failed to prune; false NEGATIVES are
+    impossible by construction and the oracle would catch one as a
+    true_match > bloom_pass hash mismatch.
+
+    Scale shape: the filter is built from the (small) member set — k
+    coordinates per member, distinct -> a <= m-row bit table broadcast to
+    the probe side. Probes are evaluated at DISTINCT-key grain (one
+    verdict per key, not per row) and joined back to the fact stream as a
+    broadcast — the fact table is scanned once, shuffled only for the
+    final stats groupBy. This is exactly how Spark's own
+    `spark.sql.optimizer.runtime.bloomFilter` prunes shuffle joins; here
+    the mechanism is explicit, deterministic, and oracle-verified.
+    """
+    # totals fans out to five consumers (glob, members twice via bits and
+    # is_member, probes, the verdict key restore) — without a checkpoint
+    # Catalyst re-derives it per consumer and the FACT table is scanned
+    # seven times. localCheckpoint pins the key-grain table so events is
+    # scanned exactly twice: once here, once as the probe stream.
+    totals = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.sum(F.round(F.col("value") * 100)).cast("long").alias("total_centi"))
+        .localCheckpoint()
+    )
+    glob = totals.agg(
+        F.sum("total_centi").cast("long").alias("grand"),
+        F.count("*").alias("n_users"),
+    )
+    members = (
+        totals.crossJoin(F.broadcast(glob))
+        .filter(F.col("total_centi") * F.col("n_users") > F.col("grand"))
+        .select("user_id")
+    )
+
+    def coords(df: DataFrame) -> DataFrame:
+        return df.select(
+            "user_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"),
+                            _slot(s, F.col("user_id"), _BLOOM_M).alias("bit"),
+                        )
+                        for s in range(_BLOOM_K)
+                    ]
+                )
+            ).alias("sb"),
+        ).select("user_id", F.col("sb.s").alias("s"), F.col("sb.bit").alias("bit"))
+
+    bits = coords(members).select("bit").distinct()
+    probes = coords(totals.select("user_id"))
+    verdict = (
+        probes.join(F.broadcast(bits), "bit", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("hits"))
+        # keys missing every bit drop out of the semi-join; restore them
+        # with hits=0 via a left join from the full key set
+    )
+    verdict = (
+        totals.select("user_id")
+        .join(verdict, "user_id", "left")
+        .select(
+            "user_id",
+            (F.coalesce("hits", F.lit(0)) == _BLOOM_K).alias("bloom_pass"),
+        )
+    )
+    is_member = members.select("user_id", F.lit(True).alias("is_member"))
+    events = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    enriched = events.join(F.broadcast(verdict), "user_id").join(
+        F.broadcast(is_member), "user_id", "left"
+    )
+    return enriched.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0))
+        .cast("long")
+        .alias("bloom_pass_rows"),
+        F.sum(F.when(F.col("is_member").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("true_match_rows"),
+        F.sum(
+            F.when(F.col("bloom_pass") & F.col("is_member").isNull(), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("false_pos_rows"),
+    )

@@ -637,3 +637,83 @@ def test_windowed_funnel_scans_each_stage_once(spark):
     the re-executed view/click lineage."""
     df = QUERIES["events_funnel_windowed"](spark, SF_SMOKE)
     assert formatted_plan(df).count("Scan parquet") == 2
+
+
+# ---------------------------------------------------------------------------
+# r6 second wave: incremental/CDC band + sketches + temperature mixture
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_latest_state_is_one_agg_no_sort(spark):
+    """Log compaction must be the max(struct) aggregate form — ONE
+    map-side-combined exchange and NO window/sort. A refactor back to
+    row_number()=1 would globally sort the change log (the shape that
+    melts on a 100 TB log)."""
+    df = QUERIES["cdc_latest_state"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert count_exchanges(df) == 1
+    assert "Window" not in plan
+    # max(struct) is sort-based, not hash-based — but still partial+final
+    # around the one exchange (the map-side combine the docstring claims)
+    assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 2
+    assert "partial_max" in plan
+
+
+def test_scd2_single_entity_exchange(spark):
+    """Gaps-and-islands: the lag/run-sum windows, the run collapse, and
+    the lead() window are all keyed by (or prefixed by) user_id — the
+    whole history must build in ONE exchange."""
+    df = QUERIES["scd2_user_type_history"](spark, SF_SMOKE)
+    assert count_exchanges(df) == 1
+
+
+def test_merge_upsert_is_full_outer_smj(spark):
+    """MERGE apply is ONE full-outer sort-merge join — never a union of
+    three filtered joins (which would scan/shuffle each side thrice)."""
+    plan = formatted_plan(QUERIES["merge_upsert_customer_balance"](spark, SF_SMOKE))
+    assert "SortMergeJoin FullOuter" in plan
+    assert plan.count("SortMergeJoin FullOuter") <= 2  # printed tree + detail
+    assert "CartesianProduct" not in plan
+
+
+def test_snapshot_diff_prunes_to_key_and_payload(spark):
+    """The snapshot diff must read only (o_orderkey, o_totalprice) from
+    each side — a diff that drags full rows through the full-outer join
+    echoes the table instead of the delta."""
+    df = QUERIES["snapshot_diff_orders"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin FullOuter" in plan
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "o_custkey" not in line and "o_comment" not in line
+
+
+def test_cms_runs_on_key_grain_only(spark):
+    """The CMS estimate plan must contain ZERO parquet scans: the single
+    full-data pass happened at the keyed localCheckpoint; sketch build,
+    estimate join, and truth join all run on key-cardinality data, with
+    the d*w sketch table broadcast."""
+    df = QUERIES["events_cms_heavy_hitters"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert plan.count("Scan parquet") == 0
+    assert has_broadcast_join(df)
+
+
+def test_bloom_prune_scans_fact_once(spark):
+    """Bloom semi-join pruning: the fact table appears exactly once in the
+    live plan (the probe stream); filter build and per-key verdicts ride
+    the checkpointed key-grain table, and both enrichment joins broadcast."""
+    df = QUERIES["join_bloom_prune_stats"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert plan.count("events.parquet") == 1
+    assert has_broadcast_join(df)
+    assert "SortMergeJoin" not in plan  # fact enrichment must not shuffle
+
+
+def test_temperature_quota_rides_one_row_broadcast(spark):
+    """The over-all-strata sums join back as a 1-row broadcast (cross
+    join), never a single-partition window over stratum rows."""
+    df = QUERIES["mixture_temperature_quota"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan

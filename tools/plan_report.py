@@ -63,6 +63,13 @@ _SHOWCASE = [
     ("similarity_topk_ivfpq", "IVF-PQ: partition-pruned inverted lists, ADC in mapInPandas, exact re-rank join"),
     ("mine_hard_negatives", "hard negatives: label-masked blocked kNN over the shared _blocked_knn kernel"),
     ("sample_stratified_quota", "exact-quota stratified sample: WindowGroupLimit partial top-k before the stratum shuffle"),
+    # round 6 second wave: incremental/CDC + sketches + temperature mixture
+    ("cdc_latest_state", "CDC compaction: ONE max(struct) sort-aggregate, no window, shuffle ~ |keys|"),
+    ("scd2_user_type_history", "SCD2 gaps-and-islands: three windows + run collapse on ONE entity exchange"),
+    ("merge_upsert_customer_balance", "MERGE INTO: one full-outer SMJ, coalesce-arithmetic action column"),
+    ("snapshot_diff_orders", "keyed snapshot diff: full-outer SMJ pruned to (key, payload), emits only the delta"),
+    ("join_bloom_prune_stats", "Bloom semi-join pruning: checkpointed key grain, ONE fact scan, broadcast verdicts"),
+    ("mixture_temperature_quota", "temperature quotas: stratum agg + 1-row broadcast sums, integer micro-sqrt"),
 ]
 
 _MAX_LINES = 70
