@@ -422,6 +422,7 @@ from . import (  # noqa: E402,F401  (registration side effect)
     incremental,
     olap,
     pipeline_ext,
+    quality,
     sketches,
     temporal_queries,
     windows,
@@ -529,6 +530,12 @@ _DRIVER_PRIORITY = [
     "text_token_classes",
     "text_blocklist_filter",
     "reconcile_customers_events",
+    # r6 third wave: incremental view maintenance — new below the cap
+    # (window already seated the CDC band this round; these carry
+    # FULL-file + sf0.001/sf0.01 test evidence like the rest of the band)
+    "ivm_status_year_revenue_merge",
+    "ivm_retraction_merge",
+    "dq_constraint_census",
     # r5 demotions that funded the MAD bisection instruments — both r4
     # driver-green on unchanged code.
     "pi_estimate_hash",

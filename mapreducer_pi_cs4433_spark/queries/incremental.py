@@ -375,3 +375,138 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.price_centi").alias("old_price_centi"),
         F.col("b.price_centi").alias("new_price_centi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 5-6. Incremental view maintenance: partial-state merge (+ retractions)
+# ---------------------------------------------------------------------------
+
+# Deterministic, scale-free carve of "already-aggregated history" vs "the
+# new delta partition": 90% / 10% of orders by key residue.
+_IVM_DELTA_MOD = 10
+# Retraction demo: keys = 0 (mod 7) arrive as CDC deletes.
+_IVM_RETRACT_MOD = 7
+
+
+@query(
+    "ivm_status_year_revenue_merge",
+    oracle="""
+    SELECT o_orderstatus,
+           year(o_orderdate) AS order_year,
+           count(*) AS n_orders,
+           CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS revenue_centi,
+           CAST(min(round(o_totalprice * 100)) AS BIGINT) AS min_price_centi,
+           CAST(max(round(o_totalprice * 100)) AS BIGINT) AS max_price_centi,
+           CAST(sum(round(o_totalprice * 100)) AS BIGINT) // count(*)
+               AS avg_price_centi
+    FROM orders
+    GROUP BY o_orderstatus, year(o_orderdate)
+    """,
+)
+def ivm_status_year_revenue_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for distributive/algebraic aggregates:
+    the view state (sum, count, min, max per group) computed over the
+    history partition MERGES with the state of the new delta partition —
+    full-outer join on the group key + componentwise combination — and the
+    result must equal a full recompute (the oracle recomputes from
+    scratch; equality IS the IVM correctness theorem, checked by hash).
+
+    avg is derived from the merged (sum, count) pair — never averaged
+    across partials (SURVEY trap #1's average-of-averages, now in its
+    incremental form). Scale shape: at 100 TB the history state is a
+    persisted |groups|-row table and ONLY the delta is scanned/aggregated
+    per refresh; here both sides build from deterministic key-residue
+    carves of orders so every scale factor exercises the same merge. Both
+    states hash-partition on exactly the merge keys, so the full-outer
+    join reuses the aggregation exchanges — the whole merge adds ZERO
+    shuffles beyond the two aggs (plan-pinned: 2 exchanges total).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    centi = F.round(F.col("o_totalprice") * 100).cast("long")
+
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "o_orderstatus", F.year("o_orderdate").alias("order_year")
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum(centi).cast("long").alias("s"),
+            F.min(centi).alias("mn"),
+            F.max(centi).alias("mx"),
+        )
+
+    base = state(orders.filter(F.col("o_orderkey") % _IVM_DELTA_MOD != 0))
+    delta = state(orders.filter(F.col("o_orderkey") % _IVM_DELTA_MOD == 0))
+    b, d = base.alias("b"), delta.alias("d")
+    merged = b.join(
+        d,
+        (F.col("b.o_orderstatus") == F.col("d.o_orderstatus"))
+        & (F.col("b.order_year") == F.col("d.order_year")),
+        "full_outer",
+    )
+    n = F.coalesce(F.col("b.n"), F.lit(0)) + F.coalesce(F.col("d.n"), F.lit(0))
+    s = F.coalesce(F.col("b.s"), F.lit(0)) + F.coalesce(F.col("d.s"), F.lit(0))
+    return merged.select(
+        F.coalesce(F.col("b.o_orderstatus"), F.col("d.o_orderstatus")).alias(
+            "o_orderstatus"
+        ),
+        F.coalesce(F.col("b.order_year"), F.col("d.order_year")).alias(
+            "order_year"
+        ),
+        n.alias("n_orders"),
+        s.alias("revenue_centi"),
+        F.least(F.col("b.mn"), F.col("d.mn")).alias("min_price_centi"),
+        F.greatest(F.col("b.mx"), F.col("d.mx")).alias("max_price_centi"),
+        F.expr(
+            "(coalesce(b.s, 0L) + coalesce(d.s, 0L))"
+            " div (coalesce(b.n, 0L) + coalesce(d.n, 0L))"
+        ).alias("avg_price_centi"),
+    )
+
+
+@query(
+    "ivm_retraction_merge",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS revenue_centi
+    FROM orders
+    WHERE o_orderkey % {_IVM_RETRACT_MOD} <> 0
+    GROUP BY o_orderpriority
+    """,
+)
+def ivm_retraction_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retraction-aware view maintenance: CDC deletes arrive as NEGATED
+    partial states (count -1, sum -value) and merge into the standing
+    aggregate by plain addition — sum and count form an abelian group, so
+    deletion needs no rescan of history. min/max are deliberately NOT
+    maintained here: they are only semigroup aggregates (no inverse), so a
+    delete of the current minimum forces a per-group recount — the
+    engine's honest answer is to keep them out of the retractable view
+    (or maintain them lazily from the CDC log, which is
+    ``cdc_latest_state``'s job).
+
+    Groups that retract to zero rows drop out of the view (the HAVING
+    n > 0 gate), matching the recompute exactly. The oracle recomputes
+    from scratch over the surviving rows; hash equality proves the
+    retraction algebra.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    centi = F.round(F.col("o_totalprice") * 100).cast("long")
+    standing = orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), F.sum(centi).cast("long").alias("s")
+    )
+    retract = (
+        orders.filter(F.col("o_orderkey") % _IVM_RETRACT_MOD == 0)
+        .groupBy("o_orderpriority")
+        .agg(
+            (-F.count("*")).alias("n"),
+            (-F.sum(centi)).cast("long").alias("s"),
+        )
+    )
+    merged = (
+        standing.unionByName(retract)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("n").alias("n_orders"), F.sum("s").alias("revenue_centi"))
+        .filter(F.col("n_orders") > 0)
+    )
+    return merged

@@ -717,3 +717,37 @@ def test_temperature_quota_rides_one_row_broadcast(spark):
     plan = formatted_plan(df)
     assert "BroadcastNestedLoopJoin" in plan
     assert "Window" not in plan
+
+
+# ---------------------------------------------------------------------------
+# r6 third wave: IVM state merges + the constraint census
+# ---------------------------------------------------------------------------
+
+
+def test_ivm_merge_adds_zero_shuffles(spark):
+    """Both partial states hash-partition on exactly the merge keys, so
+    the full-outer state join must reuse the aggregation exchanges: 2
+    exchanges total (one per state), none for the join."""
+    df = QUERIES["ivm_status_year_revenue_merge"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert count_exchanges(df) == 2
+    assert "SortMergeJoin FullOuter" in plan
+
+
+def test_ivm_retraction_is_pure_aggregation(spark):
+    """Retraction apply is union + re-aggregate — no join anywhere, and
+    the negated delta state rides the same partial-agg pattern."""
+    df = QUERIES["ivm_retraction_merge"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "Join" not in plan
+    assert count_exchanges(df) <= 3
+
+
+def test_dq_census_pass_economy(spark):
+    """Eight constraints, three passes: each table is scanned exactly
+    twice (its own aggregate pass + the shared FK/temporal join pass) and
+    the long-format pivot never re-consumes an aggregate subtree."""
+    df = QUERIES["dq_constraint_census"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert plan.count("orders.parquet") == 2
+    assert plan.count("lineitem.parquet") == 2

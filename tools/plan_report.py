@@ -70,6 +70,8 @@ _SHOWCASE = [
     ("snapshot_diff_orders", "keyed snapshot diff: full-outer SMJ pruned to (key, payload), emits only the delta"),
     ("join_bloom_prune_stats", "Bloom semi-join pruning: checkpointed key grain, ONE fact scan, broadcast verdicts"),
     ("mixture_temperature_quota", "temperature quotas: stratum agg + 1-row broadcast sums, integer micro-sqrt"),
+    ("ivm_status_year_revenue_merge", "IVM state merge: full-outer join reuses the two agg exchanges, zero extra shuffles"),
+    ("dq_constraint_census", "constraint census: 8 checks in 3 passes, inline pivot never re-scans an aggregate"),
 ]
 
 _MAX_LINES = 70
