@@ -536,6 +536,7 @@ _DRIVER_PRIORITY = [
     "ivm_status_year_revenue_merge",
     "ivm_retraction_merge",
     "dq_constraint_census",
+    "scd2_point_in_time_state",
     # r5 demotions that funded the MAD bisection instruments — both r4
     # driver-green on unchanged code.
     "pi_estimate_hash",

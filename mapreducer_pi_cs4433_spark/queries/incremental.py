@@ -109,6 +109,34 @@ def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _state_runs(events: DataFrame) -> DataFrame:
+    """Collapse a (user_id, ts, event_id, event_type) change log into state
+    runs: one row per (user_id, version) with the run's state, start
+    timestamp ``vf``, and event count. Shared by the SCD2 history builder
+    and the point-in-time consumer; every window and the collapse ride ONE
+    user_id exchange."""
+    log = events.select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")),
+        1,
+    ).otherwise(0)
+    marked = log.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum(chg)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("version"),
+    )
+    return marked.groupBy("user_id", "version").agg(
+        F.min("event_type").alias("state"),
+        F.min("ts").alias("vf"),
+        F.count("*").alias("n_events"),
+    )
+
+
 @query(
     "scd2_user_type_history",
     oracle=f"""
@@ -159,36 +187,7 @@ def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries deterministic. At 100 TB this is the shape you want:
     shuffle once by entity, never sort globally.
     """
-    log = _t(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", "event_type"
-    )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    marked = log.select(
-        "user_id",
-        "ts",
-        "event_type",
-        F.when(
-            F.lag("event_type").over(w).isNull()
-            | (F.lag("event_type").over(w) != F.col("event_type")),
-            1,
-        )
-        .otherwise(0)
-        .alias("chg"),
-        F.sum(
-            F.when(
-                F.lag("event_type").over(w).isNull()
-                | (F.lag("event_type").over(w) != F.col("event_type")),
-                1,
-            ).otherwise(0)
-        )
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("version"),
-    )
-    hist = marked.groupBy("user_id", "version").agg(
-        F.min("event_type").alias("state"),
-        F.min("ts").alias("vf"),
-        F.count("*").alias("n_events"),
-    )
+    hist = _state_runs(_t(spark, sf_dir, "events"))
     w2 = Window.partitionBy("user_id").orderBy("version")
     nxt = F.lead("vf").over(w2)
     return hist.select(
@@ -510,3 +509,94 @@ def ivm_retraction_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_orders") > 0)
     )
     return merged
+
+
+# ---------------------------------------------------------------------------
+# 7. Point-in-time (AS OF) lookup against the SCD2 history
+# ---------------------------------------------------------------------------
+
+from ..operators.temporal import asof_join  # noqa: E402  (shared kernel)
+
+
+@query(
+    "scd2_point_in_time_state",
+    oracle="""
+    WITH log AS (
+        SELECT user_id, ts, event_id, event_type FROM events
+    ), marked AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                         OR lag(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM log
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+        SELECT user_id, ts, event_type,
+               sum(chg) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS version
+        FROM marked
+    ), hist AS (
+        SELECT user_id, version, min(event_type) AS state, min(ts) AS vf
+        FROM runs GROUP BY user_id, version
+    ), probes AS (
+        SELECT event_id, user_id, ts, event_type,
+               ts - INTERVAL 1 HOUR AS pts
+        FROM events
+    )
+    SELECT p.event_id, p.user_id,
+           strftime(date_trunc('second', p.ts), '%Y-%m-%d %H:%M:%S') AS ts,
+           p.event_type,
+           h.state AS state_1h_ago,
+           (h.state IS DISTINCT FROM p.event_type) AS changed_last_hour
+    FROM probes p ASOF LEFT JOIN hist h
+      ON p.user_id = h.user_id AND epoch_us(p.pts) >= epoch_us(h.vf)
+    """,
+)
+def scd2_point_in_time_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (FOR SYSTEM_TIME AS OF) lookup against the SCD2
+    dimension history: for every event, the state its user was in ONE HOUR
+    BEFORE the event (NULL when the user's history starts later), plus a
+    changed_last_hour flag — the consumption side of
+    ``scd2_user_type_history`` (the same ``_state_runs`` kernel builds the
+    intervals), and the standard lakehouse pattern for enriching facts
+    with dimension history at fact time.
+
+    Scale shape: a naive interval join (pts BETWEEN valid_from AND
+    valid_to) plans as a per-key cartesian; instead the interval STARTS
+    feed the as-of kernel (operators/temporal.py): union + ONE user_id
+    shuffle + last(ignorenulls) window — history intervals are contiguous
+    by construction, so "latest start at-or-before" IS the containing
+    interval. Cost: one shuffle of |facts| + |runs| rows, same profile as
+    a sort-merge join, no probing. The oracle runs DuckDB's native ASOF
+    JOIN on the identical run table (epoch_us comparisons pin the
+    microsecond grain on both engines).
+    """
+    events = _t(spark, sf_dir, "events")
+    runs = _state_runs(events).select("user_id", "vf", "state")
+    probes = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("pts"),
+    )
+    out = asof_join(
+        probes,
+        runs.select("user_id", F.col("vf").alias("ts"), "state"),
+        key="user_id",
+        left_ts="pts",
+        right_ts="ts",
+        right_value="state",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("ts"),
+        "event_type",
+        F.col("state").alias("state_1h_ago"),
+        (~F.col("state").eqNullSafe(F.col("event_type"))).alias(
+            "changed_last_hour"
+        ),
+    )

@@ -751,3 +751,16 @@ def test_dq_census_pass_economy(spark):
     plan = formatted_plan(df)
     assert plan.count("orders.parquet") == 2
     assert plan.count("lineitem.parquet") == 2
+
+
+def test_scd2_point_in_time_is_joinless(spark):
+    """The AS-OF lookup against the SCD2 history must plan as union +
+    window, never an interval join: zero join nodes, two exchanges total
+    (the history build, the as-of union), two scans (history + probes)."""
+    df = QUERIES["scd2_point_in_time_state"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert count_exchanges(df) == 2
+    for node in ("SortMergeJoin", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert node not in plan
+    assert plan.count("events.parquet") == 2
