@@ -537,6 +537,8 @@ _DRIVER_PRIORITY = [
     "ivm_retraction_merge",
     "dq_constraint_census",
     "scd2_point_in_time_state",
+    "events_type_transitions",
+    "join_cardinality_kmv",
     # r5 demotions that funded the MAD bisection instruments — both r4
     # driver-green on unchanged code.
     "pi_estimate_hash",

@@ -600,3 +600,63 @@ def scd2_point_in_time_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             "changed_last_hour"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# 8. State-transition matrix (first-order Markov over the change log)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_type_transitions",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ), trans AS (
+        SELECT prev_type, event_type, count(*) AS n_transitions
+        FROM ordered WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    ), tot AS (
+        SELECT CAST(sum(n_transitions) AS BIGINT) AS total FROM trans
+    )
+    SELECT t.prev_type, t.event_type, t.n_transitions,
+           (t.n_transitions * 1000000) // o.total AS ppm
+    FROM trans t CROSS JOIN tot o
+    """,
+)
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition census over the per-user change log:
+    counts and global ppm share for every (prev_type -> event_type) pair
+    under the total order ``(ts, event_id)`` — the user-behavior
+    transition matrix (and the statistics a sequence-model data curator
+    inspects before training on event streams).
+
+    Scale shape: ONE user_id exchange for the lag window (the same
+    partitioning every operator in this module rides), then the matrix
+    aggregate is |types|^2-sized and the global total a 1-row broadcast.
+    Shares are int64 floor-divides (engine-exact).
+    """
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    # trans feeds both the output and the global total — checkpoint the
+    # |types|^2-row matrix so the full-data window pass runs ONCE
+    trans = (
+        ordered.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("n_transitions"))
+        .localCheckpoint()
+    )
+    tot = trans.agg(F.sum("n_transitions").cast("long").alias("total"))
+    return trans.crossJoin(F.broadcast(tot)).select(
+        "prev_type",
+        "event_type",
+        "n_transitions",
+        F.expr("(n_transitions * 1000000) div total").alias("ppm"),
+    )

@@ -271,3 +271,147 @@ def join_bloom_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("false_pos_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (theta) sketch: distinct / union / intersection cardinality estimates
+# ---------------------------------------------------------------------------
+
+# k minimum values per set. 64 keeps BOTH estimator branches live at every
+# SF: the yearly custkey sets exceed 64 even at sf0.001 (sketch path), while
+# degenerate subsets would fall back to the exact small-set branch.
+_KMV_K = 64
+_KMV_SPACE = 1 << 32  # md5-derived 8-hex-digit hash space
+
+
+@query(
+    "join_cardinality_kmv",
+    oracle=f"""
+    WITH a_keys AS (
+        SELECT DISTINCT o_custkey AS k FROM orders
+        WHERE year(o_orderdate) = 1996
+    ), b_keys AS (
+        SELECT DISTINCT o_custkey AS k FROM orders
+        WHERE year(o_orderdate) = 1997
+    ), a_h AS (
+        SELECT CAST(CAST(concat('0x', substr(md5(concat('kmv|',
+                   CAST(k AS VARCHAR))), 1, 8)) AS UBIGINT) AS BIGINT) AS h
+        FROM a_keys
+    ), b_h AS (
+        SELECT CAST(CAST(concat('0x', substr(md5(concat('kmv|',
+                   CAST(k AS VARCHAR))), 1, 8)) AS UBIGINT) AS BIGINT) AS h
+        FROM b_keys
+    ), sa AS (SELECT h FROM a_h ORDER BY h LIMIT {_KMV_K}),
+       sb AS (SELECT h FROM b_h ORDER BY h LIMIT {_KMV_K}),
+       stats AS (
+        SELECT (SELECT count(*) FROM sa) AS na,
+               (SELECT max(h) FROM sa) AS ta,
+               (SELECT count(*) FROM sb) AS nb,
+               (SELECT max(h) FROM sb) AS tb,
+               (SELECT count(*) FROM a_keys) AS exact_a,
+               (SELECT count(*) FROM b_keys) AS exact_b,
+               (SELECT count(*) FROM (SELECT k FROM a_keys
+                                      INTERSECT SELECT k FROM b_keys))
+                   AS exact_i,
+               (SELECT count(*) FROM (SELECT k FROM a_keys
+                                      UNION SELECT k FROM b_keys))
+                   AS exact_u
+    ), theta AS (
+        SELECT least(ta, tb) AS t FROM stats
+    ), inter AS (
+        SELECT count(*) AS ni FROM sa JOIN sb USING (h)
+        CROSS JOIN theta WHERE h <= theta.t
+    ), est AS (
+        SELECT s.exact_a, s.exact_b, s.exact_u, s.exact_i,
+               CASE WHEN s.na < {_KMV_K} THEN s.na
+                    ELSE ({_KMV_K} - 1) * {_KMV_SPACE} // s.ta END AS est_a,
+               CASE WHEN s.nb < {_KMV_K} THEN s.nb
+                    ELSE ({_KMV_K} - 1) * {_KMV_SPACE} // s.tb END AS est_b,
+               i.ni * {_KMV_SPACE} // t.t AS est_i
+        FROM stats s CROSS JOIN inter i CROSS JOIN theta t
+    )
+    SELECT 'distinct_a' AS measure, exact_a AS exact_count,
+           est_a AS kmv_estimate FROM est
+    UNION ALL SELECT 'distinct_b', exact_b, est_b FROM est
+    UNION ALL SELECT 'intersection', exact_i, est_i FROM est
+    """,
+)
+def join_cardinality_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / theta-sketch cardinality estimation — the join-planning
+    primitive: per set keep only the k MINIMUM md5 hash values; the kth
+    value theta estimates distinct count as (k-1) * space / theta, and two
+    sketches intersect by counting shared samples below the common theta.
+    Emits (measure, exact_count, kmv_estimate) for both sets and their
+    intersection, so the sketch's error is part of the checked output.
+
+    Bit-exact cross-engine: the hash is the md5 slot family (standardized
+    bits), the estimates are int64 floor-divides, and sub-k sets take the
+    exact branch (a KMV sketch holding fewer than k samples IS its set).
+    Scale shape: each side reduces to distinct keys (one map-side-combined
+    shuffle — at 100 TB this is the only full-data pass), then k-smallest
+    rides TakeOrdered (per-partition top-k + merge, never a global sort);
+    everything downstream is <= k rows per side. This is how you size a
+    join's output before paying for the join.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    h = lambda c: F.conv(  # noqa: E731
+        F.substring(F.md5(F.concat(F.lit("kmv|"), c.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+
+    def keys(year: int) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == year)
+            .select(F.col("o_custkey").alias("k"))
+            .distinct()
+        )
+
+    # keys() subtrees are consumed twice (sketch + exact census); the
+    # distinct tables are key-cardinality-sized — checkpoint once.
+    a_keys = keys(1996).localCheckpoint()
+    b_keys = keys(1997).localCheckpoint()
+    sa = a_keys.select(h(F.col("k")).alias("h")).orderBy("h").limit(_KMV_K)
+    sb = b_keys.select(h(F.col("k")).alias("h")).orderBy("h").limit(_KMV_K)
+    sa, sb = sa.localCheckpoint(), sb.localCheckpoint()
+
+    stats = (
+        sa.agg(F.count("*").alias("na"), F.max("h").alias("ta"))
+        .crossJoin(sb.agg(F.count("*").alias("nb"), F.max("h").alias("tb")))
+        .crossJoin(a_keys.agg(F.count("*").alias("exact_a")))
+        .crossJoin(b_keys.agg(F.count("*").alias("exact_b")))
+        .crossJoin(
+            a_keys.join(b_keys, "k").agg(F.count("*").alias("exact_i"))
+        )
+    )
+    inter = (
+        sa.join(sb, "h")
+        .crossJoin(F.broadcast(stats.select(F.least("ta", "tb").alias("t"))))
+        .filter(F.col("h") <= F.col("t"))
+        .agg(F.count("*").alias("ni"))
+    )
+    est = stats.crossJoin(F.broadcast(inter)).select(
+        "exact_a",
+        "exact_b",
+        "exact_i",
+        F.expr(
+            f"CASE WHEN na < {_KMV_K} THEN na "
+            f"ELSE ({_KMV_K} - 1) * {_KMV_SPACE}L div ta END"
+        ).alias("est_a"),
+        F.expr(
+            f"CASE WHEN nb < {_KMV_K} THEN nb "
+            f"ELSE ({_KMV_K} - 1) * {_KMV_SPACE}L div tb END"
+        ).alias("est_b"),
+        F.expr(f"ni * {_KMV_SPACE}L div least(ta, tb)").alias("est_i"),
+    )
+    est = est.localCheckpoint()  # three 1-row consumers below
+    row = lambda m, e, s: est.select(  # noqa: E731
+        F.lit(m).alias("measure"),
+        F.col(e).cast("long").alias("exact_count"),
+        F.col(s).cast("long").alias("kmv_estimate"),
+    )
+    return (
+        row("distinct_a", "exact_a", "est_a")
+        .unionByName(row("distinct_b", "exact_b", "est_b"))
+        .unionByName(row("intersection", "exact_i", "est_i"))
+    )

@@ -764,3 +764,37 @@ def test_scd2_point_in_time_is_joinless(spark):
                  "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert node not in plan
     assert plan.count("events.parquet") == 2
+
+
+def test_transition_matrix_single_fact_pass(spark):
+    """The lag window is the one full-data pass; the checkpointed
+    |types|^2 matrix feeds both the output and the 1-row total, so the
+    live plan re-reads nothing."""
+    df = QUERIES["events_type_transitions"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert plan.count(".parquet") == 0  # matrix checkpointed post-window
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row total broadcast
+
+
+def test_kmv_sketch_builder_uses_takeordered(spark):
+    """k-minimum-values must plan as TakeOrderedAndProject over the
+    distinct-key table (per-partition top-k + merge), never a global
+    sort. Asserted on the builder plan — the catalog entry checkpoints
+    it, so its live plan is fully reduced."""
+    from mapreducer_pi_cs4433_spark.sources.loaders import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    keys = (
+        orders.filter(F.year("o_orderdate") == 1996)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("kmv|"), F.col("k").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    sk = keys.select(h.alias("h")).orderBy("h").limit(64)
+    plan = formatted_plan(sk)
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
