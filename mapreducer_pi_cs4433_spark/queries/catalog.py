@@ -539,6 +539,7 @@ _DRIVER_PRIORITY = [
     "scd2_point_in_time_state",
     "events_type_transitions",
     "join_cardinality_kmv",
+    "text_source_overlap",
     # r5 demotions that funded the MAD bisection instruments — both r4
     # driver-green on unchanged code.
     "pi_estimate_hash",

@@ -1796,3 +1796,120 @@ def mixture_temperature_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 mixture_temperature_quota.__doc__ = mixture_temperature_quota.__doc__.format(
     ALPHA=_TEMP_ALPHA_NOTE, B=_TEMP_BUDGET_DOCS
 )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise source-vocabulary overlap (corpus provenance diagnostics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_source_overlap",
+    oracle="""
+    WITH t AS (
+        SELECT source, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+    ), pos AS (
+        SELECT source, toks,
+               unnest(generate_series(1, len(toks) - 2)) AS i
+        FROM t WHERE len(toks) >= 3
+    ), g AS (
+        SELECT DISTINCT source,
+               md5(array_to_string(list_slice(toks, i, i + 2), ' ')) AS gram
+        FROM pos
+    ), sizes AS (
+        SELECT source, count(*) AS n_grams FROM g GROUP BY 1
+    ), pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*) AS shared_grams
+        FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT p.source_a, p.source_b, p.shared_grams,
+           sa.n_grams AS grams_a, sb.n_grams AS grams_b,
+           (p.shared_grams * 1000000) // least(sa.n_grams, sb.n_grams)
+               AS containment_ppm,
+           (p.shared_grams * 1000000)
+               // (sa.n_grams + sb.n_grams - p.shared_grams) AS jaccard_ppm
+    FROM pairs p
+    JOIN sizes sa ON p.source_a = sa.source
+    JOIN sizes sb ON p.source_b = sb.source
+    """,
+)
+def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary overlap census: for every unordered pair
+    of sources, the shared distinct word-3-gram count plus containment
+    (shared / smaller vocabulary) and Jaccard, in integer ppm — the
+    provenance diagnostic that finds mirror sites, syndicated boilerplate,
+    and near-duplicate crawls BEFORE document-level dedup spends effort on
+    them (pairs with high containment get routed to the dedup band).
+
+    Scale shape: grams are md5-hashed before the per-source distinct (the
+    posting-stream idiom — 16-byte keys, never text) and the gram table is
+    checkpointed once (three consumers). The self-join is on the gram hash
+    and each gram contributes at most |sources|^2 pairs — bounded by the
+    SOURCE count, not the corpus, so a stopword gram cannot explode the
+    join the way a hot doc-level key would. Outputs are |sources|^2-sized;
+    the size join rides a broadcast.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.select(
+        "source", toks.alias("toks"), F.size(toks).alias("n")
+    ).filter(F.col("n") >= 3)
+    target = spark.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < target:
+        base = base.repartition(target)
+    grams = (
+        base.select(
+            "source",
+            F.explode(F.sequence(F.lit(1), F.col("n") - 2)).alias("i"),
+            "toks",
+        )
+        .select(
+            "source",
+            F.md5(F.array_join(F.expr("slice(toks, i, 3)"), " ")).alias(
+                "gram"
+            ),
+        )
+        .distinct()
+        .localCheckpoint()  # three consumers: sizes + both join sides
+    )
+    sizes = grams.groupBy("source").agg(F.count("*").alias("n_grams"))
+    a, b = grams.alias("a"), grams.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("shared_grams"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("n_grams").alias("grams_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("n_grams").alias("grams_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_grams",
+            "grams_a",
+            "grams_b",
+            F.expr(
+                "(shared_grams * 1000000) div least(grams_a, grams_b)"
+            ).alias("containment_ppm"),
+            F.expr(
+                "(shared_grams * 1000000)"
+                " div (grams_a + grams_b - shared_grams)"
+            ).alias("jaccard_ppm"),
+        )
+    )

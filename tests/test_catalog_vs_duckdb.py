@@ -47,6 +47,7 @@ _MUST_EMIT_ROWS = [
     "dedup_embedding_neardup",
     "dedup_chunk_exact",
     "dedup_semantic_prune",
+    "text_source_overlap",
 ]
 
 

@@ -72,6 +72,8 @@ _SHOWCASE = [
     ("mixture_temperature_quota", "temperature quotas: stratum agg + 1-row broadcast sums, integer micro-sqrt"),
     ("ivm_status_year_revenue_merge", "IVM state merge: full-outer join reuses the two agg exchanges, zero extra shuffles"),
     ("dq_constraint_census", "constraint census: 8 checks in 3 passes, inline pivot never re-scans an aggregate"),
+    ("scd2_point_in_time_state", "AS-OF lookup vs SCD2 history: joinless union+window, 2 exchanges"),
+    ("text_source_overlap", "source overlap census: hashed-gram self-join bounded by |sources|^2 per gram"),
 ]
 
 _MAX_LINES = 70
