@@ -142,3 +142,68 @@ def test_cdc_stream_split_and_order_invariant(spark):
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_cdc_stream_under_rocksdb(spark):
+    """The CDC compaction on the RocksDB state provider: identical
+    snapshot, and the progress metrics must prove RocksDB actually backed
+    the aggregation state."""
+    from mapreducer_pi_cs4433_spark.session import (
+        ROCKSDB_PROVIDER,
+        enable_rocksdb_state,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    src = tempfile.mkdtemp(prefix="rcdc_src_")
+    ckpt = tempfile.mkdtemp(prefix="rcdc_ck_")
+    try:
+        enable_rocksdb_state(spark)
+        assert (
+            spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+            == ROCKSDB_PROVIDER
+        )
+        events.coalesce(1).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        q = (
+            cdc_latest_state_stream(stream, watermark="365 days")
+            .writeStream.format("memory")
+            .queryName("rcdc")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        ops = (q.recentProgress or [{}])[-1].get("stateOperators") or []
+        assert any(
+            "rocksdb" in k.lower()
+            for op in ops
+            for k in (op.get("customMetrics") or {})
+        ), "state operator did not run on RocksDB"
+        got = {
+            r.user_id: (r.last_ts, r.last_type, r.last_value_centi,
+                        r.n_changes, r.first_ts)
+            for r in spark.sql("select * from rcdc").collect()
+        }
+        want = {
+            r.user_id: (r.last_ts, r.last_type, r.last_value_centi,
+                        r.n_changes, r.first_ts)
+            for r in QUERIES["cdc_latest_state"](spark, SF_SMOKE).collect()
+        }
+        assert got == want
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        spark.conf.unset(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled"
+        )
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

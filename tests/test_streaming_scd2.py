@@ -168,3 +168,77 @@ def test_scd2_stream_shuffled_arrival_within_watermark(spark):
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_scd2_stream_under_rocksdb(spark):
+    """The SCD2 interval closer on the RocksDB state provider: identical
+    closed intervals, with progress metrics proving RocksDB backed the
+    stateful operator."""
+    from mapreducer_pi_cs4433_spark.session import (
+        ROCKSDB_PROVIDER,
+        enable_rocksdb_state,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    rows = events.orderBy("ts", "event_id").collect()
+    max_ts = rows[-1].ts
+    src = tempfile.mkdtemp(prefix="rscd2_src_")
+    ckpt = tempfile.mkdtemp(prefix="rscd2_ck_")
+    out = tempfile.mkdtemp(prefix="rscd2_out_")
+    try:
+        enable_rocksdb_state(spark)
+        assert (
+            spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+            == ROCKSDB_PROVIDER
+        )
+        schema = events.schema
+        half = len(rows) // 2
+        for chunk in (rows[:half], rows[half:]):
+            spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            _run(spark, src, ckpt, out, schema, "1 second")
+        for off in (3600, 7200):
+            spark.createDataFrame(
+                [Row(user_id=_SENTINEL_USER,
+                     ts=max_ts + datetime.timedelta(seconds=off),
+                     event_id=10**9 + off, event_type="view")],
+                schema,
+            ).coalesce(1).write.mode("append").parquet(src)
+            _run(spark, src, ckpt, out, schema, "1 second")
+
+        got = {
+            (r.user_id, r.version): (r.state, r.valid_from_s, r.valid_to_s,
+                                     r.n_events)
+            for r in spark.read.parquet(out).collect()
+            if r.user_id != _SENTINEL_USER
+        }
+        batch = QUERIES["scd2_user_type_history"](spark, SF_SMOKE)
+        closed = batch.filter(~F.col("is_current")).select(
+            "user_id", "version", "state",
+            F.unix_timestamp("valid_from").alias("vf_s"),
+            F.unix_timestamp("valid_to").alias("vt_s"),
+            "n_events",
+        )
+        want = {
+            (r.user_id, r.version): (r.state, r.vf_s, r.vt_s, r.n_events)
+            for r in closed.collect()
+        }
+        assert got == want
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        spark.conf.unset(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled"
+        )
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
