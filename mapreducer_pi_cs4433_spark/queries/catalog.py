@@ -15,6 +15,11 @@ Cross-engine determinism rules (the driver hash-compares values):
   ns — raw values can never hash-match).
 - Epoch arithmetic uses second-truncated integers in both engines.
 - Any top-k has a total deterministic ORDER BY (tie-break on a key).
+- Integer division: Spark `div` and DuckDB `//` BOTH truncate toward
+  zero on negatives (-1 div 2 == 0 in both), so int/int shares stay
+  engine-exact even for negative numerators — but Python's `//` FLOORS,
+  so any Python reference fold must truncate explicitly
+  (property-pinned, tests/test_properties.py).
 """
 
 from __future__ import annotations

@@ -327,3 +327,246 @@ def test_median_grain_equals_sorted_rank_selection(spark, groups):
     for g, vals in groups.items():
         want = sorted(vals)[(len(vals) + 1) // 2 - 1]
         assert got[g] == want, (g, sorted(vals))
+
+
+# ---------------------------------------------------------------------------
+# r6 incremental band: the catalog queries themselves on adversarial corpora
+# (random parquet written to a throwaway sf_dir, so the REAL query code —
+# loaders, casts, carves — is what runs, not a re-expression in the test)
+# ---------------------------------------------------------------------------
+
+
+def _tmp_sf_dir(spark, **tables):
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="prop_sf_")
+    for name, (rows, schema) in tables.items():
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/{name}.parquet")
+    return d
+
+
+_order_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=400),           # o_orderkey (dups allowed upstream; unique_by below)
+        st.sampled_from(["F", "O", "P"]),                  # o_orderstatus
+        st.integers(min_value=0, max_value=3),             # year offset
+        st.integers(min_value=-10_000_00, max_value=10_000_00),  # price centi
+        st.sampled_from(["1-URGENT", "3-MEDIUM"]),         # o_orderpriority
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(deadline=None, max_examples=10, suppress_health_check=list(HealthCheck))
+@given(rows=_order_rows)
+def test_prop_ivm_merge_equals_recompute(spark, rows):
+    """The IVM correctness theorem on arbitrary corpora: merging the
+    history-carve state with the delta-carve state must equal a full
+    recompute for every group — including groups present in only one
+    carve, negative prices, and single-row groups."""
+    import datetime
+    import shutil
+
+    from mapreducer_pi_cs4433_spark.queries.catalog import QUERIES
+
+    data = [
+        (k, status, datetime.datetime(1996 + y, 3, 1), centi / 100.0, prio)
+        for k, status, y, centi, prio in rows
+    ]
+    d = _tmp_sf_dir(
+        spark,
+        orders=(
+            data,
+            "o_orderkey long, o_orderstatus string, o_orderdate timestamp,"
+            " o_totalprice double, o_orderpriority string",
+        ),
+    )
+    try:
+        got = {
+            (r.o_orderstatus, r.order_year): (
+                r.n_orders, r.revenue_centi, r.min_price_centi,
+                r.max_price_centi, r.avg_price_centi,
+            )
+            for r in QUERIES["ivm_status_year_revenue_merge"](spark, d).collect()
+        }
+        agg: dict = {}
+        for k, status, y, centi, _ in rows:
+            g = agg.setdefault((status, 1996 + y), [0, 0, None, None])
+            g[0] += 1
+            g[1] += centi
+            g[2] = centi if g[2] is None else min(g[2], centi)
+            g[3] = centi if g[3] is None else max(g[3], centi)
+        # Spark `div` and DuckDB integer `//` BOTH truncate toward zero
+        # (verified: -1 div 2 == 0 in both); Python's // floors, so the
+        # reference must truncate explicitly — hypothesis caught the
+        # difference on a negative-sum group.
+        trunc = lambda s, n: s // n if s >= 0 else -((-s) // n)  # noqa: E731
+        want = {
+            k: (n, s, mn, mx, trunc(s, n)) for k, (n, s, mn, mx) in agg.items()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(deadline=None, max_examples=10, suppress_health_check=list(HealthCheck))
+@given(rows=_order_rows)
+def test_prop_ivm_retraction_equals_filtered_recompute(spark, rows):
+    """Retraction algebra on arbitrary corpora: standing state + negated
+    delete-state must equal recomputing over the surviving rows, and
+    groups retracting to zero must vanish."""
+    import datetime
+    import shutil
+
+    from mapreducer_pi_cs4433_spark.queries.catalog import QUERIES
+    from mapreducer_pi_cs4433_spark.queries.incremental import _IVM_RETRACT_MOD
+
+    data = [
+        (k, status, datetime.datetime(1996 + y, 3, 1), centi / 100.0, prio)
+        for k, status, y, centi, prio in rows
+    ]
+    d = _tmp_sf_dir(
+        spark,
+        orders=(
+            data,
+            "o_orderkey long, o_orderstatus string, o_orderdate timestamp,"
+            " o_totalprice double, o_orderpriority string",
+        ),
+    )
+    try:
+        got = {
+            r.o_orderpriority: (r.n_orders, r.revenue_centi)
+            for r in QUERIES["ivm_retraction_merge"](spark, d).collect()
+        }
+        agg: dict = {}
+        for k, _, _, centi, prio in rows:
+            if k % _IVM_RETRACT_MOD == 0:
+                continue
+            g = agg.setdefault(prio, [0, 0])
+            g[0] += 1
+            g[1] += centi
+        want = {p: (n, s) for p, (n, s) in agg.items()}
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+_change_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),    # user_id
+        st.integers(min_value=0, max_value=200),  # ts offset seconds (TIES allowed)
+        st.sampled_from(["a", "b", "c"]),         # event_type
+        st.integers(min_value=-5_000, max_value=5_000),  # value centi
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(deadline=None, max_examples=10, suppress_health_check=list(HealthCheck))
+@given(rows=_change_rows)
+def test_prop_cdc_latest_equals_sorted_fold(spark, rows):
+    """The max(struct) compaction must equal a per-key fold over the
+    sorted (ts, event_id) order for arbitrary change logs — including
+    timestamp TIES broken only by event_id, single-change keys, and
+    negative payloads."""
+    import datetime
+    import shutil
+
+    from mapreducer_pi_cs4433_spark.queries.catalog import QUERIES
+
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (eid, base + datetime.timedelta(seconds=off), uid, et, centi / 100.0)
+        for eid, (uid, off, et, centi) in enumerate(rows)
+    ]
+    d = _tmp_sf_dir(
+        spark,
+        events=(
+            data,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double",
+        ),
+    )
+    try:
+        got = {
+            r.user_id: (r.last_ts, r.last_type, r.last_value_centi,
+                        r.n_changes, r.first_ts)
+            for r in QUERIES["cdc_latest_state"](spark, d).collect()
+        }
+        per_key: dict = {}
+        for eid, ts, uid, et, _ in data:
+            per_key.setdefault(uid, []).append((ts, eid, et))
+        want = {}
+        for uid, evs in per_key.items():
+            evs.sort()
+            last = evs[-1]
+            centi = rows[last[1]][3]
+            want[uid] = (
+                last[0].strftime("%Y-%m-%d %H:%M:%S"),
+                last[2],
+                centi,
+                len(evs),
+                min(e[0] for e in evs).strftime("%Y-%m-%d %H:%M:%S"),
+            )
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(deadline=None, max_examples=8, suppress_health_check=list(HealthCheck))
+@given(rows=_change_rows)
+def test_prop_scd2_runs_equal_python_fold(spark, rows):
+    """The gaps-and-islands history must equal a pure fold over the
+    (ts, event_id) order for arbitrary logs — equal-timestamp flips,
+    single-event runs, keys with one state forever."""
+    import datetime
+    import shutil
+
+    from mapreducer_pi_cs4433_spark.queries.catalog import QUERIES
+
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (eid, base + datetime.timedelta(seconds=off), uid, et, centi / 100.0)
+        for eid, (uid, off, et, centi) in enumerate(rows)
+    ]
+    d = _tmp_sf_dir(
+        spark,
+        events=(
+            data,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double",
+        ),
+    )
+    try:
+        got = {
+            (r.user_id, r.version): (r.state, r.valid_from, r.n_events,
+                                     r.is_current)
+            for r in QUERIES["scd2_user_type_history"](spark, d).collect()
+        }
+        per_key: dict = {}
+        for eid, ts, uid, et, _ in data:
+            per_key.setdefault(uid, []).append((ts, eid, et))
+        want = {}
+        for uid, evs in per_key.items():
+            evs.sort()
+            runs = []
+            for ts, _eid, et in evs:
+                if not runs or runs[-1][0] != et:
+                    runs.append([et, ts, 1])
+                else:
+                    runs[-1][2] += 1
+            for i, (st_, vf, n) in enumerate(runs):
+                want[(uid, i + 1)] = (
+                    st_,
+                    vf.strftime("%Y-%m-%d %H:%M:%S"),
+                    n,
+                    i == len(runs) - 1,
+                )
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
