@@ -570,3 +570,114 @@ def test_prop_scd2_runs_equal_python_fold(spark, rows):
         assert got == want
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+_li_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),   # l_orderkey (may orphan)
+        st.integers(min_value=1, max_value=4),    # l_linenumber
+        st.integers(min_value=-5, max_value=60),  # l_quantity (may violate)
+        st.integers(min_value=-5, max_value=15),  # discount in % (may violate)
+        st.integers(min_value=-3, max_value=3),   # shipdate offset days vs order
+    ),
+    min_size=1,
+    max_size=40,
+)
+_ord_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=20),        # o_orderkey
+        st.sampled_from(["F", "O", "P", "X"]),         # X = enum violation
+        st.integers(min_value=-100_00, max_value=100_00),  # price centi (may be <= 0)
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(deadline=None, max_examples=8, suppress_health_check=list(HealthCheck))
+@given(orders=_ord_rows, lineitem=_li_rows)
+def test_prop_dq_census_detects_planted_violations(spark, orders, lineitem):
+    """The constraint census must COUNT violations exactly on corpora that
+    actually contain them — duplicate PKs (generated orders may repeat a
+    key), bad enums, non-positive prices, out-of-range quantities and
+    discounts, FK orphans, and line items shipped before their order. The
+    clean-corpus runs only prove the zero case; this pins the detect
+    direction."""
+    import datetime
+    import shutil
+
+    from mapreducer_pi_cs4433_spark.queries.catalog import QUERIES
+
+    base = datetime.datetime(2020, 6, 15)
+    odata = [
+        (k, s, base, centi / 100.0, "3-MEDIUM")
+        for k, s, centi in orders
+    ]
+    first_date = {}
+    for k, *_ in orders:
+        first_date.setdefault(k, base)
+    ldata = [
+        (k, ln, float(q), d / 100.0, base + datetime.timedelta(days=off))
+        for k, ln, q, d, off in lineitem
+    ]
+    d = _tmp_sf_dir(
+        spark,
+        orders=(
+            odata,
+            "o_orderkey long, o_orderstatus string, o_orderdate timestamp,"
+            " o_totalprice double, o_orderpriority string",
+        ),
+        lineitem=(
+            ldata,
+            "l_orderkey long, l_linenumber int, l_quantity double,"
+            " l_discount double, l_shipdate timestamp",
+        ),
+    )
+    try:
+        got = {
+            r.constraint_name: (r.n_checked, r.n_violations)
+            for r in QUERIES["dq_constraint_census"](spark, d).collect()
+        }
+        okeys = [k for k, *_ in orders]
+        okey_set = set(okeys)
+        lpairs = [(k, ln) for k, ln, *_ in lineitem]
+        # join pass: every line item matched to EVERY order row with its key
+        n_joined = sum(max(1, okeys.count(k)) for k, *_ in lineitem)
+        want = {
+            "orders_pk_unique": (len(orders), len(okeys) - len(okey_set)),
+            "orders_price_positive": (
+                len(orders),
+                sum(1 for _, _, c in orders if c <= 0),
+            ),
+            "orders_status_enum": (
+                len(orders),
+                sum(1 for _, s, _ in orders if s == "X"),
+            ),
+            "lineitem_pk_unique": (
+                len(lineitem),
+                len(lpairs) - len(set(lpairs)),
+            ),
+            "lineitem_quantity_range": (
+                len(lineitem),
+                sum(1 for _, _, q, _, _ in lineitem if q < 1 or q > 50),
+            ),
+            "lineitem_discount_range": (
+                len(lineitem),
+                sum(1 for _, _, _, dd, _ in lineitem if dd < 0 or dd > 10),
+            ),
+            "lineitem_fk_orders": (
+                n_joined,
+                sum(1 for k, *_ in lineitem if k not in okey_set),
+            ),
+            "lineitem_ship_after_order": (
+                n_joined,
+                sum(
+                    okeys.count(k)
+                    for k, _, _, _, off in lineitem
+                    if k in okey_set and off < 0
+                ),
+            ),
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
