@@ -84,6 +84,7 @@ def _build_index(spark, sf_dir: str, kinds_csv: str) -> int:
             "semantic",
             "hnsw",
             "graph",
+            "cooccur",
         }
         if kinds_csv == "all"
         else {k.strip() for k in kinds_csv.split(",") if k.strip()}
@@ -166,6 +167,21 @@ def _build_index(spark, sf_dir: str, kinds_csv: str) -> int:
 
         sym, _deg = ensure_pagerank_graph(spark, sf_dir)
         built.append(("graph", sym.count()))
+    if "cooccur" in kinds:
+        # co-occurrence build outputs: the supplier support-pair table
+        # (graph_triangle_count) and the (order, brand) basket table
+        # (basket_brand_pairs) — both read their artifact at query time
+        from .queries.extensions import (
+            ensure_basket_order_brand,
+            ensure_cooccur_supp_support,
+        )
+
+        built.append(
+            ("cooccur_supp", ensure_cooccur_supp_support(spark, sf_dir).count())
+        )
+        built.append(
+            ("basket_ob", ensure_basket_order_brand(spark, sf_dir).count())
+        )
     for kind, n in built:
         print(f"build-index: {kind} ready ({n} rows)")
     return 0

@@ -3650,6 +3650,55 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ensure_cooccur_supp_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted supplier co-occurrence support table (a, b, support):
+    distinct (order, supplier) self-joined per order, counted per
+    unordered supplier pair. The input of graph_triangle_count and any
+    future association analysis over suppliers; built once per corpus
+    (cli.py build-index --kinds cooccur)."""
+    from ..functions.artifacts import ensure_table
+
+    def _build() -> DataFrame:
+        li = (
+            _t(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_suppkey")
+            .distinct()
+            .localCheckpoint()
+        )
+        a = li.select(
+            F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("a")
+        )
+        b = li.select(
+            F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("b")
+        )
+        return (
+            a.join(b, "k")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("support"))
+        )
+
+    return ensure_table(spark, sf_dir, "cooccur_supp_support", _build)
+
+
+def ensure_basket_order_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (order, brand) basket table — the distinct broadcast-join
+    of lineitem onto the part dimension. The input of basket_brand_pairs;
+    built once per corpus (cli.py build-index --kinds cooccur)."""
+    from ..functions.artifacts import ensure_table
+
+    def _build() -> DataFrame:
+        li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+        return (
+            li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+            .select("l_orderkey", "p_brand")
+            .distinct()
+        )
+
+    return ensure_table(spark, sf_dir, "basket_order_brand", _build)
+
+
 @query(
     "graph_triangle_count",
     oracle="""
@@ -3696,29 +3745,14 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     order width, the threshold prunes before the join chain, and the edge
     table after pruning is small enough to broadcast at any corpus size
     (edges over high-support pairs grow sublinearly)."""
-    # Materialize the distinct (order, supplier) table BEFORE the self-join:
-    # the two differently-aliased join sides are not byte-identical subtrees,
-    # so ReuseExchange does NOT share the distinct between them and the
-    # dedup shuffle ran twice (measured: pair expansion 3.8 s -> 1.3 s at
-    # sf0.1 once the input is checkpointed). At cluster scale this is the
-    # persisted co-occurrence input table.
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-        .localCheckpoint()
-    )
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("a"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("b"))
-    # The support table feeds THREE consumers (threshold percentile, edge
-    # filter, edge count) — materialize it once too.
-    pairs = (
-        a.join(b, "k")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("support"))
-        .localCheckpoint()
-    )
+    # The supplier co-occurrence support table is corpus-determined — a
+    # build artifact like the PageRank graph (pr_graph_sym), not per-query
+    # work. r4 checkpointed the distinct input (pair expansion 3.8 -> 1.3 s
+    # at sf0.1); r6 moves the whole (a, b, support) table into the artifact
+    # store, so the per-query cost is a ~|pairs|-row parquet scan and the
+    # threshold + triangle joins. Cold build cost is recorded under the
+    # bench's extra.artifact_builds like every other ensure_* table.
+    pairs = ensure_cooccur_supp_support(spark, sf_dir)
     pairs.createOrReplaceTempView("_tri_pairs")
     thr = spark.sql(
         "SELECT percentile_disc(0.9) WITHIN GROUP (ORDER BY support) AS t "
@@ -3782,18 +3816,12 @@ def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     size); brand marginals and the order total are small broadcasts; lift
     is a single integer-ratio division (hash-safe). min-support 5 prunes
     the noise floor at any scale factor."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    # (order, brand) pairs feed FOUR consumers (marginals, total, both join
-    # sides of the pair expansion) — materialize once instead of four
-    # broadcast-join + distinct re-runs (the basket table of a production
-    # pipeline; measured 2.5 s -> ~1.2 s at sf0.1)
-    ob = (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
-        .select("l_orderkey", "p_brand")
-        .distinct()
-        .localCheckpoint()
-    )
+    # The (order, brand) basket table feeds FOUR consumers (marginals,
+    # total, both pair-expansion sides) and is corpus-determined — r3
+    # checkpointed it per query (2.5 -> 1.2 s at sf0.1); r6 persists it in
+    # the artifact store (the basket table IS a production build output),
+    # so the per-query cost is the parquet scan + the pair expansion.
+    ob = ensure_basket_order_brand(spark, sf_dir)
     brand_cnt = ob.groupBy("p_brand").agg(F.count("*").alias("n_orders_with"))
     totals = ob.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     a = ob.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand_a"))
