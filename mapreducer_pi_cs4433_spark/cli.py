@@ -85,6 +85,7 @@ def _build_index(spark, sf_dir: str, kinds_csv: str) -> int:
             "hnsw",
             "graph",
             "cooccur",
+            "decontam",
         }
         if kinds_csv == "all"
         else {k.strip() for k in kinds_csv.split(",") if k.strip()}
@@ -181,6 +182,17 @@ def _build_index(spark, sf_dir: str, kinds_csv: str) -> int:
         )
         built.append(
             ("basket_ob", ensure_basket_order_brand(spark, sf_dir).count())
+        )
+    if "decontam" in kinds:
+        # the per-benchmark-release decontamination pair list; the query
+        # entry reads this table (the LSH+verify pipeline is its builder)
+        from .queries.extensions import decontaminate_training_set
+
+        built.append(
+            (
+                "decontam",
+                decontaminate_training_set(spark, sf_dir).count(),
+            )
         )
     for kind, n in built:
         print(f"build-index: {kind} ready ({n} rows)")

@@ -390,6 +390,10 @@ def test_build_index_prebuilds_exactly_what_queries_consume(
         "similarity_topk_hnsw",
         "dedup_semantic_prune",
         "graph_pagerank_suppliers",
+        "graph_triangle_count",
+        "basket_brand_pairs",
+        "decontaminate_training_set",
+        "pipeline_clean_corpus",
     ]:
         QUERIES[name](spark, SF_SMOKE).write.format("noop").mode(
             "overwrite"
