@@ -545,6 +545,7 @@ _DRIVER_PRIORITY = [
     "events_type_transitions",
     "join_cardinality_kmv",
     "text_source_overlap",
+    "events_pattern_cep",
     # r5 demotions that funded the MAD bisection instruments — both r4
     # driver-green on unchanged code.
     "pi_estimate_hash",

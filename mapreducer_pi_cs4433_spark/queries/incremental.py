@@ -660,3 +660,80 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_transitions",
         F.expr("(n_transitions * 1000000) div total").alias("ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 9. Sequence-pattern matching (MATCH_RECOGNIZE-style CEP, batch form)
+# ---------------------------------------------------------------------------
+
+# Event-type alphabet: first letters are distinct (click/error/purchase/
+# signup/view -> c e p s v), so the per-user history is a string and
+# patterns are plain regexes over it.
+_CEP_CONVERSION = "vc+p"   # view, 1+ clicks, purchase — the funnel shape
+_CEP_ERROR_BURST = "ee+"   # 2+ consecutive errors
+
+
+@query(
+    "events_pattern_cep",
+    oracle=f"""
+    WITH seqs AS (
+        SELECT user_id,
+               count(*) AS n_events,
+               string_agg(substr(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           CAST(len(regexp_extract_all(seq, '{_CEP_CONVERSION}'))
+                AS BIGINT) AS n_conv_paths,
+           CAST(len(regexp_extract_all(seq, '{_CEP_ERROR_BURST}'))
+                AS BIGINT) AS n_error_bursts
+    FROM seqs
+    """,
+)
+def events_pattern_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern census — the batch form of SQL's
+    MATCH_RECOGNIZE: each user's history becomes an ordered type-string
+    (alphabet = first letter of event_type, distinct by construction) and
+    patterns are regexes counted non-overlapping per user. Shipped
+    patterns: the conversion path ``vc+p`` (view, clicks, purchase) and
+    the error burst ``ee+`` — adding a pattern is adding a regex column,
+    not a new operator.
+
+    Scale shape: ONE user_id exchange; the ordered sequence builds with
+    collect_list over the full ordered window frame (frame row order IS
+    the sort order, so concat_ws yields the event-time string — the same
+    guarantee DuckDB's string_agg ORDER BY gives the oracle) and the
+    regex counting is whole-stage codegen. Per-user cost is linear in
+    history length — the same per-entity bound as every window operator
+    here; for unbounded histories the streaming funnel
+    (streaming/funnel.py) is the incremental form of the conversion
+    pattern. Both engines count non-overlapping leftmost matches, and the
+    patterns avoid engine-divergent regex features (no backrefs, no
+    lookaround).
+    """
+    events = _t(spark, sf_dir, "events")
+    ch = F.substring("event_type", 1, 1)
+    wfull = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    seqs = (
+        events.select(
+            "user_id",
+            F.concat_ws("", F.collect_list(ch).over(wfull)).alias("seq"),
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.max("seq").alias("seq"))
+    )
+    return seqs.select(
+        "user_id",
+        "n_events",
+        F.regexp_count("seq", F.lit(_CEP_CONVERSION))
+        .cast("long")
+        .alias("n_conv_paths"),
+        F.regexp_count("seq", F.lit(_CEP_ERROR_BURST))
+        .cast("long")
+        .alias("n_error_bursts"),
+    )
