@@ -327,7 +327,8 @@ _KMV_SPACE = 1 << 32  # md5-derived 8-hex-digit hash space
                     ELSE ({_KMV_K} - 1) * {_KMV_SPACE} // s.ta END AS est_a,
                CASE WHEN s.nb < {_KMV_K} THEN s.nb
                     ELSE ({_KMV_K} - 1) * {_KMV_SPACE} // s.tb END AS est_b,
-               i.ni * {_KMV_SPACE} // t.t AS est_i
+               CASE WHEN t.t IS NULL THEN 0
+                    ELSE i.ni * {_KMV_SPACE} // t.t END AS est_i
         FROM stats s CROSS JOIN inter i CROSS JOIN theta t
     )
     SELECT 'distinct_a' AS measure, exact_a AS exact_count,
@@ -402,7 +403,12 @@ def join_cardinality_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CASE WHEN nb < {_KMV_K} THEN nb "
             f"ELSE ({_KMV_K} - 1) * {_KMV_SPACE}L div tb END"
         ).alias("est_b"),
-        F.expr(f"ni * {_KMV_SPACE}L div least(ta, tb)").alias("est_i"),
+        # empty sketch => empty set => empty intersection: 0, not NULL
+        # (hypothesis-found edge: a year with no orders leaves theta NULL)
+        F.expr(
+            f"CASE WHEN least(ta, tb) IS NULL THEN 0L "
+            f"ELSE ni * {_KMV_SPACE}L div least(ta, tb) END"
+        ).alias("est_i"),
     )
     est = est.localCheckpoint()  # three 1-row consumers below
     row = lambda m, e, s: est.select(  # noqa: E731

@@ -798,3 +798,13 @@ def test_kmv_sketch_builder_uses_takeordered(spark):
     plan = formatted_plan(sk)
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_cep_single_entity_exchange(spark):
+    """The sequence build (ordered-frame collect_list), the per-user
+    collapse, and the regex counts all ride ONE user_id exchange; the
+    regex evaluation stays in whole-stage codegen (no Python boundary)."""
+    df = QUERIES["events_pattern_cep"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert count_exchanges(df) == 1
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -681,3 +681,60 @@ def test_prop_dq_census_detects_planted_violations(spark, orders, lineitem):
         assert got == want
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+_kmv_orders = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5000),  # o_orderkey unique
+        st.integers(min_value=0, max_value=2),     # year offset (1996+y)
+        st.integers(min_value=1, max_value=40),    # o_custkey: small domain
+    ),
+    min_size=1,
+    max_size=80,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(deadline=None, max_examples=8, suppress_health_check=list(HealthCheck))
+@given(rows=_kmv_orders)
+def test_prop_kmv_small_sets_take_exact_branch(spark, rows):
+    """A KMV sketch holding fewer than k samples IS its set: whenever a
+    year's distinct-custkey count is below k=64 (guaranteed by the 40-key
+    domain here), the per-set estimate must EQUAL the exact count — on
+    arbitrary corpora including empty years and single-key years. The
+    intersection estimate must stay within the sketch guarantee shape
+    (0 <= est, and exact == 0 implies est == 0 since shared samples of
+    complete sketches are exactly the shared keys)."""
+    import datetime
+    import shutil
+
+    from mapreducer_pi_cs4433_spark.queries.catalog import QUERIES
+
+    data = [
+        (k, "F", datetime.datetime(1996 + y, 2, 1), 1.0, "3-MEDIUM", c)
+        for k, y, c in rows
+    ]
+    d = _tmp_sf_dir(
+        spark,
+        orders=(
+            data,
+            "o_orderkey long, o_orderstatus string, o_orderdate timestamp,"
+            " o_totalprice double, o_orderpriority string, o_custkey long",
+        ),
+    )
+    try:
+        got = {
+            r.measure: (r.exact_count, r.kmv_estimate)
+            for r in QUERIES["join_cardinality_kmv"](spark, d).collect()
+        }
+        a = {c for k, y, c in rows if y == 0}
+        b = {c for k, y, c in rows if y == 1}
+        assert got["distinct_a"] == (len(a), len(a))
+        assert got["distinct_b"] == (len(b), len(b))
+        exact_i, est_i = got["intersection"]
+        assert exact_i == len(a & b)
+        assert est_i >= 0
+        if exact_i == 0:
+            assert est_i == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

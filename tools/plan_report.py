@@ -74,6 +74,7 @@ _SHOWCASE = [
     ("dq_constraint_census", "constraint census: 8 checks in 3 passes, inline pivot never re-scans an aggregate"),
     ("scd2_point_in_time_state", "AS-OF lookup vs SCD2 history: joinless union+window, 2 exchanges"),
     ("text_source_overlap", "source overlap census: hashed-gram self-join bounded by |sources|^2 per gram"),
+    ("events_pattern_cep", "MATCH_RECOGNIZE census: ordered-frame collect_list + codegen regex, one exchange"),
 ]
 
 _MAX_LINES = 70
