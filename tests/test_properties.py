@@ -738,3 +738,105 @@ def test_prop_kmv_small_sets_take_exact_branch(spark, rows):
             assert est_i == 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(deadline=None, max_examples=15, suppress_health_check=list(HealthCheck))
+@given(
+    xs=st.lists(
+        st.integers(min_value=0, max_value=9_000_000_000),
+        min_size=1,
+        max_size=50,
+        unique=True,
+    )
+)
+def test_prop_micro_sqrt_is_cross_engine_exact(spark, duck, xs):
+    """mixture_temperature_quota's load-bearing claim: floor(sqrt(x*1e6))
+    is bit-identical in Spark and DuckDB for any token count x whose
+    x*1e6 is exactly double-representable (x <= ~9e9 => x*1e6 <= 9e15 <
+    2^53). IEEE-754 requires sqrt to be correctly rounded, so both
+    engines compute the SAME double and the same floor — the one float
+    step in the query can never hash-diverge."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(x,) for x in xs], "x long")
+    got = {
+        r.x: r.s
+        for r in df.select(
+            "x", F.floor(F.sqrt(F.col("x") * 1000000.0)).cast("long").alias("s")
+        ).collect()
+    }
+    for x in xs:
+        (want,) = duck.sql(
+            f"SELECT CAST(floor(sqrt({x} * 1000000.0)) AS BIGINT)"
+        ).fetchone()
+        assert got[x] == want, x
+
+
+_merge_customers = st.lists(
+    st.tuples(
+        st.integers(min_value=1400, max_value=1620),  # straddles the shift
+        st.integers(min_value=-50_000, max_value=50_000),  # acctbal centi
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: t[0],
+)
+_merge_changes = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=120),          # user_id
+        st.integers(min_value=-5_000, max_value=5_000),   # value centi
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(deadline=None, max_examples=8, suppress_health_check=list(HealthCheck))
+@given(customers=_merge_customers, changes=_merge_changes)
+def test_prop_merge_upsert_three_branches(spark, customers, changes):
+    """MERGE semantics on arbitrary tables: every output row carries the
+    correct action (update iff the key exists on both sides, insert iff
+    delta-only, keep iff base-only) and new_balance == coalesced old +
+    coalesced delta — including negative balances, keys on exactly one
+    side, and multi-change keys."""
+    import datetime
+    import shutil
+
+    from mapreducer_pi_cs4433_spark.queries.catalog import QUERIES
+    from mapreducer_pi_cs4433_spark.queries.incremental import _MERGE_KEY_SHIFT
+
+    base = datetime.datetime(2024, 1, 1)
+    events = [
+        (eid, base, uid, "view", centi / 100.0)
+        for eid, (uid, centi) in enumerate(changes)
+    ]
+    cust = [(k, centi / 100.0) for k, centi in customers]
+    d = _tmp_sf_dir(
+        spark,
+        events=(
+            events,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double",
+        ),
+        customer=(cust, "c_custkey long, c_acctbal double"),
+    )
+    try:
+        got = {
+            r.entity_key: (r.action, r.old_balance_centi, r.delta_centi,
+                           r.new_balance_centi)
+            for r in QUERIES["merge_upsert_customer_balance"](spark, d).collect()
+        }
+        delta: dict = {}
+        for uid, centi in changes:
+            delta[uid + _MERGE_KEY_SHIFT] = delta.get(uid + _MERGE_KEY_SHIFT, 0) + centi
+        basebal = {k: centi for k, centi in customers}
+        keys = set(delta) | set(basebal)
+        assert set(got) == keys
+        for k in keys:
+            action = ("update" if k in basebal and k in delta
+                      else "insert" if k in delta else "keep")
+            old = basebal.get(k)
+            dl = delta.get(k)
+            assert got[k] == (action, old, dl, (old or 0) + (dl or 0)), k
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
