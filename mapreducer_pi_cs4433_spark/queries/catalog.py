@@ -59,6 +59,37 @@ def _check_output_schema(name: str, df: DataFrame) -> DataFrame:
     return df
 
 
+# DuckDB output types the driver's pandas materialization renders lossily
+# versus Spark's collected values — each has produced (or would produce) a
+# rows-match/schema-match/HASH-FAIL driver row:
+# - HUGEINT/UHUGEINT: DuckDB types a windowed/bare integer SUM as INT128;
+#   DuckDB 1.0.0's rel.df() renders it float64 ("1.0" vs Spark's int64 "1"
+#   — the r6 scd2_user_type_history red row). Cast AS BIGINT in the oracle.
+# - BOOLEAN: pandas bool vs Spark bool stringify differently through the
+#   driver's canonicalizer on NULL-bearing columns (object dtype "True"
+#   vs numpy "True" is fine, but NULLable bools become object/float mixes).
+#   The catalog rule is to CAST ... AS INT on BOTH sides.
+_FORBIDDEN_ORACLE_TYPES = frozenset({"HUGEINT", "UHUGEINT", "BOOLEAN"})
+
+
+def validate_oracle_types(con) -> list[str]:
+    """Bind every registered oracle against `con` (driver tables must
+    already be registered as views) and return the list of output columns
+    whose DuckDB type is in _FORBIDDEN_ORACLE_TYPES. Binding via
+    ``con.sql`` is lazy — no oracle executes — so this runs in
+    milliseconds and belongs at the FRONT of every gate (it is wired into
+    tools/full_oracle_check.py and tests/test_oracle_types.py). The
+    r6 lesson: a type-level guard catches the whole divergence class
+    before any row is compared."""
+    violations: list[str] = []
+    for name, sql in ORACLE.items():
+        rel = con.sql(sql)
+        for col, typ in zip(rel.columns, rel.types):
+            if str(typ).upper() in _FORBIDDEN_ORACLE_TYPES:
+                violations.append(f"{name}.{col}: {typ}")
+    return violations
+
+
 def query(name: str, oracle: str | None = None):
     """Register a (spark, sf_dir) -> DataFrame query, optionally with its
     ANSI-SQL DuckDB oracle twin. No oracle => driver runs rows-only check.
@@ -80,6 +111,16 @@ def query(name: str, oracle: str | None = None):
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+def _fmt_doc(fn: Callable, **constants) -> None:
+    """Interpolate module constants into a query's docstring. Under
+    ``python -OO`` docstrings are stripped (``__doc__ is None``) — a bare
+    ``fn.__doc__.format(...)`` at import time would then raise
+    AttributeError and take down the whole queries package, so this is
+    the only sanctioned way to format a docstring."""
+    if fn.__doc__:
+        fn.__doc__ = fn.__doc__.format(**constants)
 
 
 # ===========================================================================
@@ -487,45 +528,56 @@ _DRIVER_PRIORITY = [
     "asof_last_purchase_per_click",
     "range_join_click_error_pairs",
     "window_running_spend",
-    # r6 first-evidence band: the five new operators take the window
-    # seats (zero-sum, window stays at 50). Demoted in exchange, all
-    # driver-green r5 and re-verified every round by the FULL files:
-    # the two MAD bisection instruments (their target went green in r5,
-    # so the diagnostic seats are free), text_token_classes,
-    # text_blocklist_filter, reconcile_customers_events.
+    # r7 band (13 seats): every seat is either a query whose OUTPUT
+    # CHANGED this round (the HUGEINT/boolean oracle-type purge — fresh
+    # driver evidence required, led by the r6 red row
+    # scd2_user_type_history, now fixed by construction) or one of the
+    # eight r6 below-cap queries the r6 verdict asked to seat for FIRST
+    # driver evidence. Seats funded by demoting eleven r6-driver-green
+    # entries whose code is unchanged since the r6 driver ran (listed
+    # first below the cap, per the committed zero-sum policy).
+    "scd2_user_type_history",
+    "scd2_point_in_time_state",
+    "similarity_topk_ivfpq",
+    "events_value_quantiles",
+    "dedup_chunk_exact",
+    "events_funnel",
+    "ivm_status_year_revenue_merge",
+    "ivm_retraction_merge",
+    "dq_constraint_census",
+    "events_type_transitions",
+    "join_cardinality_kmv",
+    "events_pattern_cep",
+    "text_source_overlap",
+    # --- 50-entry driver window ends here ---------------------------------
+    # First below the cap: the r7 demotions — all r6-driver-green
+    # (CORRECTNESS_r06.json) on code unchanged since, re-verified every
+    # round by the FULL files.
     "dedup_semantic_prune",
     "dedup_semantic_stats",
     "similarity_knn_graph",
-    "similarity_topk_ivfpq",
     "mine_hard_negatives",
     "embedding_kmeans_step",
-    # r6 second-wave band (this session): the incremental/CDC suite, the
-    # frequency/membership sketches, and temperature mixture reweighting —
-    # all never driver-rowed, fresh evidence required. Seats funded by
-    # demoting seven r5-driver-green entries whose code is unchanged since
-    # the r5 driver ran (listed first below the cap).
     "cdc_latest_state",
-    "scd2_user_type_history",
     "merge_upsert_customer_balance",
     "snapshot_diff_orders",
     "events_cms_heavy_hitters",
     "join_bloom_prune_stats",
     "mixture_temperature_quota",
-    # --- 50-entry driver window ends here ---------------------------------
-    # First below the cap: the r6 second-wave demotions (zero-sum policy) —
-    # all driver-green r5 on code unchanged since, still re-verified every
-    # round by the FULL files. (keeper/medoid/exact_pairs/quantiles/
-    # approx_distinct got their first driver rows in r5;
-    # profile_documents_columns has been green since r2;
-    # events_anomaly_mad went green in r5 after the identical-rank
-    # rewrite — its bisection instruments were demoted last wave, and the
-    # window/temporal suite keeps its seats per the composition policy, so
-    # the MAD target funds the last second-wave seat.)
+    # r7-changed below the cap: these eight also took the oracle-type
+    # purge (cast-only output changes), but 13 seats can't hold 21 —
+    # each is green through the now-DRIVER-FAITHFUL pandas-fetch FULL
+    # gate at both SFs (the instrument whose old fetchall() path masked
+    # the r6 red row), which is the strongest sub-driver evidence the
+    # repo can produce: similarity_topk_pq, similarity_topk_hnsw,
+    # dedup_approx_distinct, events_gap_fill, split_leakage_safe,
+    # text_quality_by_source, mixture_weighted_sample,
+    # olap_late_shipment_priority (in their usual positions below).
+    # Earlier demotions, all driver-green r5 on unchanged code:
     "events_anomaly_mad",
     "embedding_medoid_per_label",
     "dedup_embedding_exact_pairs",
     "dedup_keeper_selection",
-    "events_value_quantiles",
     "dedup_approx_distinct",
     "profile_documents_columns",
     # Earlier r6 demotions that funded the first-wave band — driver-green
@@ -535,17 +587,6 @@ _DRIVER_PRIORITY = [
     "text_token_classes",
     "text_blocklist_filter",
     "reconcile_customers_events",
-    # r6 third wave: incremental view maintenance — new below the cap
-    # (window already seated the CDC band this round; these carry
-    # FULL-file + sf0.001/sf0.01 test evidence like the rest of the band)
-    "ivm_status_year_revenue_merge",
-    "ivm_retraction_merge",
-    "dq_constraint_census",
-    "scd2_point_in_time_state",
-    "events_type_transitions",
-    "join_cardinality_kmv",
-    "text_source_overlap",
-    "events_pattern_cep",
     # r5 demotions that funded the MAD bisection instruments — both r4
     # driver-green on unchanged code.
     "pi_estimate_hash",
@@ -569,7 +610,6 @@ _DRIVER_PRIORITY = [
     "text_source_divergence",
     "multimodal_frame_sample",
     "er_fuzzy_resolution",
-    "dedup_chunk_exact",
     "split_leakage_safe",
     "text_bpe_encode_stats",
     "sample_quality_weighted",
@@ -649,7 +689,6 @@ _DRIVER_PRIORITY = [
     "pack_sequences",
     "events_user_retention",
     "text_quality_by_source",
-    "events_funnel",
     "events_transition_matrix",
     # Upgraded rows-only -> recall-contract oracle this session
     "similarity_topk_pq",

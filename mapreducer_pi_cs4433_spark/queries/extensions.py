@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..functions import dedup, multimodal, similarity, text
 from ..pi import estimate_pi_df, estimate_pi_hash_df
-from .catalog import _t, query
+from .catalog import _fmt_doc, _t, query
 
 # shared near-dup calibration: 12-char shingles separate the planted
 # near-duplicate pairs (jaccard ~0.8+) from the word-salad background
@@ -523,7 +523,7 @@ def dedup_embedding_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-dedup_embedding_exact_pairs.__doc__ = dedup_embedding_exact_pairs.__doc__.format(
+_fmt_doc(dedup_embedding_exact_pairs,
     nb=_EMB_BLOCKS
 )
 
@@ -1079,7 +1079,7 @@ def dedup_keeper_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            COUNT(*) AS n_docs,
            CAST(SUM(tok) AS BIGINT) AS total_tokens,
-           SUM(CASE WHEN tok < 25 THEN 1 ELSE 0 END) AS n_short,
+           CAST(SUM(CASE WHEN tok < 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
            CAST(SUM(tok) AS BIGINT) / COUNT(*) AS mean_tokens
     FROM (
         SELECT source,
@@ -1384,7 +1384,7 @@ def sample_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-sample_stratified_quota.__doc__ = sample_stratified_quota.__doc__.format(
+_fmt_doc(sample_stratified_quota,
     q=_QUOTA_PER_SOURCE
 )
 
@@ -1548,11 +1548,11 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM r GROUP BY event_type
     )
     SELECT event_type, CAST(0.5 AS DOUBLE) AS q, d50 AS exact_value,
-           TRUE AS approx_in_band, n_events FROM w
+           1 AS approx_in_band, n_events FROM w
     UNION ALL
-    SELECT event_type, CAST(0.95 AS DOUBLE), d95, TRUE, n_events FROM w
+    SELECT event_type, CAST(0.95 AS DOUBLE), d95, 1, n_events FROM w
     UNION ALL
-    SELECT event_type, CAST(0.99 AS DOUBLE), d99, TRUE, n_events FROM w
+    SELECT event_type, CAST(0.99 AS DOUBLE), d99, 1, n_events FROM w
     """,
 )
 def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1623,14 +1623,17 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT event_type, 0.5D AS q, d50 AS exact_value,
-               qa[0] BETWEEN lo50 AND hi50 AS approx_in_band, n_events
+               CAST(qa[0] BETWEEN lo50 AND hi50 AS INT) AS approx_in_band,
+               n_events
         FROM _ev_q_agg
         UNION ALL
         SELECT event_type, 0.95D, d95,
-               qa[1] BETWEEN lo95 AND hi95, n_events FROM _ev_q_agg
+               CAST(qa[1] BETWEEN lo95 AND hi95 AS INT), n_events
+        FROM _ev_q_agg
         UNION ALL
         SELECT event_type, 0.99D, d99,
-               qa[2] BETWEEN lo99 AND hi99, n_events FROM _ev_q_agg
+               CAST(qa[2] BETWEEN lo99 AND hi99 AS INT), n_events
+        FROM _ev_q_agg
         """
     )
 
@@ -1641,7 +1644,7 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            COUNT(DISTINCT text) AS exact_distinct_docs,
            COUNT(*) AS n_docs,
-           TRUE AS approx_rel_err_ok
+           1 AS approx_rel_err_ok
     FROM documents GROUP BY source
     """,
 )
@@ -1670,7 +1673,7 @@ def dedup_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "exact_distinct_docs",
         "n_docs",
-        (abs_err <= tol).alias("approx_rel_err_ok"),
+        (abs_err <= tol).cast("int").alias("approx_rel_err_ok"),
     )
 
 
@@ -1910,7 +1913,7 @@ def embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-embedding_kmeans_step.__doc__ = embedding_kmeans_step.__doc__.format(k=_KMEANS_K)
+_fmt_doc(embedding_kmeans_step, k=_KMEANS_K)
 
 
 @query(
@@ -2325,7 +2328,7 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _blocked_knn(spark, emb.select("vec_id", "embedding"), _KNN_K, "self")
 
 
-similarity_knn_graph.__doc__ = similarity_knn_graph.__doc__.format(
+_fmt_doc(similarity_knn_graph,
     k=_KNN_K, nb=_EMB_BLOCKS
 )
 
@@ -2383,7 +2386,7 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-mine_hard_negatives.__doc__ = mine_hard_negatives.__doc__.format(k=_HARDNEG_K)
+_fmt_doc(mine_hard_negatives, k=_HARDNEG_K)
 
 
 _Z_BITS = 16
@@ -2675,8 +2678,8 @@ _PQ_MIN_HITS = 6  # >=6/10 per query; measured minimum 9
     oracle=f"""
     SELECT CAST(vec_id AS BIGINT) AS query_id,
            {_PQ_K} AS k,
-           TRUE AS recall_ok,
-           TRUE AS self_found
+           1 AS recall_ok,
+           1 AS self_found
     FROM embeddings WHERE vec_id < {_PQ_QUERIES}
     ORDER BY query_id
     """,
@@ -2727,8 +2730,8 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.lit(_PQ_K).cast("int").alias("k"),
-            (F.col("n_hits") >= _PQ_MIN_HITS).alias("recall_ok"),
-            (F.col("self_hit") == 1).alias("self_found"),
+            (F.col("n_hits") >= _PQ_MIN_HITS).cast("int").alias("recall_ok"),
+            (F.col("self_hit") == 1).cast("int").alias("self_found"),
         )
         .orderBy("query_id")
     )
@@ -2777,8 +2780,8 @@ _IVFPQ_MIN_HITS = 2  # recall@10 floor per query. Measured n_hits (fixed
     SELECT CAST(vec_id AS BIGINT) AS query_id,
            {_PQ_K} AS k,
            {1 + _IVF_PLANES} AS probed_buckets,
-           TRUE AS recall_ok,
-           TRUE AS self_found
+           1 AS recall_ok,
+           1 AS self_found
     FROM embeddings WHERE vec_id < {_PQ_QUERIES}
     ORDER BY query_id
     """,
@@ -2853,8 +2856,8 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.lit(_PQ_K).cast("int").alias("k"),
             F.lit(1 + _IVF_PLANES).cast("int").alias("probed_buckets"),
-            (F.col("n_hits") >= _IVFPQ_MIN_HITS).alias("recall_ok"),
-            (F.col("self_hit") == 1).alias("self_found"),
+            (F.col("n_hits") >= _IVFPQ_MIN_HITS).cast("int").alias("recall_ok"),
+            (F.col("self_hit") == 1).cast("int").alias("self_found"),
         )
         .orderBy("query_id")
     )
@@ -2872,8 +2875,8 @@ _HNSW_MIN_HITS = 7  # recall@10 >= 0.7 per query; measured 1.0 at every SF
     oracle=f"""
     SELECT CAST(vec_id AS BIGINT) AS query_id,
            {_HNSW_K} AS k,
-           TRUE AS recall_ok,
-           TRUE AS self_found
+           1 AS recall_ok,
+           1 AS self_found
     FROM embeddings WHERE vec_id < {_HNSW_QUERIES}
     ORDER BY query_id
     """,
@@ -2921,8 +2924,8 @@ def similarity_topk_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_q.select(
         "query_id",
         F.lit(_HNSW_K).cast("int").alias("k"),
-        (F.col("n_hits") >= _HNSW_MIN_HITS).alias("recall_ok"),
-        (F.col("self_hit") == 1).alias("self_found"),
+        (F.col("n_hits") >= _HNSW_MIN_HITS).cast("int").alias("recall_ok"),
+        (F.col("self_hit") == 1).cast("int").alias("self_found"),
     ).orderBy("query_id")
 
 
@@ -3168,9 +3171,10 @@ def events_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY user_id
     )
     SELECT COUNT(view_s) AS n_view,
-           SUM(CASE WHEN click_s > view_s THEN 1 ELSE 0 END) AS n_click_after_view,
-           SUM(CASE WHEN click_s > view_s AND purchase_s > click_s
-               THEN 1 ELSE 0 END) AS n_purchase_after_click,
+           CAST(SUM(CASE WHEN click_s > view_s THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_click_after_view,
+           CAST(SUM(CASE WHEN click_s > view_s AND purchase_s > click_s
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_after_click,
            SUM(CASE WHEN click_s > view_s AND purchase_s > click_s
                THEN 1 ELSE 0 END) / COUNT(view_s) AS full_funnel_rate
     FROM s
@@ -3479,7 +3483,8 @@ def split_stratified_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            COUNT(*) AS n_total,
-           SUM(CASE WHEN gate <= cap THEN 1 ELSE 0 END) AS n_admitted,
+           CAST(SUM(CASE WHEN gate <= cap THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_admitted,
            CAST(SUM(CASE WHEN gate <= cap THEN n_chars ELSE 0 END)
                 AS BIGINT) AS admitted_chars
     FROM gated GROUP BY source

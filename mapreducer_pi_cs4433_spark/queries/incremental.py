@@ -151,10 +151,10 @@ def _state_runs(events: DataFrame) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), runs AS (
         SELECT user_id, ts, event_type,
-               sum(chg) OVER (
+               CAST(sum(chg) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS version
+               ) AS BIGINT) AS version
         FROM marked
     ), hist AS (
         SELECT user_id, version, min(event_type) AS state,
@@ -167,7 +167,7 @@ def _state_runs(events: DataFrame) -> DataFrame:
                strftime(lead(vf) OVER w2, '%Y-%m-%d %H:%M:%S'),
                '{_SCD2_OPEN_END}') AS valid_to,
            n_events,
-           (lead(vf) OVER w2 IS NULL) AS is_current
+           CAST(lead(vf) OVER w2 IS NULL AS INT) AS is_current
     FROM hist
     WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
     """,
@@ -199,7 +199,7 @@ def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             "valid_to"
         ),
         "n_events",
-        nxt.isNull().alias("is_current"),
+        nxt.isNull().cast("int").alias("is_current"),
     )
 
 
@@ -532,14 +532,21 @@ from ..operators.temporal import asof_join  # noqa: E402  (shared kernel)
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), runs AS (
         SELECT user_id, ts, event_type,
-               sum(chg) OVER (
+               CAST(sum(chg) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS version
+               ) AS BIGINT) AS version
         FROM marked
-    ), hist AS (
+    ), hist0 AS (
         SELECT user_id, version, min(event_type) AS state, min(ts) AS vf
         FROM runs GROUP BY user_id, version
+    ), hist AS (
+        -- two runs can START at the same vf (equal-ts events with
+        -- alternating types, tie-broken only by event_id); "state as of"
+        -- must be the LATEST version's state, and collapsing here keeps
+        -- both engines' as-of kernels tie-free (one right row per (key, ts))
+        SELECT user_id, vf, max_by(state, version) AS state
+        FROM hist0 GROUP BY user_id, vf
     ), probes AS (
         SELECT event_id, user_id, ts, event_type,
                ts - INTERVAL 1 HOUR AS pts
@@ -549,7 +556,8 @@ from ..operators.temporal import asof_join  # noqa: E402  (shared kernel)
            strftime(date_trunc('second', p.ts), '%Y-%m-%d %H:%M:%S') AS ts,
            p.event_type,
            h.state AS state_1h_ago,
-           (h.state IS DISTINCT FROM p.event_type) AS changed_last_hour
+           CAST(h.state IS DISTINCT FROM p.event_type AS INT)
+               AS changed_last_hour
     FROM probes p ASOF LEFT JOIN hist h
       ON p.user_id = h.user_id AND epoch_us(p.pts) >= epoch_us(h.vf)
     """,
@@ -574,7 +582,14 @@ def scd2_point_in_time_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     microsecond grain on both engines).
     """
     events = _t(spark, sf_dir, "events")
-    runs = _state_runs(events).select("user_id", "vf", "state")
+    # Same-vf runs (equal-ts alternating types): keep the max-VERSION
+    # run's state, so "as of" is version order, not lexicographic max of
+    # state — and the as-of kernel's (key, ts) tie collapse becomes a no-op
+    runs = (
+        _state_runs(events)
+        .groupBy("user_id", "vf")
+        .agg(F.max_by("state", "version").alias("state"))
+    )
     probes = events.select(
         "event_id",
         "user_id",
@@ -596,9 +611,9 @@ def scd2_point_in_time_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", _TS_FMT).alias("ts"),
         "event_type",
         F.col("state").alias("state_1h_ago"),
-        (~F.col("state").eqNullSafe(F.col("event_type"))).alias(
-            "changed_last_hour"
-        ),
+        (~F.col("state").eqNullSafe(F.col("event_type")))
+        .cast("int")
+        .alias("changed_last_hour"),
     )
 
 

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text
-from .catalog import _t, query
+from .catalog import _fmt_doc, _t, query
 
 # ---------------------------------------------------------------------------
 # Time-series repair / reporting over `events`
@@ -62,7 +62,7 @@ from .catalog import _t, query
     SELECT hrs.event_type,
            strftime(hrs.h, '%Y-%m-%d %H:%M:%S') AS hour_bucket,
            coalesce(c.n, 0)::BIGINT AS n_events,
-           (c.n IS NULL) AS is_gap
+           CAST(c.n IS NULL AS INT) AS is_gap
     FROM hrs LEFT JOIN c ON hrs.event_type = c.event_type AND hrs.h = c.h
     """,
 )
@@ -98,7 +98,7 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_bucket"),
         F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
-        F.col("n_events").isNull().alias("is_gap"),
+        F.col("n_events").isNull().cast("int").alias("is_gap"),
     )
 
 
@@ -221,7 +221,7 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-text_chunk_windows.__doc__ = text_chunk_windows.__doc__.format(W=_CHUNK_W, S=_CHUNK_S)
+_fmt_doc(text_chunk_windows, W=_CHUNK_W, S=_CHUNK_S)
 
 
 _MIXTURE_BUDGET = 100  # tokens admitted per source before the gate closes
@@ -284,7 +284,7 @@ def mixture_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-mixture_token_budget_fill.__doc__ = mixture_token_budget_fill.__doc__.format(B=_MIXTURE_BUDGET)
+_fmt_doc(mixture_token_budget_fill, B=_MIXTURE_BUDGET)
 
 
 @query(
@@ -500,7 +500,7 @@ def er_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-er_fuzzy_name_pairs.__doc__ = er_fuzzy_name_pairs.__doc__.format(M=_ER_MAX_EDIT)
+_fmt_doc(er_fuzzy_name_pairs, M=_ER_MAX_EDIT)
 
 
 # ---------------------------------------------------------------------------
@@ -683,7 +683,7 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-text_bpe_merges.__doc__ = text_bpe_merges.__doc__.format(N=_BPE_STEPS)
+_fmt_doc(text_bpe_merges, N=_BPE_STEPS)
 
 
 @query(
@@ -907,7 +907,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-multimodal_frame_sample.__doc__ = multimodal_frame_sample.__doc__.format(MF=_MAX_FRAMES)
+_fmt_doc(multimodal_frame_sample, MF=_MAX_FRAMES)
 
 
 @query(
@@ -1009,7 +1009,7 @@ def er_fuzzy_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
            dup.n_copies::BIGINT AS n_copies,
            dup.n_docs::BIGINT AS n_docs,
            h.doc_id, h.chunk_idx::BIGINT AS chunk_idx,
-           (row(h.doc_id, h.chunk_idx) = dup.keeper_key) AS is_keeper
+           CAST(row(h.doc_id, h.chunk_idx) = dup.keeper_key AS INT) AS is_keeper
     FROM h JOIN dup USING (chunk_hash)
     """,
 )
@@ -1048,7 +1048,7 @@ def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs").cast("long").alias("n_docs"),
         "doc_id",
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
-        (occ_key == F.col("keeper_key")).alias("is_keeper"),
+        (occ_key == F.col("keeper_key")).cast("int").alias("is_keeper"),
     )
 
 
@@ -1076,7 +1076,7 @@ def _leakage_oracle() -> str:
     )
     SELECT d.doc_id,
            coalesce(comp.cluster, d.doc_id) AS cluster_id,
-           (comp.id IS NOT NULL) AS is_clustered,
+           CAST(comp.id IS NOT NULL AS INT) AS is_clustered,
            CASE WHEN substring(md5(CAST(coalesce(comp.cluster, d.doc_id)
                                         AS VARCHAR)), 1, 1) >= 'c'
                 THEN 'heldout' ELSE 'train' END AS split
@@ -1116,7 +1116,7 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             cluster_id.alias("cluster_id"),
-            F.col("cid").isNotNull().alias("is_clustered"),
+            F.col("cid").isNotNull().cast("int").alias("is_clustered"),
             F.when(
                 F.substring(F.md5(cluster_id.cast("string")), 1, 1) >= "c",
                 F.lit("heldout"),
@@ -1192,7 +1192,7 @@ def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-text_bpe_encode_stats.__doc__ = text_bpe_encode_stats.__doc__.format(N=_BPE_STEPS)
+_fmt_doc(text_bpe_encode_stats, N=_BPE_STEPS)
 
 
 _QW_SCALE = 3000  # p_ppm = min(1e6, n_chars * 3000): docs over ~333 chars
@@ -1425,7 +1425,7 @@ def events_decayed_type_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-events_decayed_type_scores.__doc__ = events_decayed_type_scores.__doc__.format(H=_DECAY_HORIZON)
+_fmt_doc(events_decayed_type_scores, H=_DECAY_HORIZON)
 
 
 @query(
@@ -1793,7 +1793,7 @@ def mixture_temperature_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-mixture_temperature_quota.__doc__ = mixture_temperature_quota.__doc__.format(
+_fmt_doc(mixture_temperature_quota,
     ALPHA=_TEMP_ALPHA_NOTE, B=_TEMP_BUDGET_DOCS
 )
 

@@ -7,9 +7,13 @@ Per micro-batch (driven through ``foreachBatch``):
 
 1. compact the batch to one row per key (``max(struct(ts, event_id,
    payload))`` — the same total version order as everywhere else);
-2. full-outer merge with the CURRENT state version (newer version wins —
-   idempotent: replaying a batch already folded in changes nothing,
-   because equality on (ts, event_id) keeps the incumbent);
+2. full-outer merge with the CURRENT state version (newer version wins).
+   Idempotency: foreachBatch delivers at-least-once, so the sink records
+   the applied ``batch_id`` next to the version pointer and SKIPS a batch
+   it has already folded — a crash-replay changes neither the payload nor
+   the ``n_changes`` audit counts. Ad-hoc calls without a batch_id are
+   payload-idempotent only (greatest() keeps the incumbent on equal
+   (ts, event_id)) — n_changes then counts re-applications, by design;
 3. write the merged table as a NEW version directory and only then move
    the pointer file — readers resolve the pointer, so a crash mid-write
    leaves the previous version intact (write-ahead versioning on plain
@@ -41,12 +45,28 @@ def _version_dir(path: str, v: int) -> str:
     return os.path.join(path, f"v{v:08d}")
 
 
-def latest_version(path: str) -> int | None:
+def _read_pointer(path: str) -> tuple[int, int | None] | None:
+    """(version, last_applied_batch_id) from the pointer file, or None
+    before the first commit. Line 1 is the version; line 2 (absent for
+    ad-hoc merges) is the foreachBatch batch_id that produced it."""
     ptr = os.path.join(path, _PTR)
     if not os.path.exists(ptr):
         return None
     with open(ptr) as fh:
-        return int(fh.read().strip())
+        lines = fh.read().split()
+    return int(lines[0]), (int(lines[1]) if len(lines) > 1 else None)
+
+
+def latest_version(path: str) -> int | None:
+    got = _read_pointer(path)
+    return None if got is None else got[0]
+
+
+def last_applied_batch(path: str) -> int | None:
+    """The foreachBatch batch_id already folded into the latest version
+    (None before the first commit or after an ad-hoc merge)."""
+    got = _read_pointer(path)
+    return None if got is None else got[1]
 
 
 def read_state(
@@ -67,11 +87,22 @@ def merge_cdc_batch(
     key_col: str = "user_id",
     ts_col: str = "ts",
     version_col: str = "event_id",
+    batch_id: int | None = None,
 ) -> int:
     """Fold one batch of change rows into the state table; returns the new
     version number. Safe to call from ``foreachBatch`` (one writer at a
     time — the raw-parquet concurrency caveat of streaming/dedup.py
-    applies)."""
+    applies). Pass the foreachBatch ``batch_id`` for exactly-once apply:
+    a batch whose id is already recorded in the pointer is skipped whole
+    (at-least-once delivery would otherwise re-add its n_changes; batch
+    ids are monotonically increasing, so <= means already folded)."""
+    prev_applied = last_applied_batch(state_path)
+    if (
+        batch_id is not None
+        and prev_applied is not None
+        and batch_id <= prev_applied
+    ):
+        return latest_version(state_path)  # crash-replay: already folded
     compact = (
         batch.select(
             F.col(key_col).alias("k"),
@@ -109,7 +140,7 @@ def merge_cdc_batch(
     merged.write.mode("overwrite").parquet(_version_dir(state_path, new_v))
     tmp = os.path.join(state_path, _PTR + ".tmp")
     with open(tmp, "w") as fh:
-        fh.write(str(new_v))
+        fh.write(str(new_v) if batch_id is None else f"{new_v}\n{batch_id}")
     os.replace(tmp, os.path.join(state_path, _PTR))  # atomic pointer move
     return new_v
 
@@ -126,7 +157,7 @@ def apply_cdc_stream(
     StreamingQuery (caller owns trigger/termination)."""
     os.makedirs(state_path, exist_ok=True)
 
-    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         merge_cdc_batch(
@@ -136,6 +167,7 @@ def apply_cdc_stream(
             key_col=key_col,
             ts_col=ts_col,
             version_col=version_col,
+            batch_id=batch_id,
         )
 
     return (

@@ -75,10 +75,36 @@ def test_merge_sink_replay_matches_batch_compaction(spark):
             shutil.rmtree(d, ignore_errors=True)
 
 
+def test_merge_batch_replay_with_batch_id_is_exactly_once(spark):
+    """The foreachBatch path (batch_id provided): a crash-replay of an
+    already-folded batch is skipped whole — version pointer, payload AND
+    the n_changes audit counts are all bit-identical, closing the
+    at-least-once gap the ad-hoc path (below) deliberately leaves open."""
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    ).limit(200)
+    state = tempfile.mkdtemp(prefix="msb_state_")
+    try:
+        v0 = merge_cdc_batch(spark, events, state, batch_id=0)
+        first = _snapshot(spark, state)
+        v_replay = merge_cdc_batch(spark, events, state, batch_id=0)
+        assert v_replay == v0  # skipped: no new version written
+        assert _snapshot(spark, state) == first  # n_changes included
+        v1 = merge_cdc_batch(spark, events.limit(50), state, batch_id=1)
+        assert v1 == v0 + 1
+        # a stale replay (id below the recorded one) is also a no-op
+        assert merge_cdc_batch(spark, events, state, batch_id=0) == v1
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
 def test_merge_batch_is_idempotent_and_prunable(spark):
-    """Re-merging an already-folded batch changes no snapshot values
-    (n_changes aside — re-application is visible in the audit count but
-    never in the payload); pruning keeps the pointer version readable."""
+    """The ad-hoc path (no batch_id): re-merging an already-folded batch
+    changes no PAYLOAD values (n_changes counts re-applications — the
+    documented at-least-once contract of batch_id-less calls; the
+    streaming sink always passes batch_id and is exactly-once, see
+    test_merge_batch_replay_with_batch_id_is_exactly_once); pruning keeps
+    the pointer version readable."""
     events = load_table(spark, SF_SMOKE, "events").select(
         "user_id", "ts", "event_id", "event_type", "value"
     ).limit(200)

@@ -25,7 +25,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb  # noqa: E402
 import pandas as pd  # noqa: E402
 
-from mapreducer_pi_cs4433_spark.queries.catalog import ORACLE, QUERIES  # noqa: E402
+from mapreducer_pi_cs4433_spark.queries.catalog import (  # noqa: E402
+    ORACLE,
+    QUERIES,
+    validate_oracle_types,
+)
 from mapreducer_pi_cs4433_spark.schemas import DRIVER_TABLES  # noqa: E402
 from mapreducer_pi_cs4433_spark.session import get_spark  # noqa: E402
 
@@ -119,6 +123,15 @@ def main() -> None:
             f"read_parquet('{args.sf_dir}/{t}.parquet')"
         )
 
+    # Type-level guard FIRST (r6 lesson): an uncast HUGEINT or a bare
+    # boolean in an oracle's output binds in milliseconds and predicts a
+    # driver hash-fail — refuse to even start the row comparison.
+    type_violations = validate_oracle_types(con)
+    if type_violations:
+        for tv in type_violations:
+            print(f"FORBIDDEN ORACLE OUTPUT TYPE: {tv}", file=sys.stderr)
+        sys.exit(2)
+
     only = set(args.only.split(",")) if args.only else None
     results: dict[str, dict] = {}
     n_fail = 0
@@ -141,7 +154,15 @@ def main() -> None:
                 row["err"] = "no_oracle"
             else:
                 rel = con.sql(ORACLE[name])
-                d_rows = rel.fetchall()
+                # DRIVER-FAITHFUL fetch (r6 lesson, the DuckDB mirror of the
+                # r3 Spark-side fix): the driver materializes the oracle
+                # through pandas, where DuckDB 1.0.0 renders HUGEINT (e.g.
+                # an uncast windowed integer SUM) as float64 — fetchall()'s
+                # Python ints masked exactly that coercion and green-lit the
+                # scd2_user_type_history red row. rel.df() reproduces the
+                # driver's dtype view bit-for-bit.
+                ddf = rel.df()
+                d_rows = list(ddf.itertuples(index=False, name=None))
                 row["oracle_rows"] = len(d_rows)
                 row["rows_match"] = len(s_rows) == len(d_rows)
                 row["schema_match"] = sorted(sdf.columns) == sorted(rel.columns)
