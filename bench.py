@@ -207,6 +207,29 @@ def _run(sf_dir: str) -> None:
     extra = _bucketed_join_extra(spark, sf_dir)
     extra["pass1_total_sec"] = pass_totals[0]
     extra["pass2_total_sec"] = pass_totals[1]
+
+    # Variance probe (r6 verdict #6): window_trailing_7d_spend drifted
+    # >1.3x in three separate rounds while its executed plan stayed the
+    # already-optimal single range-frame window over one exchange
+    # (PLANS_r06.md). Run it 5x in isolation and report the spread: a
+    # wide min-max band on an unchanged plan is machine noise (the JVM
+    # shares 32 cores with whatever else the host runs), and recording
+    # it here turns the next drift into a read-off instead of an
+    # investigation.
+    probe = "window_trailing_7d_spend"
+    samples = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        QUERIES[probe](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        samples.append(round(time.perf_counter() - t0, 3))
+    extra["variance_probe"] = {
+        "query": probe,
+        "samples": samples,
+        "min": min(samples),
+        "max": max(samples),
+    }
     from mapreducer_pi_cs4433_spark.functions.artifacts import BUILD_TIMES
 
     extra["artifact_builds"] = dict(sorted(BUILD_TIMES.items()))

@@ -464,6 +464,7 @@ def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 # are at module end so those modules can import `query` from here without a
 # circular-import trap.
 from . import (  # noqa: E402,F401  (registration side effect)
+    curation,
     extensions,
     incremental,
     olap,
@@ -700,6 +701,17 @@ _DRIVER_PRIORITY = [
     # r6 below-cap addition: exact-quota stratified sampling (FULL-file +
     # sf0.001/sf0.01 test evidence, like the rest of the below-cap band)
     "sample_stratified_quota",
+    # r7 band (queries/curation.py): corpus curation & maintenance — new
+    # below the zero-sum window (the 13 r7 seats went to the oracle-type
+    # purge + the verdict's first-evidence asks), with the same FULL-file
+    # + sf0.001/sf0.01 test evidence as every below-cap band
+    "orders_pareto_frontier",
+    "shards_compaction_plan",
+    "text_vocab_coverage",
+    "scd2_asof_diff",
+    "events_late_arrival_census",
+    "embedding_pc1_power_iter",
+    "olap_grouping_sets_margins",
 ]
 
 

@@ -1568,3 +1568,69 @@ def olap_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("s_name")
     )
+
+
+@query(
+    "olap_grouping_sets_margins",
+    oracle="""
+    WITH base AS (
+        SELECT n_name, year(o_orderdate)::BIGINT AS yr,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS centi
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+    )
+    SELECT coalesce(n_name, 'ALL') AS nation,
+           coalesce(CAST(yr AS VARCHAR), 'ALL') AS o_year,
+           count(*) AS n_orders,
+           CAST(sum(centi) AS BIGINT) AS revenue_centi
+    FROM base
+    GROUP BY GROUPING SETS ((n_name, yr), (n_name), (yr))
+    """,
+)
+def olap_grouping_sets_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC grouping sets — the general form CUBE (olap_sales_cube)
+    and ROLLUP (olap_calendar_rollup) are sugar for: the (nation, year)
+    detail plus BOTH one-dimensional margins, no grand total, in one
+    statement. This is the report shape dashboards actually ask for
+    ("each cell, each row total, each column total") and the one that
+    forces the planner's Expand operator to carry a set list that is
+    neither a prefix chain nor a power set.
+
+    Scale shape: Spark expands each input row to the 3 requested sets
+    BEFORE the shuffle, so partial aggregation still applies per set and
+    the exchange carries |sets| x |group cardinality|, not 3 full scans
+    (one Expand + one agg — same plan family as the cube, pinned in
+    tests/test_plan_shapes.py). Sentinel 'ALL' labels make margin rows
+    unambiguous in both engines (neither column is nullable in the data).
+    Revenue is exact int64 centi; the year is cast to string on both
+    sides so the margin sentinel shares the column's type."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    base = (
+        orders.join(
+            F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"]
+        )
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .select(
+            "n_name",
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("centi"),
+        )
+    )
+    return (
+        base.groupingSets(
+            [["n_name", "yr"], ["n_name"], ["yr"]], "n_name", "yr"
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("centi").cast("long").alias("revenue_centi"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.coalesce(F.col("yr").cast("string"), F.lit("ALL")).alias("o_year"),
+            "n_orders",
+            "revenue_centi",
+        )
+    )

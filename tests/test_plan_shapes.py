@@ -808,3 +808,86 @@ def test_cep_single_entity_exchange(spark):
     plan = formatted_plan(df)
     assert count_exchanges(df) == 1
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_pareto_frontier_grain_window_broadcast_back(spark):
+    """The skyline must plan as: grain aggregation (one fact shuffle),
+    the prefix-min window on the tiny single-partition grain table, and a
+    BROADCAST back-join — never a quadratic NOT-EXISTS self-join (no
+    nested-loop / cartesian nodes)."""
+    df = QUERIES["orders_pareto_frontier"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df)
+    assert count_exchanges(df) == 2  # grain agg + single-partition window
+    for node in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert node not in plan
+
+
+def test_compaction_plan_two_exchanges_one_scan(spark):
+    """File inventory (one corpus shuffle), per-source planning window
+    (one source shuffle); the final (source, bin) aggregate must REUSE
+    the window's source partitioning — no third exchange, one scan."""
+    df = QUERIES["shards_compaction_plan"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert count_exchanges(df) == 2
+    assert plan.count("documents.parquet") == 1
+
+
+def test_vocab_coverage_token_grain_checkpointed(spark):
+    """The (source, token) grain feeds both the vocab ranking and the
+    coverage join — it must be checkpointed (zero parquet scans in the
+    live plan) and the K-row vocab must probe via broadcast."""
+    df = QUERIES["text_vocab_coverage"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert plan.count(".parquet") == 0
+    assert has_broadcast_join(df)
+    # the global vocab rank must NOT materialize a full sort of the token
+    # grain: Catalyst pushes the rank<=K filter into TakeOrderedAndProject
+    # (per-partition top-K + merge of K), so the single-partition window
+    # sees exactly K rows — the property that keeps a billion-token vocab
+    # rank from becoming a one-machine sort at 100 TB
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_scd2_asof_diff_single_run_build(spark):
+    """Both probes consume the CHECKPOINTED run table and both broadcasts
+    the CHECKPOINTED 1-row watermark — the live plan touches no parquet
+    at all (each events pass ran exactly once at build) and contains no
+    real cartesian."""
+    df = QUERIES["scd2_asof_diff"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert plan.count(".parquet") == 0
+    assert "CartesianProduct" not in plan
+
+
+def test_late_arrival_census_one_entity_exchange(spark):
+    """Running-max window on user_id + the |types x bands| census: two
+    exchanges, one scan, all-codegen (no Python boundary)."""
+    df = QUERIES["events_late_arrival_census"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert count_exchanges(df) == 2
+    assert plan.count("events.parquet") == 1
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_pc1_power_iter_gram_checkpointed(spark):
+    """The Gram table is the only corpus-sized artifact and feeds three
+    consumers — the live plan must start from its checkpoint (zero
+    parquet scans, zero Python nodes: the numpy GEMM ran at build) and
+    the d-row vectors must join via broadcast."""
+    df = QUERIES["embedding_pc1_power_iter"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert plan.count(".parquet") == 0
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert has_broadcast_join(df)
+
+
+def test_grouping_sets_expand_before_shuffle(spark):
+    """The asymmetric set list must plan as ONE Expand + ONE aggregation
+    exchange (partial agg applies per set), with both dimensions riding
+    broadcast joins."""
+    df = QUERIES["olap_grouping_sets_margins"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "Expand" in plan
+    assert count_exchanges(df) == 1
+    assert has_broadcast_join(df)

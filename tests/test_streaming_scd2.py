@@ -40,7 +40,7 @@ def _run(spark, src, ckpt, out, schema, watermark):
 def test_scd2_stream_matches_batch_closed_intervals(spark):
     """Time-ordered replay of the real events table (4 chunk files + a
     watermark-flushing sentinel) must emit exactly the batch history's
-    CLOSED intervals (is_current = false), column for column."""
+    CLOSED intervals (is_current = 0), column for column."""
     events = load_table(spark, SF_SMOKE, "events").select(
         "user_id", "ts", "event_id", "event_type"
     )
@@ -75,7 +75,7 @@ def test_scd2_stream_matches_batch_closed_intervals(spark):
             if r.user_id != _SENTINEL_USER
         }
         batch = QUERIES["scd2_user_type_history"](spark, SF_SMOKE)
-        closed = batch.filter(~F.col("is_current")).select(
+        closed = batch.filter(F.col("is_current") == 0).select(
             "user_id",
             "version",
             "state",
@@ -217,7 +217,7 @@ def test_scd2_stream_under_rocksdb(spark):
             if r.user_id != _SENTINEL_USER
         }
         batch = QUERIES["scd2_user_type_history"](spark, SF_SMOKE)
-        closed = batch.filter(~F.col("is_current")).select(
+        closed = batch.filter(F.col("is_current") == 0).select(
             "user_id", "version", "state",
             F.unix_timestamp("valid_from").alias("vf_s"),
             F.unix_timestamp("valid_to").alias("vt_s"),
