@@ -840,3 +840,314 @@ def test_prop_merge_upsert_three_branches(spark, customers, changes):
             assert got[k] == (action, old, dl, (old or 0) + (dl or 0)), k
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Round 7: curation band vs independent Python references
+# ---------------------------------------------------------------------------
+
+_pareto_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=200),      # o_orderkey
+        st.integers(min_value=0, max_value=40),       # price centi (small: force ties)
+        st.integers(min_value=0, max_value=5),        # date offset days (ties too)
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(deadline=None, max_examples=10, suppress_health_check=list(HealthCheck))
+@given(rows=_pareto_rows)
+def test_prop_pareto_frontier_equals_brute_force(spark, rows):
+    """The grain-window skyline must equal the O(n^2) dominance definition
+    on arbitrary corpora — price ties, date ties, full (price, date)
+    duplicates (which never dominate each other and must ALL survive)."""
+    import datetime
+    import shutil
+
+    from mapreducer_pi_cs4433_spark.queries.catalog import QUERIES
+
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (k, k % 7, "O", centi / 100.0, base + datetime.timedelta(days=doff),
+         "1-URGENT")
+        for k, centi, doff in rows
+    ]
+    d = _tmp_sf_dir(
+        spark,
+        orders=(
+            data,
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate timestamp,"
+            " o_orderpriority string",
+        ),
+    )
+    try:
+        got = {
+            r.o_orderkey
+            for r in QUERIES["orders_pareto_frontier"](spark, d).collect()
+        }
+        pts = {k: (centi, doff) for k, centi, doff in rows}
+        want = {
+            k
+            for k, (p, t) in pts.items()
+            if not any(
+                (p2 >= p and t2 <= t and (p2 > p or t2 < t))
+                for k2, (p2, t2) in pts.items()
+                if k2 != k
+            )
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+_file_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=500),   # doc_id
+        st.sampled_from(["src0", "src1"]),         # source
+        st.integers(min_value=1, max_value=80_000),  # n_chars
+    ),
+    min_size=1,
+    max_size=50,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(deadline=None, max_examples=10, suppress_health_check=list(HealthCheck))
+@given(rows=_file_rows)
+def test_prop_compaction_plan_equals_python_fold(spark, rows):
+    """The bin-packing planner must equal the sequential greedy fold:
+    files sorted (size desc, id asc) per source, bin = exclusive running
+    size div target — including single-file sources and files larger than
+    the target (their own prefix decides, so an oversized file never
+    drags followers into its bin arithmetic wrongly)."""
+    import hashlib
+    import shutil
+
+    from mapreducer_pi_cs4433_spark.queries.catalog import QUERIES
+    from mapreducer_pi_cs4433_spark.queries.curation import (
+        _COMPACT_TARGET,
+        _FILE_BUCKETS,
+    )
+
+    data = [(doc, "x" * 3, "en", src, nb) for doc, src, nb in rows]
+    d = _tmp_sf_dir(
+        spark,
+        documents=(
+            data,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ),
+    )
+    try:
+        got = {
+            (r.source, r.bin): (r.n_files, r.bin_chars, r.bin_docs,
+                                r.largest_file_chars)
+            for r in QUERIES["shards_compaction_plan"](spark, d).collect()
+        }
+        # python reference: same md5 two-hex-char file assignment
+        files: dict = {}
+        for doc, src, nb in rows:
+            h = hashlib.md5(str(doc).encode()).hexdigest()
+            fid = (int(h[0], 16) * 16 + int(h[1], 16)) % _FILE_BUCKETS
+            key = (src, fid)
+            n, c = files.get(key, (0, 0))
+            files[key] = (n + 1, c + nb)
+        want: dict = {}
+        for src in {s for s, _ in files}:
+            inv = sorted(
+                ((c, fid, n) for (s, fid), (n, c) in files.items() if s == src),
+                key=lambda t: (-t[0], t[1]),
+            )
+            cum = 0
+            for c, fid, n in inv:
+                b = cum // _COMPACT_TARGET  # cum >= 0: floor == truncate
+                k = (src, b)
+                nf, bc, bd, mx = want.get(k, (0, 0, 0, 0))
+                want[k] = (nf + 1, bc + c, bd + n, max(mx, c))
+                cum += c
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+_late_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),              # user_id
+        st.integers(min_value=0, max_value=200_000),        # ts offset sec
+        st.sampled_from(["view", "click"]),                 # event_type
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(deadline=None, max_examples=10, suppress_health_check=list(HealthCheck))
+@given(rows=_late_rows)
+def test_prop_late_arrival_census_equals_python_fold(spark, rows):
+    """The lateness census must equal the per-user sequential fold over
+    arrival (event_id) order — in-order streams (all zero lateness),
+    fully-reversed streams, and band-edge values (59/60/3599/3600s)."""
+    import datetime
+    import shutil
+
+    from mapreducer_pi_cs4433_spark.queries.catalog import QUERIES
+
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (eid, base + datetime.timedelta(seconds=off), uid, et, 1.0)
+        for eid, (uid, off, et) in enumerate(rows)
+    ]
+    d = _tmp_sf_dir(
+        spark,
+        events=(
+            data,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double",
+        ),
+    )
+    try:
+        got = {
+            (r.event_type, r.lateness): (r.n_events, r.max_late_s)
+            for r in QUERIES["events_late_arrival_census"](spark, d).collect()
+        }
+        runmax: dict = {}
+        want: dict = {}
+        for eid, (uid, off, et) in enumerate(rows):
+            runmax[uid] = max(runmax.get(uid, off), off)
+            late = runmax[uid] - off
+            b = ("a_in_order" if late == 0 else
+                 "b_under_1m" if late < 60 else
+                 "c_under_1h" if late < 3600 else
+                 "d_under_1d" if late < 86400 else "e_over_1d")
+            n, mx = want.get((et, b), (0, 0))
+            want[(et, b)] = (n + 1, max(mx, late))
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+_diff_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),               # user_id
+        st.integers(min_value=0, max_value=14 * 86400),      # ts offset (spans T1)
+        st.sampled_from(["view", "click", "error"]),         # event_type
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(deadline=None, max_examples=10, suppress_health_check=list(HealthCheck))
+@given(rows=_diff_rows)
+def test_prop_scd2_asof_diff_equals_python_fold(spark, rows):
+    """The two-probe drift report must equal the Python run fold with the
+    VERSION tie-break: when several runs start at the same second
+    (equal-ts alternating types, ordered only by event_id), 'state as of'
+    is the highest-version run — the r6-advice ambiguity, here pinned."""
+    import datetime
+    import shutil
+
+    from mapreducer_pi_cs4433_spark.queries.catalog import QUERIES
+
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (eid, base + datetime.timedelta(seconds=off), uid, et, 1.0)
+        for eid, (uid, off, et) in enumerate(rows)
+    ]
+    d = _tmp_sf_dir(
+        spark,
+        events=(
+            data,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double",
+        ),
+    )
+    try:
+        got = {
+            r.user_id: (r.state_t1, r.state_t2, r.changed)
+            for r in QUERIES["scd2_asof_diff"](spark, d).collect()
+        }
+        t2 = max(off for _, off, _ in rows)
+        t1 = t2 - 7 * 86400
+        per_key: dict = {}
+        for eid, (uid, off, et) in enumerate(rows):
+            per_key.setdefault(uid, []).append((off, eid, et))
+        want = {}
+        for uid, evs in per_key.items():
+            evs.sort()
+            runs = []  # (vf, state) in version order
+            for off, _eid, et in evs:
+                if not runs or runs[-1][1] != et:
+                    runs.append((off, et))
+
+            def state_at(cut):
+                cand = [s for vf, s in runs if vf <= cut]
+                return cand[-1] if cand else None  # max version wins
+
+            s1, s2 = state_at(t1), state_at(t2)
+            want[uid] = (s1, s2, int(s1 != s2))
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+_emb_rows = st.lists(
+    st.lists(
+        st.floats(min_value=-2.0, max_value=2.0, allow_nan=False,
+                  allow_infinity=False, width=32),
+        min_size=64,
+        max_size=64,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(deadline=None, max_examples=6, suppress_health_check=list(HealthCheck))
+@given(vecs=_emb_rows)
+def test_prop_pc1_power_iter_equals_numpy_reference(spark, vecs):
+    """The exact-integer PCA direction must equal an independent numpy
+    int64 reference (Gram + two truncating-division power steps) on
+    arbitrary float32 inputs — including all-zero vectors (maxabs guard)
+    and sign-mixed loadings (div truncates toward zero; Python //
+    floors, so the reference truncates explicitly)."""
+    import shutil
+
+    import numpy as np
+
+    from mapreducer_pi_cs4433_spark.queries.catalog import QUERIES
+    from mapreducer_pi_cs4433_spark.queries.curation import _GRAM_SCALE
+
+    data = [(i, [float(np.float32(x)) for x in v], i % 3)
+            for i, v in enumerate(vecs)]
+    d = _tmp_sf_dir(
+        spark,
+        embeddings=(
+            data,
+            "vec_id long, embedding array<float>, label int",
+        ),
+    )
+    try:
+        got = {
+            r.dim: (r.g_diag, r.loading_milli)
+            for r in QUERIES["embedding_pc1_power_iter"](spark, d).collect()
+        }
+        m = np.array([v for _, v, _ in data], dtype=np.float32).astype(np.float64)
+        q = np.floor(m * _GRAM_SCALE).astype(np.int64)
+        g = q.T @ q
+
+        def tdiv(a, b):  # truncate toward zero, like Spark div / DuckDB //
+            return np.sign(a) * (np.abs(a) // b)
+
+        v1 = g.sum(axis=1)
+        v1s = tdiv(v1 * _GRAM_SCALE, max(int(np.abs(v1).max()), 1))
+        v2 = g @ v1s
+        v2s = tdiv(v2 * _GRAM_SCALE, max(int(np.abs(v2).max()), 1))
+        want = {i + 1: (int(g[i, i]), int(v2s[i])) for i in range(64)}
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

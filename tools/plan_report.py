@@ -75,6 +75,14 @@ _SHOWCASE = [
     ("scd2_point_in_time_state", "AS-OF lookup vs SCD2 history: joinless union+window, 2 exchanges"),
     ("text_source_overlap", "source overlap census: hashed-gram self-join bounded by |sources|^2 per gram"),
     ("events_pattern_cep", "MATCH_RECOGNIZE census: ordered-frame collect_list + codegen regex, one exchange"),
+    # round 7: curation band
+    ("orders_pareto_frontier", "skyline: grain agg + tiny prefix-min window + broadcast back-join, no NOT-EXISTS"),
+    ("shards_compaction_plan", "OPTIMIZE planner: file-inventory agg + one per-partition bin-packing window"),
+    ("text_vocab_coverage", "vocab OOV: rank<=K rewritten to TakeOrderedAndProject, K-row broadcast probe"),
+    ("scd2_asof_diff", "two AS-OF probes over ONE checkpointed run table, watermark broadcast"),
+    ("events_late_arrival_census", "lateness bands: running-max window + census on one entity exchange"),
+    ("embedding_pc1_power_iter", "exact-int PCA: checkpointed d^2 Gram from numpy GEMM partials, broadcast matvecs"),
+    ("olap_grouping_sets_margins", "asymmetric grouping sets: one Expand, one exchange, dims broadcast"),
 ]
 
 _MAX_LINES = 70
