@@ -467,6 +467,7 @@ from . import (  # noqa: E402,F401  (registration side effect)
     curation,
     extensions,
     incremental,
+    insights,
     olap,
     pipeline_ext,
     quality,
@@ -712,6 +713,11 @@ _DRIVER_PRIORITY = [
     "events_late_arrival_census",
     "embedding_pc1_power_iter",
     "olap_grouping_sets_margins",
+    # r7 second band (queries/insights.py): behavioral & graph insights —
+    # same below-cap evidence package (oracle + FULL files + plan tests)
+    "graph_label_propagation",
+    "item_similarity_topk",
+    "events_attribution_last_touch",
 ]
 
 

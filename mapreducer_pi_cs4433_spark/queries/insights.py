@@ -1,0 +1,318 @@
+"""Round-7 second band: behavioral & graph insight operators.
+
+Three operators that round out the analytics families the engine ships:
+
+- ``graph_label_propagation`` — synchronous label-propagation community
+  detection (fixed unrolled iterations, deterministic frequency/min-label
+  tie-break) on the persisted co-purchase graph: the THIRD member of the
+  iterative-graph family (PageRank = weighted rank, components =
+  reachability, LPA = plurality clustering — each a different per-node
+  aggregate over the same edge artifact).
+- ``item_similarity_topk`` — item-item cosine similarity from basket
+  co-occurrence with per-item top-k: the collaborative-filtering batch
+  job ("customers who bought X also bought").
+- ``events_attribution_last_touch`` — marketing attribution: each
+  purchase credits the user's most recent non-purchase touch within the
+  lookback window, via the repo's as-of machinery; census per channel.
+
+Cross-engine determinism per the catalog rules; where doubles appear
+(cosine, lift-style ratios) they are SINGLE IEEE operations on exact
+integers — bit-identical in both engines — never multi-row float
+aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import _fmt_doc, _t, query
+from .extensions import ensure_basket_order_brand, ensure_pagerank_graph
+
+# ---------------------------------------------------------------------------
+# 1. Label propagation (community detection)
+# ---------------------------------------------------------------------------
+
+_LPA_ITERS = 2
+
+
+def _lpa_oracle() -> str:
+    its = []
+    prev = "l0"
+    for i in range(1, _LPA_ITERS + 1):
+        its.append(
+            f"""c{i} AS (
+        SELECT s.dst AS node, p.label, count(*) AS n
+        FROM sym s JOIN {prev} p ON s.src = p.node
+        GROUP BY s.dst, p.label
+    ), l{i} AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (
+                       PARTITION BY node ORDER BY n DESC, label ASC
+                   ) AS rk
+            FROM c{i}
+        ) WHERE rk = 1
+    )"""
+        )
+        prev = f"l{i}"
+    return f"""
+    WITH edges AS (
+        SELECT DISTINCT l_partkey AS a, 1000000 + l_suppkey AS b FROM lineitem
+    ), sym AS (
+        SELECT a AS src, b AS dst FROM edges
+        UNION ALL
+        SELECT b AS src, a AS dst FROM edges
+    ), l0 AS (
+        SELECT DISTINCT src AS node, src AS label FROM sym
+    ), {', '.join(its)}
+    SELECT label AS community,
+           count(*) AS n_members,
+           CAST(sum(CASE WHEN node >= 1000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_suppliers,
+           min(node) AS min_node
+    FROM {prev} GROUP BY label
+    """
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation over the part-supplier co-purchase
+    graph, {I} unrolled iterations: every node starts as its own label
+    and each step adopts the PLURALITY label among its neighbors, ties
+    broken by the smaller label — the deterministic form of LPA (plain
+    LPA breaks ties randomly, which can never hash-match an oracle).
+    Output is the community census (size, supplier share, representative
+    node id).
+
+    Scale shape per iteration — identical cost profile to the PageRank
+    sibling over the SAME persisted edge artifact: the node-sized label
+    table broadcasts onto the edge list (edges never shuffle), then one
+    grouped count on (dst, label) and one per-node row_number pick whose
+    window partitioning reuses the count's exchange. Unrolling keeps all
+    {I} iterations in ONE Catalyst plan. Labels/nodes are int64; the
+    plurality pick is (count DESC, label ASC) in both engines — no
+    ordering ambiguity anywhere."""
+    sym, _deg = ensure_pagerank_graph(spark, sf_dir)
+    labels = sym.select("src").distinct().select(
+        F.col("src").alias("node"), F.col("src").alias("label")
+    )
+    for _ in range(_LPA_ITERS):
+        votes = (
+            sym.join(F.broadcast(labels), sym["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("vnode"), "label")
+            .agg(F.count("*").alias("n"))
+        )
+        w = Window.partitionBy("vnode").orderBy(F.desc("n"), F.asc("label"))
+        labels = (
+            votes.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(F.col("vnode").alias("node"), "label")
+        )
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count("*").alias("n_members"),
+        F.sum(F.when(F.col("node") >= 1_000_000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_suppliers"),
+        F.min("node").alias("min_node"),
+    )
+
+
+_fmt_doc(graph_label_propagation, I=_LPA_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# 2. Item-item similarity top-k (collaborative filtering)
+# ---------------------------------------------------------------------------
+
+_SIM_K = 3
+_SIM_MIN_SUPPORT = 3
+
+
+@query(
+    "item_similarity_topk",
+    oracle=f"""
+    WITH ob AS (
+        SELECT DISTINCT l_orderkey, p_brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), cnt AS (
+        SELECT p_brand, count(*) AS n FROM ob GROUP BY p_brand
+    ), pairs AS (
+        SELECT a.p_brand AS brand, b.p_brand AS other, count(*) AS support
+        FROM ob a JOIN ob b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand <> b.p_brand
+        GROUP BY 1, 2
+    ), scored AS (
+        SELECT p.brand, p.other, p.support,
+               CAST(p.support AS DOUBLE) / sqrt(CAST(ca.n * cb.n AS DOUBLE))
+                   AS cosine
+        FROM pairs p
+        JOIN cnt ca ON ca.p_brand = p.brand
+        JOIN cnt cb ON cb.p_brand = p.other
+        WHERE p.support >= {_SIM_MIN_SUPPORT}
+    )
+    SELECT brand, other, support, cosine, CAST(rk AS BIGINT) AS rank
+    FROM (
+        SELECT brand, other, support, cosine,
+               row_number() OVER (
+                   PARTITION BY brand
+                   ORDER BY cosine DESC, support DESC, other ASC
+               ) AS rk
+        FROM scored
+    ) WHERE rk <= {_SIM_K}
+    """,
+)
+def item_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: per brand, the top-{k} most
+    similar brands by co-occurrence COSINE (support / sqrt(na*nb)) over
+    order baskets — the batch job behind every "customers who bought X
+    also bought" surface, and the set-similarity complement of
+    basket_brand_pairs' lift view.
+
+    The cosine is a SINGLE IEEE double division of exact integers
+    (correctly-rounded sqrt and divide on values < 2^53), so both
+    engines produce bit-identical doubles and the (cosine DESC, support
+    DESC, other ASC) rank can never diverge cross-engine. Scale shape:
+    the basket table is the persisted artifact (built once per corpus);
+    the pair expansion is per-order and bounded by basket width; the
+    marginals broadcast; the per-item top-k is a WindowGroupLimit
+    (partial per-partition top-k before the item shuffle), never a
+    global sort. min-support {m} prunes the noise floor before ranking."""
+    ob = ensure_basket_order_brand(spark, sf_dir)
+    cnt = ob.groupBy("p_brand").agg(F.count("*").alias("n"))
+    a = ob.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand"))
+    b = ob.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("other"))
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("brand") != F.col("other"))
+        .groupBy("brand", "other")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= _SIM_MIN_SUPPORT)
+    )
+    ca = cnt.select(F.col("p_brand").alias("ca_b"), F.col("n").alias("ca_n"))
+    cb = cnt.select(F.col("p_brand").alias("cb_b"), F.col("n").alias("cb_n"))
+    scored = (
+        pairs.join(F.broadcast(ca), F.col("brand") == F.col("ca_b"))
+        .join(F.broadcast(cb), F.col("other") == F.col("cb_b"))
+        .select(
+            "brand",
+            "other",
+            "support",
+            (
+                F.col("support").cast("double")
+                / F.sqrt((F.col("ca_n") * F.col("cb_n")).cast("double"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("brand").orderBy(
+        F.desc("cosine"), F.desc("support"), F.asc("other")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _SIM_K)
+        .select("brand", "other", "support", "cosine",
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+_fmt_doc(item_similarity_topk, k=_SIM_K, m=_SIM_MIN_SUPPORT)
+
+
+# ---------------------------------------------------------------------------
+# 3. Last-touch attribution
+# ---------------------------------------------------------------------------
+
+_ATTR_WINDOW_S = 7 * 86400  # lookback
+
+
+@query(
+    "events_attribution_last_touch",
+    oracle=f"""
+    WITH touches AS (
+        SELECT user_id, date_trunc('second', ts) AS ts,
+               max(strftime(date_trunc('second', ts),
+                            '%Y-%m-%d %H:%M:%S') || '|' || event_type)
+                   AS packed
+        FROM events WHERE event_type <> 'purchase'
+        GROUP BY user_id, date_trunc('second', ts)
+    ), purchases AS (
+        SELECT event_id, user_id, date_trunc('second', ts) AS pts
+        FROM events WHERE event_type = 'purchase'
+    ), matched AS (
+        SELECT p.event_id, p.user_id, p.pts, t.packed, t.ts AS touch_ts
+        FROM purchases p ASOF LEFT JOIN touches t
+          ON p.user_id = t.user_id AND epoch_us(p.pts) >= epoch_us(t.ts)
+    )
+    SELECT coalesce(CASE WHEN epoch(pts) - epoch(touch_ts)
+                              <= {_ATTR_WINDOW_S}
+                         THEN split_part(packed, '|', 2) END,
+                    'none') AS channel,
+           count(*) AS n_purchases,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM matched GROUP BY 1
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase credits the
+    user's most recent NON-purchase event (the touch channel) at-or-
+    before the purchase and within a {D}-day lookback; purchases with no
+    qualifying touch land in the 'none' bucket. Output is the per-channel
+    attribution census (purchases credited, distinct users) — the report
+    that decides channel spend.
+
+    Scale shape: the as-of machinery of operators/temporal.py — touches
+    collapse to one row per (user, second) with a deterministic packed
+    "ts|type" max (identical collapse in the oracle), then the union +
+    ONE user_id exchange + last(ignorenulls) window resolves every
+    purchase's latest touch with no interval join and no per-row probing;
+    DuckDB's native ASOF JOIN is the oracle twin (the
+    scd2_point_in_time_state precedent). The lookback bound is a
+    post-join second-arithmetic filter, and the final census is
+    |channels|-sized. Second-truncated timestamps keep the packed string
+    and the epoch comparisons engine-exact."""
+    from ..operators.temporal import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    sec = F.date_trunc("second", F.col("ts"))
+    touches = (
+        events.filter(F.col("event_type") != "purchase")
+        .select(
+            "user_id",
+            sec.alias("tts"),
+            F.concat(
+                F.date_format(sec, "yyyy-MM-dd HH:mm:ss"),
+                F.lit("|"),
+                F.col("event_type"),
+            ).alias("packed"),
+        )
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", sec.alias("pts")
+    )
+    matched = asof_join(
+        purchases,
+        touches.select("user_id", F.col("tts").alias("ts"), "packed"),
+        key="user_id",
+        left_ts="pts",
+        right_ts="ts",
+        right_value="packed",
+    )
+    touch_ts = F.to_timestamp(F.split("packed", r"\|").getItem(0))
+    in_window = (
+        F.col("pts").cast("long") - touch_ts.cast("long")
+    ) <= _ATTR_WINDOW_S
+    channel = F.coalesce(
+        F.when(in_window, F.split("packed", r"\|").getItem(1)),
+        F.lit("none"),
+    )
+    return (
+        matched.select("event_id", "user_id", channel.alias("channel"))
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+
+
+_fmt_doc(events_attribution_last_touch, D=_ATTR_WINDOW_S // 86400)

@@ -891,3 +891,42 @@ def test_grouping_sets_expand_before_shuffle(spark):
     assert "Expand" in plan
     assert count_exchanges(df) == 1
     assert has_broadcast_join(df)
+
+
+def test_lpa_labels_broadcast_onto_edges(spark):
+    """Each LPA iteration must broadcast the node-sized label table onto
+    the edge artifact (edges never shuffle for the join) and pick the
+    plurality label via a rank-limit (WindowGroupLimit), with no
+    cartesian/nested-loop anywhere; both unrolled iterations live in one
+    plan (6 exchanges: per-iteration vote count + window, final census)."""
+    df = QUERIES["graph_label_propagation"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df)
+    assert "WindowGroupLimit" in plan
+    assert count_exchanges(df) <= 6
+    for node in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert node not in plan
+
+
+def test_item_similarity_topk_wgl_and_broadcast_marginals(spark):
+    """The per-item top-k must plan as WindowGroupLimit (partial top-k
+    before the item shuffle, never a global sort) and both count
+    marginals must ride broadcast; the basket table comes from the
+    persisted artifact (no raw fact scans in the live plan)."""
+    df = QUERIES["item_similarity_topk"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert has_broadcast_join(df)
+    assert plan.count("lineitem.parquet") == 0  # artifact, not raw facts
+
+
+def test_attribution_is_joinless_asof(spark):
+    """Last-touch attribution must resolve through the as-of union +
+    window kernel: ZERO join nodes of any kind, two event scans (touch
+    and purchase branches), and the census on top."""
+    df = QUERIES["events_attribution_last_touch"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    for node in ("SortMergeJoin", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert node not in plan
+    assert plan.count("events.parquet") == 2

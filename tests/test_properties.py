@@ -1151,3 +1151,213 @@ def test_prop_pc1_power_iter_equals_numpy_reference(spark, vecs):
         assert got == want
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Round 7 second band: insights operators vs Python references
+# ---------------------------------------------------------------------------
+
+_attr_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),             # user_id
+        st.integers(min_value=0, max_value=10 * 86400),    # ts offset sec
+        st.sampled_from(["view", "click", "purchase"]),    # event_type
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(deadline=None, max_examples=10, suppress_health_check=list(HealthCheck))
+@given(rows=_attr_rows)
+def test_prop_last_touch_attribution_equals_python_fold(spark, rows):
+    """The attribution census must equal the per-purchase Python scan:
+    latest non-purchase touch at-or-before the purchase second and inside
+    the lookback, equal-second touches collapsing to the lexicographic
+    max channel (the kernel's deterministic tie), else 'none'."""
+    import datetime
+    import shutil
+
+    from mapreducer_pi_cs4433_spark.queries.catalog import QUERIES
+    from mapreducer_pi_cs4433_spark.queries.insights import _ATTR_WINDOW_S
+
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (eid, base + datetime.timedelta(seconds=off), uid, et, 1.0)
+        for eid, (uid, off, et) in enumerate(rows)
+    ]
+    d = _tmp_sf_dir(
+        spark,
+        events=(
+            data,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double",
+        ),
+    )
+    try:
+        got = {
+            r.channel: (r.n_purchases, r.n_users)
+            for r in QUERIES["events_attribution_last_touch"](
+                spark, d
+            ).collect()
+        }
+        # collapse touches to (user, sec) -> max channel
+        touches: dict = {}
+        for _eid, (uid, off, et) in enumerate(rows):
+            if et != "purchase":
+                k = (uid, off)
+                touches[k] = max(touches.get(k, et), et)
+        per_channel: dict = {}
+        for _eid, (uid, off, et) in enumerate(rows):
+            if et != "purchase":
+                continue
+            cand = [
+                (toff, ch)
+                for (tuid, toff), ch in touches.items()
+                if tuid == uid and toff <= off
+            ]
+            ch = "none"
+            if cand:
+                toff, c = max(cand)
+                if off - toff <= _ATTR_WINDOW_S:
+                    ch = c
+            n, users = per_channel.get(ch, (0, set()))
+            users = users | {uid}
+            per_channel[ch] = (n + 1, users)
+        want = {ch: (n, len(u)) for ch, (n, u) in per_channel.items()}
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+_lpa_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=8),   # part id
+        st.integers(min_value=0, max_value=5),   # supplier id
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(deadline=None, max_examples=8, suppress_health_check=list(HealthCheck))
+@given(edges=_lpa_edges)
+def test_prop_label_propagation_equals_python_fold(spark, edges):
+    """Two synchronous LPA iterations on arbitrary bipartite edge lists
+    must equal the Python plurality fold (count desc, label asc tie) —
+    duplicate edges collapse (the artifact is DISTINCT pairs), isolated
+    stars keep their hub label, larger plates absorb smaller ones."""
+    import shutil
+    import tempfile
+
+    from mapreducer_pi_cs4433_spark.queries.catalog import QUERIES
+
+    d = tempfile.mkdtemp(prefix="prop_sf_")
+    try:
+        spark.createDataFrame(
+            [(p, s, 1.0) for p, s in edges],
+            "l_partkey long, l_suppkey long, l_quantity double",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+        got = {
+            r.community: (r.n_members, r.n_suppliers, r.min_node)
+            for r in QUERIES["graph_label_propagation"](spark, d).collect()
+        }
+        # python reference: symmetrized distinct bipartite edges
+        E = {(p, 1_000_000 + s) for p, s in edges}
+        sym: dict = {}
+        for a, b in E:
+            sym.setdefault(a, []).append(b)
+            sym.setdefault(b, []).append(a)
+        labels = {n: n for n in sym}
+        for _ in range(2):
+            nxt = {}
+            for node, nbrs in sym.items():
+                votes: dict = {}
+                for nb in nbrs:
+                    votes[labels[nb]] = votes.get(labels[nb], 0) + 1
+                nxt[node] = min(
+                    votes, key=lambda lb: (-votes[lb], lb)
+                )
+            labels = nxt
+        comm: dict = {}
+        for node, lb in labels.items():
+            n, s, mn = comm.get(lb, (0, 0, None))
+            comm[lb] = (
+                n + 1,
+                s + (1 if node >= 1_000_000 else 0),
+                node if mn is None else min(mn, node),
+            )
+        assert got == comm
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+_basket_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=8),   # order id
+        st.integers(min_value=0, max_value=5),   # part id
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(deadline=None, max_examples=8, suppress_health_check=list(HealthCheck))
+@given(rows=_basket_rows)
+def test_prop_item_similarity_equals_python_fold(spark, rows):
+    """The CF top-k must equal the Python basket fold: distinct
+    (order, brand) baskets, pair supports, min-support prune, cosine as
+    one IEEE division of exact ints (so Python's float == Spark's
+    double == DuckDB's), rank by (cosine desc, support desc, other asc),
+    keep top-k. Duplicate lineitem rows collapse in the basket."""
+    import shutil
+    import tempfile
+    from math import sqrt
+
+    from mapreducer_pi_cs4433_spark.queries.catalog import QUERIES
+    from mapreducer_pi_cs4433_spark.queries.insights import (
+        _SIM_K,
+        _SIM_MIN_SUPPORT,
+    )
+
+    d = tempfile.mkdtemp(prefix="prop_sf_")
+    try:
+        spark.createDataFrame(
+            [(o, p, 1.0) for o, p in rows],
+            "l_orderkey long, l_partkey long, l_quantity double",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+        spark.createDataFrame(
+            [(p, f"B{p % 3}") for p in range(6)],
+            "p_partkey long, p_brand string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/part.parquet")
+        got = {
+            (r.brand, r.rank): (r.other, r.support, r.cosine)
+            for r in QUERIES["item_similarity_topk"](spark, d).collect()
+        }
+        baskets: dict = {}
+        for o, p in rows:
+            baskets.setdefault(o, set()).add(f"B{p % 3}")
+        cnt: dict = {}
+        for bs in baskets.values():
+            for b in bs:
+                cnt[b] = cnt.get(b, 0) + 1
+        support: dict = {}
+        for bs in baskets.values():
+            for b1 in bs:
+                for b2 in bs:
+                    if b1 != b2:
+                        support[(b1, b2)] = support.get((b1, b2), 0) + 1
+        scored: dict = {}
+        for (b1, b2), s in support.items():
+            if s >= _SIM_MIN_SUPPORT:
+                scored.setdefault(b1, []).append(
+                    (s / sqrt(cnt[b1] * cnt[b2]), s, b2)
+                )
+        want: dict = {}
+        for b1, cands in scored.items():
+            cands.sort(key=lambda t: (-t[0], -t[1], t[2]))
+            for rk, (cos, s, b2) in enumerate(cands[:_SIM_K], start=1):
+                want[(b1, rk)] = (b2, s, cos)
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -1,0 +1,221 @@
+"""Streaming attribution tests: watermark-gated last-touch resolution
+must reproduce the batch events_attribution_last_touch census on the
+real corpus, wait for late-arriving touches before crediting, apply the
+lookback and the equal-second tie exactly as the batch kernel, and keep
+state pruned to the as-of minimum."""
+
+from __future__ import annotations
+
+import datetime
+import shutil
+import tempfile
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from mapreducer_pi_cs4433_spark.queries.catalog import QUERIES
+from mapreducer_pi_cs4433_spark.sources.loaders import load_table
+from mapreducer_pi_cs4433_spark.streaming.attribution import (
+    attribution_stateful,
+)
+
+from .conftest import SF_SMOKE
+
+_SCHEMA = "user_id long, ts timestamp, event_id long, event_type string"
+
+
+def _run(spark, src, ckpt, out, watermark="1 second"):
+    stream = spark.readStream.schema(_SCHEMA).parquet(src)
+    q = (
+        attribution_stateful(stream, watermark=watermark)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def _write(spark, src, rows):
+    df = spark.createDataFrame(rows).select(
+        F.col("user_id").cast("long"),
+        F.col("ts").cast("timestamp"),
+        F.col("event_id").cast("long"),
+        "event_type",
+    )
+    df.coalesce(1).write.mode("append").parquet(src)
+
+
+def test_attribution_stream_matches_batch_census(spark):
+    """The tagged purchase stream, aggregated per channel, must equal the
+    batch census row for row once the watermark passes the corpus, and
+    every purchase must be tagged exactly once."""
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        "event_id", "event_type",
+    )
+    n_purchases = ev.filter(F.col("event_type") == "purchase").count()
+    src = tempfile.mkdtemp(prefix="at_src_")
+    ckpt = tempfile.mkdtemp(prefix="at_ck_")
+    out = tempfile.mkdtemp(prefix="at_out_")
+    try:
+        ev.coalesce(1).write.mode("append").parquet(src)
+        _run(spark, src, ckpt, out)
+        mx = ev.agg(F.max("ts").alias("m")).first().m
+        # two sentinel runs: the first advances the watermark past the
+        # corpus, the second fires the event-time timers it armed
+        for off in (1, 2):
+            _write(spark, src, [
+                Row(user_id=-1,
+                    ts=str(mx + datetime.timedelta(seconds=off)),
+                    event_id=-off, event_type="__sentinel"),
+            ])
+            _run(spark, src, ckpt, out)
+
+        tagged = spark.read.parquet(out)
+        assert tagged.count() == n_purchases  # exactly-once tagging
+        got = {
+            r.channel: (r.n_purchases, r.n_users)
+            for r in tagged.groupBy("channel")
+            .agg(
+                F.count("*").alias("n_purchases"),
+                F.countDistinct("user_id").cast("long").alias("n_users"),
+            )
+            .collect()
+        }
+        want = {
+            r.channel: (r.n_purchases, r.n_users)
+            for r in QUERIES["events_attribution_last_touch"](
+                spark, SF_SMOKE
+            ).collect()
+        }
+        assert got == want
+    finally:
+        for d in (src, ckpt, out):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_attribution_waits_for_late_touch(spark):
+    """A purchase must not resolve before the watermark passes it: the
+    touch it ultimately credits arrives in a LATER run (event-time
+    disorder within the watermark delay). Also pinned here: the lookback
+    sends a 19-day-old latest touch to 'none', and the equal-second tie
+    credits the lexicographic-max channel at the purchase's own second
+    (at-or-before is inclusive)."""
+    src = tempfile.mkdtemp(prefix="at2_src_")
+    ckpt = tempfile.mkdtemp(prefix="at2_ck_")
+    out = tempfile.mkdtemp(prefix="at2_out_")
+    try:
+        # run 1: user 1's purchase + an old view; user 2's ancient touch;
+        # user 3's same-second pair. Max event time stays at Jan 2, so
+        # run 2's late click (Jan 2 09:00) is inside the 2-day delay.
+        _write(spark, src, [
+            Row(user_id=1, ts="2024-01-01 00:00:00", event_id=1,
+                event_type="view"),
+            Row(user_id=1, ts="2024-01-02 10:00:00", event_id=100,
+                event_type="purchase"),
+            Row(user_id=2, ts="2024-01-01 00:00:00", event_id=2,
+                event_type="view"),
+            Row(user_id=3, ts="2024-01-02 08:00:00", event_id=3,
+                event_type="click"),
+            Row(user_id=3, ts="2024-01-02 08:00:00", event_id=4,
+                event_type="view"),
+            Row(user_id=3, ts="2024-01-02 08:00:00", event_id=300,
+                event_type="purchase"),
+        ])
+        _run(spark, src, ckpt, out, watermark="2 days")
+        # nothing final yet (watermark trails the max event by 2 days)
+        assert spark.read.schema(
+            "user_id long, event_id long, purchase_s long, channel string"
+        ).parquet(out).count() == 0
+        # run 2: user 1's TRUE last touch arrives late (event time
+        # between the view and the purchase), user 2's out-of-lookback
+        # purchase, plus a far sentinel
+        _write(spark, src, [
+            Row(user_id=1, ts="2024-01-02 09:00:00", event_id=5,
+                event_type="click"),
+            Row(user_id=2, ts="2024-01-20 00:00:00", event_id=200,
+                event_type="purchase"),
+            Row(user_id=-1, ts="2024-01-25 00:00:00", event_id=-1,
+                event_type="__sentinel"),
+        ])
+        _run(spark, src, ckpt, out, watermark="2 days")
+        # run 3: fire the timers the sentinel's watermark armed
+        _write(spark, src, [
+            Row(user_id=-1, ts="2024-01-26 00:00:00", event_id=-2,
+                event_type="__sentinel"),
+        ])
+        _run(spark, src, ckpt, out, watermark="2 days")
+
+        got = {
+            r.event_id: r.channel for r in spark.read.parquet(out).collect()
+        }
+        assert got == {
+            100: "click",  # the late-arriving touch wins, not the view
+            200: "none",   # latest touch 19 days back -> out of lookback
+            300: "view",   # same-second tie: max("click","view"), inclusive
+        }
+    finally:
+        for d in (src, ckpt, out):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_attribution_state_prunes_to_asof_minimum(spark):
+    """After the watermark passes a run of touches, state must keep only
+    the LATEST final touch (plus pending purchases): a later purchase
+    still credits it, proving older touches were safely dropped — and the
+    state store never grows with history."""
+    src = tempfile.mkdtemp(prefix="at3_src_")
+    ckpt = tempfile.mkdtemp(prefix="at3_ck_")
+    out = tempfile.mkdtemp(prefix="at3_out_")
+    try:
+        # run 1: three touches, newest is the click at 03:00
+        _write(spark, src, [
+            Row(user_id=1, ts="2024-01-01 01:00:00", event_id=1,
+                event_type="view"),
+            Row(user_id=1, ts="2024-01-01 02:00:00", event_id=2,
+                event_type="error"),
+            Row(user_id=1, ts="2024-01-01 03:00:00", event_id=3,
+                event_type="click"),
+        ])
+        _run(spark, src, ckpt, out, watermark="1 second")
+        # run 2: a sentinel makes every touch final -> prune to the click
+        _write(spark, src, [
+            Row(user_id=-1, ts="2024-01-02 00:00:00", event_id=-1,
+                event_type="__sentinel"),
+        ])
+        _run(spark, src, ckpt, out, watermark="1 second")
+        # run 3: a purchase AFTER the pruned history must still credit
+        # the surviving latest touch
+        _write(spark, src, [
+            Row(user_id=1, ts="2024-01-02 12:00:00", event_id=100,
+                event_type="purchase"),
+            Row(user_id=-1, ts="2024-01-03 00:00:00", event_id=-2,
+                event_type="__sentinel"),
+        ])
+        _run(spark, src, ckpt, out, watermark="1 second")
+        _write(spark, src, [
+            Row(user_id=-1, ts="2024-01-04 00:00:00", event_id=-3,
+                event_type="__sentinel"),
+        ])
+        _run(spark, src, ckpt, out, watermark="1 second")
+
+        got = {
+            r.event_id: r.channel for r in spark.read.parquet(out).collect()
+        }
+        assert got == {100: "click"}
+        # the pruned state is observable via the checkpoint's state store:
+        # exactly one touch row survives for user 1
+        state = (
+            spark.read.format("statestore")
+            .load(ckpt)
+            .select("key.user_id", "value.touch_s")
+            .where("key.user_id = 1")
+            .collect()
+        )
+        assert [len(r.touch_s) for r in state] == [1]
+    finally:
+        for d in (src, ckpt, out):
+            shutil.rmtree(d, ignore_errors=True)
