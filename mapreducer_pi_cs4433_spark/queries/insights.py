@@ -93,10 +93,11 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     {I} iterations in ONE Catalyst plan. Labels/nodes are int64; the
     plurality pick is (count DESC, label ASC) in both engines — no
     ordering ambiguity anywhere."""
-    sym, _deg = ensure_pagerank_graph(spark, sf_dir)
-    labels = sym.select("src").distinct().select(
-        F.col("src").alias("node"), F.col("src").alias("label")
-    )
+    sym, deg = ensure_pagerank_graph(spark, sf_dir)
+    # seed from the DEGREE artifact (one row per node, node-sized parquet
+    # read) rather than distinct() over the edge list — drops an
+    # edge-sized exchange from the plan
+    labels = deg.select(F.col("src").alias("node"), F.col("src").alias("label"))
     for _ in range(_LPA_ITERS):
         votes = (
             sym.join(F.broadcast(labels), sym["src"] == labels["node"])

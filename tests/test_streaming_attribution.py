@@ -211,7 +211,7 @@ def test_attribution_state_prunes_to_asof_minimum(spark):
         state = (
             spark.read.format("statestore")
             .load(ckpt)
-            .select("key.user_id", "value.touch_s")
+            .select("key.user_id", "value.groupState.touch_s")
             .where("key.user_id = 1")
             .collect()
         )
