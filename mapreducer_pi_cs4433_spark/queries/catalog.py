@@ -471,6 +471,7 @@ from . import (  # noqa: E402,F401  (registration side effect)
     olap,
     pipeline_ext,
     quality,
+    retrieval,
     sketches,
     temporal_queries,
     windows,
@@ -718,6 +719,10 @@ _DRIVER_PRIORITY = [
     "graph_label_propagation",
     "item_similarity_topk",
     "events_attribution_last_touch",
+    # r7 third band (queries/retrieval.py): hybrid retrieval — same
+    # below-cap evidence package (oracle + FULL files + plan tests)
+    "search_hybrid_rrf",
+    "search_mmr_rerank",
 ]
 
 

@@ -3574,6 +3574,20 @@ _BM25_TOPK = 20
 
 
 def _bm25_oracle() -> str:
+    return f"""
+    WITH {bm25_scored_sql_ctes()}
+    SELECT doc_id, bm25_score
+    FROM bm25_scored
+    ORDER BY bm25_score DESC, doc_id ASC
+    LIMIT {_BM25_TOPK}
+    """
+
+
+def bm25_scored_sql_ctes() -> str:
+    """The BM25 scoring pipeline as reusable CTE text: defines
+    ``bm25_scored(doc_id, bm25_score)`` (matching docs only). Shared by
+    the search_bm25_topk oracle and the hybrid-RRF oracle so both legs
+    rank from the IDENTICAL score expression."""
     tf_cols = ",\n               ".join(
         "len(list_filter(regexp_split_to_array(text, '[^a-z0-9]+'),"
         f" x -> x = '{t}'))::BIGINT AS tf_{t}"
@@ -3591,8 +3605,7 @@ def _bm25_oracle() -> str:
         f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
         for t in _BM25_TERMS
     )
-    return f"""
-    WITH tf AS (
+    return f"""tf AS (
         SELECT doc_id,
                len(list_filter(regexp_split_to_array(text, '\\s+'),
                                x -> x <> ''))::BIGINT AS doc_len,
@@ -3603,14 +3616,12 @@ def _bm25_oracle() -> str:
                CAST(SUM(doc_len) AS DOUBLE) / COUNT(*) AS avg_len,
                {df_cols}
         FROM tf
-    )
-    SELECT doc_id,
-           {score_terms} AS bm25_score
-    FROM tf CROSS JOIN stats
-    WHERE {" + ".join(f"tf_{t}" for t in _BM25_TERMS)} > 0
-    ORDER BY bm25_score DESC, doc_id ASC
-    LIMIT {_BM25_TOPK}
-    """
+    ), bm25_scored AS (
+        SELECT doc_id,
+               {score_terms} AS bm25_score
+        FROM tf CROSS JOIN stats
+        WHERE {" + ".join(f"tf_{t}" for t in _BM25_TERMS)} > 0
+    )"""
 
 
 @query("search_bm25_topk", oracle=_bm25_oracle())
@@ -3628,6 +3639,17 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     log idf for a single-corpus ranking, but free of transcendentals,
     which keeps every score bit-reproducible across engines (the
     oracle-checked-outputs rule; log's last-ulp could differ)."""
+    return (
+        bm25_scored_docs(spark, sf_dir)
+        .orderBy(F.col("bm25_score").desc(), F.col("doc_id").asc())
+        .limit(_BM25_TOPK)
+    )
+
+
+def bm25_scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25_score) for every query-matching document — the
+    Spark twin of ``bm25_scored_sql_ctes``. Shared by search_bm25_topk
+    and the hybrid-RRF lexical leg."""
     docs = _t(spark, sf_dir, "documents")
     tf_exprs = [
         F.regexp_count("text", F.lit(rf"\b{t}\b")).cast("long").alias(f"tf_{t}")
@@ -3667,8 +3689,6 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.crossJoin(F.broadcast(stats))
         .filter(any_tf > 0)
         .select("doc_id", score.alias("bm25_score"))
-        .orderBy(F.col("bm25_score").desc(), F.col("doc_id").asc())
-        .limit(_BM25_TOPK)
     )
 
 

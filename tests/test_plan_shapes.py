@@ -920,6 +920,29 @@ def test_item_similarity_topk_wgl_and_broadcast_marginals(spark):
     assert plan.count("lineitem.parquet") == 0  # artifact, not raw facts
 
 
+def test_hybrid_rrf_legs_are_takeordered_not_global_sorts(spark):
+    """Each fusion leg must cut to its top-N via TakeOrderedAndProject
+    (partial per-partition top-k) BEFORE any rank window touches it —
+    never a corpus-wide Sort — and the final fused cut is a third
+    TakeOrdered; the BM25 corpus stats ride the 1-row broadcast
+    crossJoin idiom (the only nested-loop join allowed)."""
+    df = QUERIES["search_hybrid_rrf"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert plan.count("TakeOrderedAndProject") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_mmr_is_one_corpus_pass_plus_constant_work(spark):
+    """The MMR plan must scan the checkpointed candidate pool (one
+    corpus-sized TakeOrdered happened at checkpoint time), never the raw
+    embeddings parquet, and every selection step is constant-bounded:
+    no SortMergeJoin anywhere (all joins are K-row broadcasts)."""
+    df = QUERIES["search_mmr_rerank"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert plan.count("embeddings.parquet") == 0  # pool is checkpointed
+    assert "SortMergeJoin" not in plan
+
+
 def test_attribution_is_joinless_asof(spark):
     """Last-touch attribution must resolve through the as-of union +
     window kernel: ZERO join nodes of any kind, two event scans (touch

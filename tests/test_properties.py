@@ -1292,6 +1292,202 @@ def test_prop_label_propagation_equals_python_fold(spark, edges):
         shutil.rmtree(d, ignore_errors=True)
 
 
+_vec_component = st.integers(min_value=-4, max_value=4)
+_vecs3 = st.lists(
+    st.tuples(_vec_component, _vec_component, _vec_component),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _retr_round9(x: float) -> float:
+    """Engine-faithful round-to-9: HALF_UP on the shortest decimal
+    representation (what Spark's BigDecimal.valueOf path and DuckDB's
+    round produce on the oracle-checked corpora)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("1E-9"), ROUND_HALF_UP))
+
+
+def _retr_corpus(spark, vecs):
+    """Write a tiny embeddings corpus: vec 0 is a fixed nonzero query
+    vector; generated rows follow (quarter-unit components so the
+    micro-quantization is exact)."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="prop_sf_")
+    rows = [(0, [1.0, 0.25, -0.5], 0)] + [
+        (i + 1, [a / 4.0, b / 4.0, c / 4.0], 0)
+        for i, (a, b, c) in enumerate(vecs)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    return d, rows
+
+
+def _retr_scored(rows):
+    """Python twin of _sem_scored: micro-quantize, exact int dots,
+    round9 cosine to the vec-0 query."""
+    import math
+
+    qq = [math.floor(x * 1_000_000) for x in rows[0][1]]
+    qn2 = sum(v * v for v in qq)
+    out = []
+    for vid, emb, _ in rows:
+        vq = [math.floor(x * 1_000_000) for x in emb]
+        n2 = sum(v * v for v in vq)
+        if n2 <= 0:
+            continue
+        dot = sum(a * b for a, b in zip(vq, qq))
+        rel = _retr_round9(dot / (math.sqrt(float(n2)) * math.sqrt(float(qn2))))
+        out.append((vid, vq, n2, rel))
+    return out
+
+
+@settings(deadline=None, max_examples=8, suppress_health_check=list(HealthCheck))
+@given(vecs=_vecs3)
+def test_prop_mmr_rerank_equals_python_fold(spark, vecs):
+    """The unrolled MMR selection must equal the sequential Python MMR:
+    top-10 relevance pool, then greedy (rel - max_sim_to_picked) picks
+    with id tie-breaks — including corpora smaller than the pool or the
+    pick count, and zero vectors dropped before pooling."""
+    import math
+    import shutil
+
+    from mapreducer_pi_cs4433_spark.queries.catalog import QUERIES
+
+    d, rows = _retr_corpus(spark, vecs)
+    try:
+        got = [
+            (r.rank, r.id, r.relevance, r.max_sim)
+            for r in QUERIES["search_mmr_rerank"](spark, d)
+            .orderBy("rank")
+            .collect()
+        ]
+        scored = _retr_scored(rows)
+        cand = sorted(scored, key=lambda t: (-t[3], t[0]))[:10]
+        want = []
+        sel = []
+        for rank in range(1, 4):
+            if not cand:
+                break
+            if not sel:
+                pick, ms = cand[0], 0.0
+            else:
+                best = None
+                for c in cand:
+                    m = max(
+                        _retr_round9(
+                            sum(a * b for a, b in zip(c[1], s[1]))
+                            / (math.sqrt(float(c[2])) * math.sqrt(float(s[2])))
+                        )
+                        for s in sel
+                    )
+                    key = (-(c[3] - m), c[0])
+                    if best is None or key < best[0]:
+                        best = (key, c, m)
+                pick, ms = best[1], best[2]
+            want.append((rank, pick[0], pick[3], ms))
+            sel.append(pick)
+            cand = [c for c in cand if c[0] != pick[0]]
+        assert [(g[0], g[1]) for g in got] == [(w[0], w[1]) for w in want]
+        for g, w in zip(got, want):
+            assert g[2] == pytest.approx(w[2], abs=2e-9)
+            assert g[3] == pytest.approx(w[3], abs=2e-9)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+_doc_words = st.lists(
+    st.lists(
+        st.sampled_from(
+            ["vector", "stream", "merge", "table", "row", "scan", "the"]
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(deadline=None, max_examples=8, suppress_health_check=list(HealthCheck))
+@given(docs=_doc_words, vecs=_vecs3)
+def test_prop_hybrid_rrf_equals_python_fold(spark, docs, vecs):
+    """The fused output (all-integer: ids + per-leg ranks + pico-RRF)
+    must equal the Python two-leg fold: BM25 ranks with the exact score
+    formula in the same op order, cosine ranks from the quantized-int
+    recipe, RRF = SCALE // (60 + rank) summed — including docs in only
+    one leg (NULL rank contributes zero) and corpora smaller than the
+    per-leg N."""
+    import math
+    import shutil
+
+    from mapreducer_pi_cs4433_spark.queries.catalog import QUERIES
+
+    d, rows = _retr_corpus(spark, vecs)
+    try:
+        spark.createDataFrame(
+            [
+                (i, " ".join(ws), "en", "src0", len(" ".join(ws)))
+                for i, ws in enumerate(docs)
+            ],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        got = {
+            r.doc_id: (r.lex_rank, r.sem_rank, r.rrf_pico)
+            for r in QUERIES["search_hybrid_rrf"](spark, d).collect()
+        }
+        # lexical leg: BM25, same op order as the engines
+        k1, b = 1.2, 0.75
+        terms = ("vector", "stream", "merge")
+        n = len(docs)
+        lens = [len(ws) for ws in docs]
+        avg = float(sum(lens)) / n
+        tf = [{t: ws.count(t) for t in terms} for ws in docs]
+        df = {t: sum(1 for x in tf if x[t] > 0) for t in terms}
+        scored = []
+        for i, ws in enumerate(docs):
+            if sum(tf[i][t] for t in terms) == 0:
+                continue
+            s = 0.0
+            for t in terms:
+                idf = (n - df[t] + 0.5) / (df[t] + 0.5)
+                s = s + idf * (tf[i][t] * (k1 + 1)) / (
+                    tf[i][t] + k1 * (1 - b + b * (lens[i] / avg))
+                )
+            scored.append((i, s))
+        lex = {
+            did: rk + 1
+            for rk, (did, _) in enumerate(
+                sorted(scored, key=lambda t: (-t[1], t[0]))[:20]
+            )
+        }
+        sem = {
+            did: rk + 1
+            for rk, (did, _, _, _) in enumerate(
+                sorted(_retr_scored(rows), key=lambda t: (-t[3], t[0]))[:20]
+            )
+        }
+        fused = []
+        for did in set(lex) | set(sem):
+            rrf = (10**12 // (60 + lex[did]) if did in lex else 0) + (
+                10**12 // (60 + sem[did]) if did in sem else 0
+            )
+            fused.append((did, lex.get(did), sem.get(did), rrf))
+        want = {
+            did: (lr, sr, rrf)
+            for did, lr, sr, rrf in sorted(
+                fused, key=lambda t: (-t[3], t[0])
+            )[:10]
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 _basket_rows = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=8),   # order id

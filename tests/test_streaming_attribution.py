@@ -162,6 +162,89 @@ def test_attribution_waits_for_late_touch(spark):
             shutil.rmtree(d, ignore_errors=True)
 
 
+def test_attribution_arbitrary_arrival_matches_reference(spark):
+    """Seeded randomized replay: a multi-user event stream arriving in
+    FULLY RANDOM order (disorder bounded only by the generous watermark),
+    split at random points across four checkpointed runs, must resolve
+    every purchase exactly as the event-time Python fold — per-second
+    max-channel collapse, inclusive at-or-before, lookback to 'none'.
+    (Seeded RNG over hypothesis: each streaming run costs seconds.)"""
+    import random
+
+    rng = random.Random(0xA77B)
+    base = datetime.datetime(2024, 3, 1)
+    events = []
+    for eid in range(60):
+        events.append((
+            eid,
+            rng.randrange(1, 6),
+            rng.randrange(0, 9 * 86400),  # spans past the 7d lookback
+            rng.choice(["view", "click", "purchase", "error"]),
+        ))
+    rng.shuffle(events)  # arrival order independent of event time
+    splits = sorted(rng.sample(range(1, len(events)), 3))
+    chunks = [
+        events[i:j] for i, j in zip([0] + splits, splits + [len(events)])
+    ]
+
+    src = tempfile.mkdtemp(prefix="atr_src_")
+    ckpt = tempfile.mkdtemp(prefix="atr_ck_")
+    out = tempfile.mkdtemp(prefix="atr_out_")
+    try:
+        for chunk in chunks:
+            _write(spark, src, [
+                Row(user_id=u,
+                    ts=str(base + datetime.timedelta(seconds=off)),
+                    event_id=eid, event_type=et)
+                for eid, u, off, et in chunk
+            ])
+            _run(spark, src, ckpt, out, watermark="30 days")
+        for day in (45, 46):  # push the watermark past all data + timers
+            _write(spark, src, [
+                Row(user_id=-1,
+                    ts=str(base + datetime.timedelta(days=day)),
+                    event_id=-day, event_type="__sentinel"),
+            ])
+            _run(spark, src, ckpt, out, watermark="30 days")
+
+        got = {
+            r.event_id: (r.purchase_s, r.channel)
+            for r in spark.read.parquet(out).collect()
+        }
+        # event-time Python fold (the batch kernel's semantics)
+        touches: dict = {}
+        for _eid, u, off, et in events:
+            if et != "purchase":
+                k = (u, off)
+                touches[k] = et if k not in touches else max(touches[k], et)
+        want = {}
+        offs = {}
+        for eid, u, off, et in events:
+            if et != "purchase":
+                continue
+            cand = [
+                (toff, ch) for (tu, toff), ch in touches.items()
+                if tu == u and toff <= off
+            ]
+            ch = "none"
+            if cand:
+                toff, c = max(cand)
+                if off - toff <= 7 * 86400:
+                    ch = c
+            want[eid] = ch
+            offs[eid] = off
+        assert {e: c for e, (_, c) in got.items()} == want
+        # purchase timestamps: compare relative to one anchor purchase
+        # (absolute epoch depends on the session timezone)
+        a0 = min(want)
+        assert {e: s - got[a0][0] for e, (s, _) in got.items()} == {
+            e: o - offs[a0] for e, o in offs.items()
+        }
+    finally:
+        for d in (src, ckpt, out):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def test_attribution_state_prunes_to_asof_minimum(spark):
     """After the watermark passes a run of touches, state must keep only
     the LATEST final touch (plus pending purchases): a later purchase

@@ -86,6 +86,8 @@ _SHOWCASE = [
     ("graph_label_propagation", "LPA: labels broadcast onto edge artifact, WindowGroupLimit plurality pick"),
     ("item_similarity_topk", "CF cosine top-k: basket artifact, broadcast marginals, WindowGroupLimit"),
     ("events_attribution_last_touch", "attribution: joinless as-of union+window, zero join nodes"),
+    ("search_hybrid_rrf", "hybrid search: two TakeOrdered legs, integer RRF fusion of 20-row lists"),
+    ("search_mmr_rerank", "MMR diversification: one corpus TakeOrdered, then constant-bounded unrolled picks"),
 ]
 
 _MAX_LINES = 70
