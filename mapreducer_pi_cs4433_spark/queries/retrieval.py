@@ -52,63 +52,66 @@ def _qvec_micro(spark: SparkSession, sf_dir: str) -> tuple[list[int], int]:
     return qq, sum(v * v for v in qq)
 
 
-def _rel_kernel(qq: list[int], qn2: int):
-    """Arrow-batched numpy kernel: per vector, the exact int64 squared
-    norm and the RAW cosine to the query — micro-quantized int64 dot
-    over sqrt(n2)*sqrt(qn2). Every value through the division is an
-    exact integer rendered as a double (< 2^53) or a correctly-rounded
-    sqrt of one, so the doubles are bit-identical to the oracle's scalar
-    path; F.round(..., 9) is applied JVM-side by the caller (the
-    brute_force_topk convention). No interpreted HOFs — the suite-wide
-    lambdafunction ban (test_no_interpreted_hofs_or_row_udfs_anywhere)."""
+def _sem_scored(
+    spark: SparkSession, sf_dir: str, with_embedding: bool = False
+) -> DataFrame:
+    """(doc_id, rel [, embedding]): every non-null, non-zero embedding
+    scored against the vec_id=0 query vector — ONE mapInPandas corpus
+    pass (Arrow-batched numpy), with the zero-norm drop applied INSIDE
+    the kernel so nothing re-evaluates Python for a filter (a scalar
+    struct UDF referenced by both a Filter and a Project plans as TWO
+    ArrowEvalPython passes — caught in the r7 plan audit).
+
+    The RAW cosine is the micro-quantized int64 dot over
+    sqrt(n2)*sqrt(qn2): every value through the division is an exact
+    integer rendered as a double (< 2^53) or a correctly-rounded sqrt of
+    one, so the doubles are bit-identical to the oracle's scalar path;
+    F.round(..., 9) is applied JVM-side (the brute_force_topk
+    convention). No interpreted HOFs — the suite-wide lambdafunction ban
+    (test_no_interpreted_hofs_or_row_udfs_anywhere). `with_embedding`
+    carries the raw vectors through only for the MMR pair stage, so the
+    hybrid leg never ships vectors past the scorer."""
     import numpy as np
     import pandas as pd
 
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    ).select("vec_id", "embedding")
+    qq, qn2 = _qvec_micro(spark, sf_dir)
     qa = np.asarray(qq, dtype=np.int64)
     qn = math.sqrt(float(qn2))
+    schema = "doc_id long, rel_raw double" + (
+        ", embedding array<float>" if with_embedding else ""
+    )
 
-    def _k(v):
-        if len(v) == 0:
-            return pd.DataFrame(
+    def score(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.floor(
+                np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+                * _Q_SCALE
+            ).astype(np.int64)
+            n2 = (mat * mat).sum(axis=1)
+            keep = n2 > 0
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (mat @ qa).astype(np.float64) / (
+                    np.sqrt(n2.astype(np.float64)) * qn
+                )
+            out = pd.DataFrame(
                 {
-                    "n2": pd.Series(dtype="int64"),
-                    "cos": pd.Series(dtype="float64"),
+                    "doc_id": pdf["vec_id"].to_numpy()[keep],
+                    "rel_raw": cos[keep],
                 }
             )
-        mat = np.floor(
-            np.vstack(v.to_numpy()).astype(np.float64) * _Q_SCALE
-        ).astype(np.int64)
-        n2 = (mat * mat).sum(axis=1)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            cos = (mat @ qa).astype(np.float64) / (
-                np.sqrt(n2.astype(np.float64)) * qn
-            )
-        return pd.DataFrame({"n2": n2, "cos": cos})
+            if with_embedding:
+                out["embedding"] = pdf.loc[keep, "embedding"].to_numpy()
+            yield out
 
-    # explicit returnType form: the hint-inference path rejects the
-    # Series -> DataFrame (struct) signature under pyspark 4
-    return F.pandas_udf(_k, "n2 bigint, cos double")
-
-
-def _sem_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, embedding, n2, rel): every non-null, non-zero embedding
-    scored against the vec_id=0 query vector."""
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
-    qq, qn2 = _qvec_micro(spark, sf_dir)
-    k = _rel_kernel(qq, qn2)
     return (
-        emb.select(
-            F.col("vec_id").alias("doc_id"),
-            "embedding",
-            k("embedding").alias("s"),
-        )
-        .select(
-            "doc_id",
-            "embedding",
-            F.col("s.n2").alias("n2"),
-            F.round(F.col("s.cos"), 9).alias("rel"),
-        )
-        .filter(F.col("n2") > 0)
+        emb.mapInPandas(score, schema)
+        .withColumn("rel", F.round("rel_raw", 9))
+        .drop("rel_raw")
     )
 
 
@@ -315,7 +318,7 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     score is either round9-of-exact-int-arithmetic or a single IEEE
     subtraction of two such — no accumulation order anywhere."""
     cand = (
-        _sem_scored(spark, sf_dir)
+        _sem_scored(spark, sf_dir, with_embedding=True)
         .select(F.col("doc_id").alias("id"), "embedding", "rel")
         .orderBy(F.col("rel").desc(), F.col("id").asc())
         .limit(_MMR_CANDS)

@@ -930,6 +930,13 @@ def test_hybrid_rrf_legs_are_takeordered_not_global_sorts(spark):
     plan = formatted_plan(df)
     assert plan.count("TakeOrderedAndProject") >= 3
     assert "CartesianProduct" not in plan
+    # the semantic scorer is ONE Python pass: a scalar struct UDF
+    # referenced by both a Filter and a Project would double it
+    # (formatted explain prints each node twice: tree + detail header)
+    import re
+
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+    assert "ArrowEvalPython" not in plan
 
 
 def test_mmr_is_one_corpus_pass_plus_constant_work(spark):

@@ -162,6 +162,94 @@ def test_attribution_waits_for_late_touch(spark):
             shutil.rmtree(d, ignore_errors=True)
 
 
+def test_attribution_under_rocksdb_matches_batch(spark):
+    """The attribution machine on the RocksDB state provider: identical
+    per-channel census, and the progress metrics must prove RocksDB
+    actually backed the state (the CDC/SCD2 matrix, extended)."""
+    from mapreducer_pi_cs4433_spark.queries.catalog import QUERIES
+    from mapreducer_pi_cs4433_spark.session import (
+        ROCKSDB_PROVIDER,
+        enable_rocksdb_state,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        "event_id", "event_type",
+    )
+    src = tempfile.mkdtemp(prefix="rat_src_")
+    ckpt = tempfile.mkdtemp(prefix="rat_ck_")
+    out = tempfile.mkdtemp(prefix="rat_out_")
+    try:
+        enable_rocksdb_state(spark)
+        assert (
+            spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+            == ROCKSDB_PROVIDER
+        )
+        ev.coalesce(1).write.mode("append").parquet(src)
+        saw_rocksdb = []
+
+        def _run_q():
+            stream = spark.readStream.schema(_SCHEMA).parquet(src)
+            q = (
+                attribution_stateful(stream)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            ops = (q.recentProgress or [{}])[-1].get("stateOperators") or []
+            saw_rocksdb.append(any(
+                "rocksdb" in k.lower()
+                for op in ops
+                for k in (op.get("customMetrics") or {})
+            ))
+
+        _run_q()
+        mx = ev.agg(F.max("ts").alias("m")).first().m
+        for off in (1, 2):
+            _write(spark, src, [
+                Row(user_id=-1,
+                    ts=str(mx + datetime.timedelta(seconds=off)),
+                    event_id=-off, event_type="__sentinel"),
+            ])
+            _run_q()
+        assert any(saw_rocksdb), "state operator did not run on RocksDB"
+        got = {
+            r.channel: (r.n_purchases, r.n_users)
+            for r in spark.read.parquet(out)
+            .groupBy("channel")
+            .agg(
+                F.count("*").alias("n_purchases"),
+                F.countDistinct("user_id").cast("long").alias("n_users"),
+            )
+            .collect()
+        }
+        want = {
+            r.channel: (r.n_purchases, r.n_users)
+            for r in QUERIES["events_attribution_last_touch"](
+                spark, SF_SMOKE
+            ).collect()
+        }
+        assert got == want
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        spark.conf.unset(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled"
+        )
+        for d in (src, ckpt, out):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def test_attribution_arbitrary_arrival_matches_reference(spark):
     """Seeded randomized replay: a multi-user event stream arriving in
     FULLY RANDOM order (disorder bounded only by the generous watermark),
