@@ -723,6 +723,8 @@ _DRIVER_PRIORITY = [
     # below-cap evidence package (oracle + FULL files + plan tests)
     "search_hybrid_rrf",
     "search_mmr_rerank",
+    # r7 insights addendum: forward as-of conversion-lag census
+    "events_time_to_conversion",
 ]
 
 

@@ -1,6 +1,6 @@
 """Round-7 second band: behavioral & graph insight operators.
 
-Three operators that round out the analytics families the engine ships:
+Four operators that round out the analytics families the engine ships:
 
 - ``graph_label_propagation`` — synchronous label-propagation community
   detection (fixed unrolled iterations, deterministic frequency/min-label
@@ -14,6 +14,9 @@ Three operators that round out the analytics families the engine ships:
 - ``events_attribution_last_touch`` — marketing attribution: each
   purchase credits the user's most recent non-purchase touch within the
   lookback window, via the repo's as-of machinery; census per channel.
+- ``events_time_to_conversion`` — the FORWARD as-of complement: per
+  touch, the time to the user's next purchase; conversion-lag census
+  per event type via one descending-ordered window, no join.
 
 Cross-engine determinism per the catalog rules; where doubles appear
 (cosine, lift-style ratios) they are SINGLE IEEE operations on exact
@@ -317,3 +320,121 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 _fmt_doc(events_attribution_last_touch, D=_ATTR_WINDOW_S // 86400)
+
+
+# ---------------------------------------------------------------------------
+# 4. Time-to-conversion (forward as-of)
+# ---------------------------------------------------------------------------
+
+_CONV_WINDOW_S = 7 * 86400
+
+
+@query(
+    "events_time_to_conversion",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_type,
+               epoch(date_trunc('second', ts)) AS s,
+               CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS side,
+               CASE WHEN event_type = 'purchase'
+                    THEN epoch(date_trunc('second', ts)) END AS ps
+        FROM events
+    ), nxt AS (
+        SELECT event_type, s,
+               min(ps) OVER (
+                   PARTITION BY user_id ORDER BY s DESC, side ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS next_ps
+        FROM e
+    ), lag AS (
+        SELECT event_type, next_ps - s AS lag_s,
+               CASE WHEN next_ps IS NOT NULL
+                         AND next_ps - s <= {_CONV_WINDOW_S}
+                    THEN 1 ELSE 0 END AS conv
+        FROM nxt WHERE event_type <> 'purchase'
+    ), g AS (
+        SELECT event_type,
+               count(*) AS n_touches,
+               CAST(sum(conv) AS BIGINT) AS n_converted,
+               CAST(sum(CASE WHEN conv = 1 AND lag_s < 60
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1m,
+               CAST(sum(CASE WHEN conv = 1 AND lag_s < 3600
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1h,
+               CAST(sum(CASE WHEN conv = 1 AND lag_s < 86400
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1d,
+               CAST(sum(CASE WHEN conv = 1 THEN lag_s ELSE 0 END)
+                    AS BIGINT) AS sum_lag_s
+        FROM lag GROUP BY event_type
+    )
+    SELECT event_type, n_touches, n_converted, n_within_1m, n_within_1h,
+           n_within_1d, sum_lag_s,
+           CASE WHEN n_converted = 0 THEN NULL
+                ELSE sum_lag_s // n_converted END AS avg_lag_s
+    FROM g
+    """,
+)
+def events_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-conversion census — the FORWARD as-of member of the
+    temporal family (attribution looks backward from a purchase;
+    this looks forward from every non-purchase touch to the user's NEXT
+    purchase at-or-after it): per event type, how many touches convert
+    within the {D}-day window and how fast (cumulative under-1m/1h/1d
+    bands, exact int64 lag sum, truncating-div mean).
+
+    Scale shape: a forward as-of needs no join at all — one pass tags
+    purchases with their own second, and ONE user_id window ordered by
+    (second DESC, purchase-first) takes the running min of purchase
+    seconds, which at each touch IS the nearest at-or-after purchase
+    (null-skipping min, same semantics both engines); purchases sort
+    before touches at equal seconds so a same-second conversion counts
+    with lag 0, mirroring the attribution kernel's inclusive tie. The
+    census is |types|-sized. All arithmetic is second-truncated int64;
+    the mean is a guarded truncating div (NULL when nothing converts),
+    and every conditional sum is BIGINT-cast on both sides per the
+    oracle-type guard."""
+    events = _t(spark, sf_dir, "events")
+    s = F.col("ts").cast("long")
+    side = F.when(F.col("event_type") == "purchase", 0).otherwise(1)
+    ps = F.when(F.col("event_type") == "purchase", s)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("s"), F.asc("side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = events.select(
+        "user_id", "event_type", s.alias("s"), side.alias("side"),
+        ps.alias("ps"),
+    ).withColumn("next_ps", F.min("ps").over(w))
+    lag = F.col("next_ps") - F.col("s")
+    conv = (F.col("next_ps").isNotNull() & (lag <= _CONV_WINDOW_S)).cast("int")
+    touches = tagged.filter(F.col("event_type") != "purchase").select(
+        "event_type", lag.alias("lag_s"), conv.alias("conv")
+    )
+    g = touches.groupBy("event_type").agg(
+        F.count("*").alias("n_touches"),
+        F.sum("conv").cast("long").alias("n_converted"),
+        F.sum(
+            F.when((F.col("conv") == 1) & (F.col("lag_s") < 60), 1).otherwise(0)
+        ).cast("long").alias("n_within_1m"),
+        F.sum(
+            F.when((F.col("conv") == 1) & (F.col("lag_s") < 3600), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_within_1h"),
+        F.sum(
+            F.when((F.col("conv") == 1) & (F.col("lag_s") < 86400), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_within_1d"),
+        F.sum(F.when(F.col("conv") == 1, F.col("lag_s")).otherwise(0))
+        .cast("long")
+        .alias("sum_lag_s"),
+    )
+    return g.select(
+        "event_type", "n_touches", "n_converted", "n_within_1m",
+        "n_within_1h", "n_within_1d", "sum_lag_s",
+        F.when(
+            F.col("n_converted") == 0, F.lit(None).cast("long")
+        ).otherwise(F.expr("sum_lag_s div n_converted")).alias("avg_lag_s"),
+    )
+
+
+_fmt_doc(events_time_to_conversion, D=_CONV_WINDOW_S // 86400)

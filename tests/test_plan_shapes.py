@@ -950,6 +950,18 @@ def test_mmr_is_one_corpus_pass_plus_constant_work(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_time_to_conversion_is_joinless_forward_asof(spark):
+    """The forward as-of must be ONE user_id window over one exchange —
+    zero join nodes of any kind, one events scan, census on top."""
+    df = QUERIES["events_time_to_conversion"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    for node in ("SortMergeJoin", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert node not in plan
+    assert plan.count("events.parquet") == 1
+    assert count_exchanges(df) == 2  # user window + |types| census
+
+
 def test_attribution_is_joinless_asof(spark):
     """Last-touch attribution must resolve through the as-of union +
     window kernel: ZERO join nodes of any kind, two event scans (touch

@@ -1292,6 +1292,71 @@ def test_prop_label_propagation_equals_python_fold(spark, edges):
         shutil.rmtree(d, ignore_errors=True)
 
 
+@settings(deadline=None, max_examples=10, suppress_health_check=list(HealthCheck))
+@given(rows=_attr_rows)
+def test_prop_time_to_conversion_equals_python_fold(spark, rows):
+    """The conversion census must equal the per-touch Python scan: the
+    NEAREST purchase at-or-after each touch (inclusive same-second, lag
+    0), the 7d conversion window, cumulative speed bands, exact lag sum
+    and truncating mean — including users with no purchases (censored)
+    and purchase-only corpora (empty census)."""
+    import datetime
+    import shutil
+
+    from mapreducer_pi_cs4433_spark.queries.catalog import QUERIES
+    from mapreducer_pi_cs4433_spark.queries.insights import _CONV_WINDOW_S
+
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (eid, base + datetime.timedelta(seconds=off), uid, et, 1.0)
+        for eid, (uid, off, et) in enumerate(rows)
+    ]
+    d = _tmp_sf_dir(
+        spark,
+        events=(
+            data,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double",
+        ),
+    )
+    try:
+        got = {
+            r.event_type: (
+                r.n_touches, r.n_converted, r.n_within_1m, r.n_within_1h,
+                r.n_within_1d, r.sum_lag_s, r.avg_lag_s,
+            )
+            for r in QUERIES["events_time_to_conversion"](
+                spark, d
+            ).collect()
+        }
+        purch: dict = {}
+        for uid, off, et in rows:
+            if et == "purchase":
+                purch.setdefault(uid, []).append(off)
+        agg: dict = {}
+        for uid, off, et in rows:
+            if et == "purchase":
+                continue
+            nxt = min((p for p in purch.get(uid, []) if p >= off),
+                      default=None)
+            g = agg.setdefault(et, [0, 0, 0, 0, 0, 0])
+            g[0] += 1
+            if nxt is not None and nxt - off <= _CONV_WINDOW_S:
+                lag = nxt - off
+                g[1] += 1
+                g[2] += 1 if lag < 60 else 0
+                g[3] += 1 if lag < 3600 else 0
+                g[4] += 1 if lag < 86400 else 0
+                g[5] += lag
+        want = {
+            et: (n, c, m1, h1, d1, s, (s // c if c else None))
+            for et, (n, c, m1, h1, d1, s) in agg.items()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 _vec_component = st.integers(min_value=-4, max_value=4)
 _vecs3 = st.lists(
     st.tuples(_vec_component, _vec_component, _vec_component),

@@ -88,6 +88,7 @@ _SHOWCASE = [
     ("events_attribution_last_touch", "attribution: joinless as-of union+window, zero join nodes"),
     ("search_hybrid_rrf", "hybrid search: two TakeOrdered legs, integer RRF fusion of 20-row lists"),
     ("search_mmr_rerank", "MMR diversification: one corpus TakeOrdered, then constant-bounded unrolled picks"),
+    ("events_time_to_conversion", "forward as-of: running-min purchase window, joinless, census on top"),
 ]
 
 _MAX_LINES = 70
