@@ -20,11 +20,20 @@ State per user, and why it is bounded:
 
 - pending touches — each lives at most (window + watermark lag) of
   event time: by then it has resolved one way or the other.
-- purchase seconds — pruned each batch to {p > watermark}: a purchase
-  at-or-below the watermark either just resolved every touch it could
-  ever serve (touches at s <= p with p inside their window resolve the
-  moment wm >= p; touches whose window closed resolve censored) or
-  precedes every pending touch. Steady state is the in-flight horizon,
+- purchase seconds — pruned each batch to {p >= floor(watermark)}: a
+  purchase STRICTLY below the floored watermark second can serve no
+  future touch (any still-admissible late row has event time >= the
+  watermark, so its touch second is >= floor(wm) > p), and it already
+  resolved every pending touch it could (touches at s <= p resolve the
+  moment wm >= p). The boundary second itself must be KEPT: Spark
+  admits rows with event time strictly above the SUB-SECOND watermark
+  (measured on 4.1.2: equality is dropped), so with wm = S + 0.5 a
+  touch at S + 0.6 still arrives and its FLOORED second is S — its
+  same-second lag-0 purchase (which the batch twin counts,
+  purchases-first tie) lives at exactly p == S == floor(wm). Pruning
+  with a strict > there (the pre-r8 form) silently lost that
+  conversion (tests/test_streaming_conversion.py pins it). Steady
+  state is the in-flight horizon plus at most one boundary second,
   independent of stream length.
 
 Event-time timers re-invoke users whose pending touches finalize in
@@ -127,9 +136,10 @@ def conversion_stateful(
                     still.append((eid, et, s))
             touches = still
         if purchases and wm_s > 0:
-            # every touch a final purchase could serve just resolved;
-            # only purchases ahead of the watermark can matter again
-            purchases = {p for p in purchases if p > wm_s}
+            # keep the floored-watermark second itself: a late touch at
+            # second wm_s is still admissible (event time >= watermark)
+            # and may resolve lag-0 against a purchase at wm_s
+            purchases = {p for p in purchases if p >= wm_s}
         state.update(
             (
                 [t[0] for t in touches],

@@ -113,9 +113,11 @@ def late_arrival_tagger(
             state.update((cur,))
 
     prepared = stream.withWatermark(ts_col, watermark).select(
-        F.col(user_col).alias("user_id"),
+        # cast like the attribution/conversion siblings: an int32 id
+        # column would otherwise Arrow-mismatch LATENESS_SCHEMA's longs
+        F.col(user_col).cast("long").alias("user_id"),
         F.col(ts_col).alias("__ts"),
-        F.col(id_col).alias("__id"),
+        F.col(id_col).cast("long").alias("__id"),
         "event_type",
     )
     return prepared.groupBy("user_id").applyInPandasWithState(

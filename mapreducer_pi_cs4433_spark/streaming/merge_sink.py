@@ -13,7 +13,13 @@ Per micro-batch (driven through ``foreachBatch``):
    it has already folded — a crash-replay changes neither the payload nor
    the ``n_changes`` audit counts. Ad-hoc calls without a batch_id are
    payload-idempotent only (greatest() keeps the incumbent on equal
-   (ts, event_id)) — n_changes then counts re-applications, by design;
+   (ts, event_id)) — n_changes then counts re-applications, by design —
+   and PRESERVE the last recorded batch id so they cannot erase the
+   replay guard. Batch ids are per-CHECKPOINT-LINEAGE: a restarted query
+   under a NEW checkpoint dir restarts ids at 0, which the `<=` skip
+   would read as "already folded" — a state dir is therefore tied to one
+   checkpoint lineage for its whole life (same rule Delta's
+   `txn appId/version` idempotent-writer protocol imposes);
 3. write the merged table as a NEW version directory and only then move
    the pointer file — readers resolve the pointer, so a crash mid-write
    leaves the previous version intact (write-ahead versioning on plain
@@ -139,8 +145,13 @@ def merge_cdc_batch(
         new_v = prev_v + 1
     merged.write.mode("overwrite").parquet(_version_dir(state_path, new_v))
     tmp = os.path.join(state_path, _PTR + ".tmp")
+    # An ad-hoc merge (batch_id None) on a batch-id-managed pointer must
+    # CARRY the recorded id forward: dropping it would erase the
+    # exactly-once guard, letting a crash-replay of the last streaming
+    # batch double-apply its n_changes.
+    record_id = batch_id if batch_id is not None else prev_applied
     with open(tmp, "w") as fh:
-        fh.write(str(new_v) if batch_id is None else f"{new_v}\n{batch_id}")
+        fh.write(str(new_v) if record_id is None else f"{new_v}\n{record_id}")
     os.replace(tmp, os.path.join(state_path, _PTR))  # atomic pointer move
     return new_v
 

@@ -183,3 +183,63 @@ def test_conversion_waits_for_nearer_late_purchase(spark):
     finally:
         for d in (src, ckpt, out):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_purchase_at_watermark_second_survives_prune(spark):
+    """The r8 boundary fix: a purchase at second S must SURVIVE the
+    state prune once the watermark enters second S (wm_s == floor(wm)
+    == S). Spark admits late rows strictly ABOVE the (sub-second)
+    watermark (measured: event time == watermark is dropped in 4.1.2),
+    so with wm = S + 0.5 a touch at S + 0.6 is still admissible and its
+    FLOORED touch second is S — its same-second lag-0 conversion (which
+    the batch twin counts, purchases-first tie) needs the purchase at
+    second S. The pre-r8 strict `p > wm_s` prune dropped that purchase,
+    mis-crediting the touch to a later purchase (lag 5 here) instead
+    of lag 0."""
+    src = tempfile.mkdtemp(prefix="cv3_src_")
+    ckpt = tempfile.mkdtemp(prefix="cv3_ck_")
+    out = tempfile.mkdtemp(prefix="cv3_out_")
+    try:
+        # run 1: the boundary purchase at second 10; the :20.5 row pins
+        # max event time so the post-run watermark lands INSIDE second
+        # 10 (20.5 - 10s delay = 10.5 -> floored watermark second 10)
+        _write(spark, src, [
+            Row(user_id=5, ts="2024-01-01 00:00:10", event_id=500,
+                event_type="purchase"),
+            Row(user_id=9, ts="2024-01-01 00:00:20.500", event_id=900,
+                event_type="purchase"),
+        ])
+        _run(spark, src, ckpt, out, watermark="10 seconds")
+        # run 2: another user-5 purchase at :15 — this invokes user 5's
+        # update with wm_s == 10 and triggers the prune under test
+        # (max event time stays :20.5, so the watermark stays at 10.5)
+        _write(spark, src, [
+            Row(user_id=5, ts="2024-01-01 00:00:15", event_id=501,
+                event_type="purchase"),
+        ])
+        _run(spark, src, ckpt, out, watermark="10 seconds")
+        # run 3: the late touch at 10.6 — above the 10.5 watermark, so
+        # admissible, and its floored second (10) must resolve lag-0
+        # against the retained second-10 purchase
+        _write(spark, src, [
+            Row(user_id=5, ts="2024-01-01 00:00:10.600", event_id=51,
+                event_type="click"),
+        ])
+        _run(spark, src, ckpt, out, watermark="10 seconds")
+        # sentinels: finalize anything pending + fire armed timers
+        for i, ts in enumerate(("2024-03-01 00:00:00",
+                                "2024-03-02 00:00:00")):
+            _write(spark, src, [
+                Row(user_id=-1, ts=ts, event_id=-1 - i,
+                    event_type="__sentinel"),
+            ])
+            _run(spark, src, ckpt, out, watermark="10 seconds")
+
+        got = {
+            r.event_id: (r.lag_s, r.conv)
+            for r in spark.read.parquet(out).filter("user_id = 5").collect()
+        }
+        assert got == {51: (0, 1)}
+    finally:
+        for d in (src, ckpt, out):
+            shutil.rmtree(d, ignore_errors=True)

@@ -14,6 +14,7 @@ from mapreducer_pi_cs4433_spark.queries.catalog import QUERIES
 from mapreducer_pi_cs4433_spark.sources.loaders import load_table
 from mapreducer_pi_cs4433_spark.streaming.merge_sink import (
     apply_cdc_stream,
+    last_applied_batch,
     latest_version,
     merge_cdc_batch,
     prune_versions,
@@ -124,5 +125,29 @@ def test_merge_batch_is_idempotent_and_prunable(spark):
         assert pruned == [0, 1]
         assert _snapshot(spark, state)  # latest still readable
         assert _snapshot(spark, state, version=2)  # retained window too
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
+def test_adhoc_merge_preserves_recorded_batch_id(spark):
+    """An ad-hoc merge (no batch_id) on a state dir maintained by the
+    streaming sink must CARRY the recorded batch id forward in the
+    pointer: dropping it would silently erase the exactly-once guard,
+    and a crash-replay of the last streaming batch would then
+    double-apply its n_changes."""
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    ).limit(200)
+    state = tempfile.mkdtemp(prefix="msg_state_")
+    try:
+        v0 = merge_cdc_batch(spark, events, state, batch_id=7)
+        assert last_applied_batch(state) == 7
+        v1 = merge_cdc_batch(spark, events.limit(50), state)  # ad-hoc
+        assert v1 == v0 + 1
+        assert last_applied_batch(state) == 7  # guard carried forward
+        snap = _snapshot(spark, state)
+        # crash-replay of the last STREAMING batch is still a no-op
+        assert merge_cdc_batch(spark, events, state, batch_id=7) == v1
+        assert _snapshot(spark, state) == snap
     finally:
         shutil.rmtree(state, ignore_errors=True)

@@ -83,7 +83,7 @@ _SHOWCASE = [
     ("events_late_arrival_census", "lateness bands: running-max window + census on one entity exchange"),
     ("embedding_pc1_power_iter", "exact-int PCA: checkpointed d^2 Gram from numpy GEMM partials, broadcast matvecs"),
     ("olap_grouping_sets_margins", "asymmetric grouping sets: one Expand, one exchange, dims broadcast"),
-    ("graph_label_propagation", "LPA: labels broadcast onto edge artifact, WindowGroupLimit plurality pick"),
+    ("graph_label_propagation", "LPA: size-gated label broadcast onto edge artifact, map-side partial max_by plurality pick"),
     ("item_similarity_topk", "CF cosine top-k: basket artifact, broadcast marginals, WindowGroupLimit"),
     ("events_attribution_last_touch", "attribution: joinless as-of union+window, zero join nodes"),
     ("search_hybrid_rrf", "hybrid search: two TakeOrdered legs, integer RRF fusion of 20-row lists"),
