@@ -61,6 +61,29 @@ def artifact_dir(sf_dir: str, kind: str) -> str:
     return os.path.join(root, key, kind)
 
 
+def parquet_num_rows(path: str) -> int | None:
+    """Total row count of a parquet directory from the file FOOTERS
+    alone — no Spark job, no data pages read. This is what makes
+    size-gating decisions (broadcast vs shuffle join of a node-sized
+    artifact) free: parquet stores num_rows in every footer, so the
+    count costs one metadata stat per file. Returns None when the
+    footers can't be read (artifact not built yet, non-local store
+    without a pyarrow filesystem) — callers fall back to a Spark
+    count() on the node-sized table, still cheap relative to one
+    iteration of the job being gated."""
+    try:
+        import pyarrow.parquet as pq
+
+        total = 0
+        with os.scandir(path) as it:
+            for e in it:
+                if e.is_file() and e.name.endswith(".parquet"):
+                    total += pq.read_metadata(e.path).num_rows
+        return total
+    except OSError:
+        return None
+
+
 def ensure_table(
     spark: SparkSession,
     sf_dir: str,

@@ -2470,6 +2470,41 @@ def _pagerank_oracle() -> str:
     """
 
 
+_GRAPH_BCAST_ENV = "SPARK_GRAFT_GRAPH_BROADCAST_MAX_NODES"
+# ~8M (node, value) int64 pairs ~= 128 MB raw — comfortably inside a
+# large executor's broadcast budget with room for the hash map overhead;
+# past it the hint must NOT be forced, because a forced broadcast does
+# not degrade under pressure, it OOMs the executors.
+_GRAPH_BCAST_DEFAULT_MAX_NODES = 8_000_000
+
+
+def graph_nodes_broadcastable(spark: SparkSession, sf_dir: str) -> bool:
+    """Size gate for the iterative-graph family's per-iteration join of
+    the NODE-sized label/rank table onto the edge artifact. Below the
+    crossover the measured-right plan is a forced broadcast (edges never
+    shuffle; at bench scale this halved PageRank's wall). But the node
+    table grows linearly with the corpus — at a TPC-H-shaped 100 TB the
+    part+supplier node set is billions of rows, far past any
+    broadcastable size — so the hint is gated on the node COUNT, read
+    for free from the persisted degree artifact's parquet footers
+    (fallback: one count() on the node-sized table). Above the gate the
+    join is left plain: Catalyst/AQE then picks a shuffle join keyed on
+    the edge artifact's src, which degrades gracefully instead of
+    OOMing. Both plan modes are pinned in tests/test_plan_shapes.py."""
+    import os as _os
+
+    from ..functions.artifacts import artifact_dir, parquet_num_rows
+
+    cap = int(
+        _os.environ.get(_GRAPH_BCAST_ENV, _GRAPH_BCAST_DEFAULT_MAX_NODES)
+    )
+    n = parquet_num_rows(artifact_dir(sf_dir, "pr_graph_deg"))
+    if n is None:  # footers unreadable: count the node-sized table once
+        _, deg = ensure_pagerank_graph(spark, sf_dir)
+        n = deg.count()
+    return n <= cap
+
+
 def ensure_pagerank_graph(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -2517,16 +2552,26 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier with zero out-links would otherwise leak rank mass).
 
     Scale shape per iteration: one edges⋈ranks join (the rank table is
-    node-sized and broadcast-able, edges are fact-sized) + one grouped
-    integer SUM — the canonical distributed PageRank step; unrolling keeps
-    it a single Catalyst plan, so the optimizer shares the edge/degree
-    scans across iterations via exchange reuse."""
+    node-sized; the broadcast hint is SIZE-GATED on the degree
+    artifact's footer row count — forced below the crossover, plain
+    equi-join above it so AQE picks a shuffle join instead of OOMing,
+    see graph_nodes_broadcastable) + one grouped integer SUM — the
+    canonical distributed PageRank step; unrolling keeps it a single
+    Catalyst plan, so the optimizer shares the edge/degree scans across
+    iterations via exchange reuse."""
     # The symmetrized edge list and degree table are corpus BUILD outputs
     # (every iterative graph job starts from them): persisted once via the
     # artifact store (r3 used per-invocation localCheckpoint — that stopped
     # the per-iteration lineitem re-scans, but still rebuilt the
     # distinct+union ETL on every query run).
     sym, deg = ensure_pagerank_graph(spark, sf_dir)
+    # size-gated hint (r8): force the broadcast only while the node table
+    # fits — see graph_nodes_broadcastable for the 100x rationale
+    _hint = (
+        F.broadcast
+        if graph_nodes_broadcastable(spark, sf_dir)
+        else (lambda df: df)
+    )
     r = deg.select(
         F.col("src").alias("node"), F.lit(_PR_SCALE).cast("long").alias("r")
     )
@@ -2539,7 +2584,7 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "node", F.expr("r div d").alias("c")
         )
         contrib = sym.join(
-            F.broadcast(rd), sym["src"] == rd["node"]
+            _hint(rd), sym["src"] == rd["node"]
         ).select("dst", "c")
         r = contrib.groupBy(F.col("dst").alias("node")).agg(
             F.expr(f"(15 * {_PR_SCALE} + 85 * sum(c)) div 100").alias("r")

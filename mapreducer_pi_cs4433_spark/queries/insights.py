@@ -30,7 +30,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import _fmt_doc, _t, query
-from .extensions import ensure_basket_order_brand, ensure_pagerank_graph
+from .extensions import (
+    ensure_basket_order_brand,
+    ensure_pagerank_graph,
+    graph_nodes_broadcastable,
+)
 
 # ---------------------------------------------------------------------------
 # 1. Label propagation (community detection)
@@ -90,7 +94,11 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape per iteration — identical cost profile to the PageRank
     sibling over the SAME persisted edge artifact: the node-sized label
-    table broadcasts onto the edge list (edges never shuffle), then one
+    table broadcasts onto the edge list (edges never shuffle) under the
+    SIZE GATE (graph_nodes_broadcastable: footer-counted node rows vs a
+    configurable cap — above it the join stays plain and AQE picks a
+    shuffle join, because a forced broadcast of a corpus-linear node
+    table does not degrade at 100x, it OOMs), then one
     grouped count on (dst, label) and one per-node max_by pick —
     max_by(label, struct(n, -label)) selects (count DESC, label ASC)
     as a PARTIAL-AGGREGATING second groupBy (SortAggregate, struct keys
@@ -105,13 +113,22 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Labels/nodes are int64; the oracle's row_number SQL selects the
     identical plurality winner — no ordering ambiguity anywhere."""
     sym, deg = ensure_pagerank_graph(spark, sf_dir)
+    # size-gated hint (r8), shared with the PageRank sibling: force the
+    # label-table broadcast only while the node count (free from the
+    # degree artifact's parquet footers) fits; above the crossover the
+    # join is left plain so AQE picks a shuffle join instead of OOMing
+    _hint = (
+        F.broadcast
+        if graph_nodes_broadcastable(spark, sf_dir)
+        else (lambda df: df)
+    )
     # seed from the DEGREE artifact (one row per node, node-sized parquet
     # read) rather than distinct() over the edge list — drops an
     # edge-sized exchange from the plan
     labels = deg.select(F.col("src").alias("node"), F.col("src").alias("label"))
     for _ in range(_LPA_ITERS):
         votes = (
-            sym.join(F.broadcast(labels), sym["src"] == labels["node"])
+            sym.join(_hint(labels), sym["src"] == labels["node"])
             .groupBy(F.col("dst").alias("vnode"), "label")
             .agg(F.count("*").alias("n"))
         )

@@ -976,3 +976,34 @@ def test_attribution_is_joinless_asof(spark):
                  "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert node not in plan
     assert plan.count("events.parquet") == 2
+
+
+def test_graph_broadcast_gate_modes(spark, monkeypatch):
+    """The iterative-graph family's per-iteration node-table join is
+    SIZE-GATED (r8): below the cap the broadcast hint is FORCED — it
+    must survive auto-broadcast being disabled (that is what a hint is
+    for; at bench scale it is the measured-right plan: edges never
+    shuffle). Above the cap (cap=0 here) the hint must be ABSENT and the
+    join fall back to a shuffle join, because a forced broadcast of a
+    corpus-linear node table does not degrade at 100x node counts — it
+    OOMs. Both modes, both family members."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name in ("graph_label_propagation", "graph_pagerank_suppliers"):
+            monkeypatch.delenv(
+                "SPARK_GRAFT_GRAPH_BROADCAST_MAX_NODES", raising=False
+            )
+            plan = formatted_plan(QUERIES[name](spark, SF_SMOKE))
+            assert "BroadcastExchange" in plan, name  # forced below cap
+            monkeypatch.setenv("SPARK_GRAFT_GRAPH_BROADCAST_MAX_NODES", "0")
+            plan = formatted_plan(QUERIES[name](spark, SF_SMOKE))
+            assert "BroadcastExchange" not in plan, name  # gate released
+            assert (
+                "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            ), name  # graceful shuffle-join fallback, not a nested loop
+            assert "BroadcastNestedLoopJoin" not in plan, name
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
