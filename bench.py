@@ -216,20 +216,25 @@ def _run(sf_dir: str) -> None:
     # shares 32 cores with whatever else the host runs), and recording
     # it here turns the next drift into a read-off instead of an
     # investigation.
-    probe = "window_trailing_7d_spend"
-    samples = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        QUERIES[probe](spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        samples.append(round(time.perf_counter() - t0, 3))
-    extra["variance_probe"] = {
-        "query": probe,
-        "samples": samples,
-        "min": min(samples),
-        "max": max(samples),
-    }
+    # r8 adds text_repetition: the only r7 bench-flagged drift (0.65 ->
+    # 0.99 s local, 1.52x) landed on a query the r7 diff never touched,
+    # with a plan already reduced to one corpus pass — same noise
+    # hypothesis, same instrument.
+    probes = ["window_trailing_7d_spend", "text_repetition"]
+    extra["variance_probe"] = {}
+    for probe in probes:
+        samples = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            QUERIES[probe](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            samples.append(round(time.perf_counter() - t0, 3))
+        extra["variance_probe"][probe] = {
+            "samples": samples,
+            "min": min(samples),
+            "max": max(samples),
+        }
     from mapreducer_pi_cs4433_spark.functions.artifacts import BUILD_TIMES
 
     extra["artifact_builds"] = dict(sorted(BUILD_TIMES.items()))

@@ -531,14 +531,33 @@ _DRIVER_PRIORITY = [
     "asof_last_purchase_per_click",
     "range_join_click_error_pairs",
     "window_running_spend",
-    # r7 band (13 seats): every seat is either a query whose OUTPUT
-    # CHANGED this round (the HUGEINT/boolean oracle-type purge — fresh
-    # driver evidence required, led by the r6 red row
-    # scd2_user_type_history, now fixed by construction) or one of the
-    # eight r6 below-cap queries the r6 verdict asked to seat for FIRST
-    # driver evidence. Seats funded by demoting eleven r6-driver-green
-    # entries whose code is unchanged since the r6 driver ran (listed
-    # first below the cap, per the committed zero-sum policy).
+    # r8 band (13 seats): the 13 r7-new queries (curation + insights +
+    # retrieval bands, the grouping-sets shape, time-to-conversion),
+    # seated for FIRST driver evidence per the r7 verdict's ask — all
+    # FULL-green at both SFs since they shipped, none driver-recorded
+    # yet. graph_label_propagation additionally changed this round (the
+    # size-gated broadcast), so its seat doubles as fresh-evidence-on-
+    # changed-code. Seats funded by demoting the 13 r7-driver-green
+    # entries (CORRECTNESS_r07.json, 50/50 green) whose code is
+    # unchanged since, listed first below the cap per the committed
+    # zero-sum policy.
+    "orders_pareto_frontier",
+    "shards_compaction_plan",
+    "text_vocab_coverage",
+    "scd2_asof_diff",
+    "events_late_arrival_census",
+    "embedding_pc1_power_iter",
+    "olap_grouping_sets_margins",
+    "graph_label_propagation",
+    "item_similarity_topk",
+    "events_attribution_last_touch",
+    "search_hybrid_rrf",
+    "search_mmr_rerank",
+    "events_time_to_conversion",
+    # --- 50-entry driver window ends here ---------------------------------
+    # First below the cap: the r8 demotions — all r7-driver-green
+    # (CORRECTNESS_r07.json) on code unchanged since, re-verified every
+    # round by the FULL files.
     "scd2_user_type_history",
     "scd2_point_in_time_state",
     "similarity_topk_ivfpq",
@@ -552,10 +571,8 @@ _DRIVER_PRIORITY = [
     "join_cardinality_kmv",
     "events_pattern_cep",
     "text_source_overlap",
-    # --- 50-entry driver window ends here ---------------------------------
-    # First below the cap: the r7 demotions — all r6-driver-green
-    # (CORRECTNESS_r06.json) on code unchanged since, re-verified every
-    # round by the FULL files.
+    # The r7 demotions — all r6-driver-green (CORRECTNESS_r06.json) on
+    # code unchanged since, re-verified every round by the FULL files.
     "dedup_semantic_prune",
     "dedup_semantic_stats",
     "similarity_knn_graph",
@@ -703,28 +720,9 @@ _DRIVER_PRIORITY = [
     # r6 below-cap addition: exact-quota stratified sampling (FULL-file +
     # sf0.001/sf0.01 test evidence, like the rest of the below-cap band)
     "sample_stratified_quota",
-    # r7 band (queries/curation.py): corpus curation & maintenance — new
-    # below the zero-sum window (the 13 r7 seats went to the oracle-type
-    # purge + the verdict's first-evidence asks), with the same FULL-file
-    # + sf0.001/sf0.01 test evidence as every below-cap band
-    "orders_pareto_frontier",
-    "shards_compaction_plan",
-    "text_vocab_coverage",
-    "scd2_asof_diff",
-    "events_late_arrival_census",
-    "embedding_pc1_power_iter",
-    "olap_grouping_sets_margins",
-    # r7 second band (queries/insights.py): behavioral & graph insights —
-    # same below-cap evidence package (oracle + FULL files + plan tests)
-    "graph_label_propagation",
-    "item_similarity_topk",
-    "events_attribution_last_touch",
-    # r7 third band (queries/retrieval.py): hybrid retrieval — same
-    # below-cap evidence package (oracle + FULL files + plan tests)
-    "search_hybrid_rrf",
-    "search_mmr_rerank",
-    # r7 insights addendum: forward as-of conversion-lag census
-    "events_time_to_conversion",
+    # (The 13 r7-new queries — curation/insights/retrieval bands,
+    # grouping sets, time-to-conversion — moved from here into the r8
+    # driver seats above for their first driver evidence.)
 ]
 
 

@@ -107,10 +107,8 @@ def test_driver_window_composition():
         "olap_revenue_forecast_delta", "olap_national_market_share",
         "olap_returned_item_customers", "olap_late_shipment_priority",
         "olap_min_cost_supplier", "olap_dominant_part_suppliers",
-        # r7: the asymmetric GROUPING SETS shape registered after the
-        # window filled (the r7 seats went to the oracle-type purge +
-        # first-evidence asks); FULL-file + sf-test evidence like the rest
-        "olap_grouping_sets_margins",
+        # (olap_grouping_sets_margins was seated in the r8 window for
+        # first driver evidence — it is pinned via the olap group now.)
     }
     assert below_cap_new <= set(ORACLE)
     olap = olap - below_cap_new
