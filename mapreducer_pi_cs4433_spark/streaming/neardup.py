@@ -1,0 +1,304 @@
+"""Streaming near-dup ingest — the ingest-time twin of the batch
+MinHash+LSH pipeline (``functions.dedup.minhash_lsh_pairs``, catalog
+entry ``dedup_minhash_lsh``): as document batches arrive, band their
+MinHash signatures against everything ingested BEFORE them and emit the
+exact-verified near-dup pairs, so a crawl pipeline learns "this new page
+is a near-copy of corpus doc X" at admission time instead of at the next
+full-corpus dedup run.
+
+Two layers, mirroring ``streaming/dedup.py``:
+
+- the WATERMARK-BOUNDED layer (``neardup_ingest_stream``): exact-dup
+  suppression via content digest + ``dropDuplicatesWithinWatermark`` —
+  operator state holds one digest per doc inside the watermark horizon
+  (evictable, bounded; runs under both state-store providers), so a
+  re-crawled identical page never reaches the expensive path twice
+  within the horizon;
+- the foreachBatch layer (``match_and_register_batch``): per batch,
+  MinHash the new docs, band-join them against the PERSISTED corpus
+  index (the same signature/banded/posting tables the batch artifacts
+  persist — ``functions/artifacts.py``'s build-once philosophy, here
+  grown append-only per batch), exact-verify the candidates, append the
+  verified pairs, then register the batch into the index.
+
+Batch-equivalence contract: replaying a corpus in chunks emits exactly
+``minhash_lsh_pairs`` of the full corpus (same banding, same 4-sigma
+agreement prefilter, same exact-Jaccard verification — a pair's fate
+depends only on the two documents' content, never on arrival timing),
+asserted in tests/test_streaming_neardup.py. Within-batch pairs come
+from the batch's banded self-join; cross-batch pairs from the
+batch-vs-history band join — together they cover every pair exactly
+once (a pair's LATER member sees the earlier one in history).
+
+Exactly-once without a pointer file: every write is a per-batch
+SUBDIRECTORY keyed by batch id, written with overwrite — a foreachBatch
+crash-replay rewrites the same directories with the same deterministic
+content. History reads EXCLUDE the current batch id, so a half-written
+replay attempt can never feed its own candidates.
+
+At 100 TB: the batch side of every join is batch-sized (broadcast); the
+per-batch cost is ONE scan of the banded index (equi-join on (band,
+bkey) — bucket the index by bkey to make it a local probe) plus
+candidate-restricted joins against the signature and posting tables.
+The index is the corpus's own derived state and grows with it — the
+same ~520 B/doc the batch artifacts already persist, just appended per
+batch instead of rebuilt per run; compact the per-batch parts
+periodically (sinks.compact_small_files) like any streaming sink.
+
+Reference note: the reference repo (MapReducer-PI-cs4433) has no
+streaming or dedup surface; this module extends the engine's
+LLM-pipeline family (SURVEY.md §2.8 "engine ships them anyway").
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.dedup import (
+    _banded_keys,
+    _hashed_postings,
+    minhash_signatures,
+)
+
+_PAIR_SCHEMA = "id_a long, id_b long, jaccard double"
+
+
+def _part_dir(root: str, kind: str, batch_id: int) -> str:
+    return os.path.join(root, kind, f"b{batch_id:08d}")
+
+
+def _read_parts(
+    spark: SparkSession, root: str, kind: str, exclude_batch: int
+) -> DataFrame | None:
+    """Union of all COMMITTED per-batch parts of one state table, minus
+    the batch currently being (re)processed: its directories may exist
+    from a crashed attempt and must not feed their own history."""
+    base = os.path.join(root, kind)
+    if not os.path.isdir(base):
+        return None
+    parts = sorted(
+        os.path.join(base, d)
+        for d in os.listdir(base)
+        if d.startswith("b")
+        and d != f"b{exclude_batch:08d}"
+        and os.path.exists(os.path.join(base, d, "_SUCCESS"))
+    )
+    if not parts:
+        return None
+    return spark.read.parquet(*parts)
+
+
+def read_emitted_pairs(spark: SparkSession, state_path: str) -> DataFrame:
+    """Every near-dup pair emitted so far (id_a, id_b, jaccard) — the
+    union the batch-equivalence test compares against
+    dedup.minhash_lsh_pairs of the full corpus."""
+    base = os.path.join(state_path, "pairs")
+    parts = (
+        sorted(
+            os.path.join(base, d)
+            for d in os.listdir(base)
+            if d.startswith("b")
+            and os.path.exists(os.path.join(base, d, "_SUCCESS"))
+        )
+        if os.path.isdir(base)
+        else []
+    )
+    if not parts:
+        return spark.createDataFrame([], _PAIR_SCHEMA)
+    return spark.read.parquet(*parts)
+
+
+def match_and_register_batch(
+    spark: SparkSession,
+    batch_docs: DataFrame,
+    state_path: str,
+    batch_id: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 12,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    prefilter: bool = True,
+) -> None:
+    """Fold one document batch into the near-dup index and append the
+    verified pairs it forms (within itself and against all prior
+    batches). Idempotent per batch id — see module docstring.
+
+    Same parameters and constants as the batch operator: banding at
+    bands x (num_perm/bands) rows, the threshold - 4*sigma signature
+    agreement prefilter, exact posting-intersection Jaccard — so a
+    pair's presence and value are identical whether computed here or
+    by minhash_lsh_pairs over the assembled corpus."""
+    rows_per_band = num_perm // bands
+
+    # batch-sized derived tables, each consumed by several joins below:
+    # materialize once (localCheckpoint) — the multi-consumer invariant
+    sigs_b = minhash_signatures(
+        batch_docs, text_col, id_col, k, num_perm
+    ).localCheckpoint()
+    post_b = _hashed_postings(batch_docs, text_col, id_col, k).localCheckpoint()
+    banded_b = _banded_keys(sigs_b, bands, rows_per_band).localCheckpoint()
+
+    hist_banded = _read_parts(spark, state_path, "banded", batch_id)
+    hist_sigs = _read_parts(spark, state_path, "sigs", batch_id)
+    hist_post = _read_parts(spark, state_path, "postings", batch_id)
+
+    # candidates WITHIN the batch: the batch operator's banded self-join
+    lb = banded_b.select("band", "bkey", F.col("id").alias("id_a"))
+    rb = banded_b.select(
+        F.col("band").alias("band_b"),
+        F.col("bkey").alias("bkey_b"),
+        F.col("id").alias("id_b"),
+    )
+    within = lb.join(
+        rb,
+        (lb["band"] == rb["band_b"])
+        & (lb["bkey"] == rb["bkey_b"])
+        & (lb["id_a"] < rb["id_b"]),
+    ).select("id_a", "id_b")
+
+    # candidates ACROSS: new docs vs the committed index — the batch
+    # side broadcasts (it is batch-sized by construction); the history
+    # banded table is scanned once per batch, never shuffled
+    if hist_banded is not None:
+        nb = banded_b.select(
+            F.col("band").alias("band_n"),
+            F.col("bkey").alias("bkey_n"),
+            F.col("id").alias("id_n"),
+        )
+        cross = (
+            hist_banded.join(
+                F.broadcast(nb),
+                (hist_banded["band"] == nb["band_n"])
+                & (hist_banded["bkey"] == nb["bkey_n"]),
+            )
+            .select(
+                F.least(F.col("id"), F.col("id_n")).alias("id_a"),
+                F.greatest(F.col("id"), F.col("id_n")).alias("id_b"),
+            )
+            .filter(F.col("id_a") != F.col("id_b"))
+        )
+        candidates = within.unionByName(cross).distinct()
+        all_sigs = hist_sigs.unionByName(sigs_b)
+        all_post = hist_post.unionByName(post_b)
+    else:
+        candidates = within.distinct()
+        all_sigs = sigs_b
+        all_post = post_b
+
+    if prefilter:
+        # identical constants to minhash_lsh_pairs: threshold - 4 sigma
+        # agreement floor, 64-term codegen sum (no array HOF)
+        est_floor = max(
+            0.0,
+            threshold
+            - 4.0 * math.sqrt(threshold * (1.0 - threshold) / num_perm),
+        )
+        agree = sum(
+            F.when(F.col("sig_a")[i] == F.col("sig_b")[i], 1).otherwise(0)
+            for i in range(num_perm)
+        )
+        ga = all_sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+        gb = all_sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+        candidates = (
+            candidates.join(ga, "id_a")
+            .join(gb, "id_b")
+            .filter(agree >= math.ceil(est_floor * num_perm))
+            .select("id_a", "id_b")
+        )
+
+    # exact verification — the batch operator's posting-intersection
+    # math verbatim, restricted to this batch's candidates
+    sizes = all_post.groupBy("id").agg(F.count("*").alias("n_sh"))
+    pa = all_post.select(F.col("id").alias("id_a"), "h")
+    pb = all_post.select(F.col("id").alias("_idb"), F.col("h").alias("h_b"))
+    inter = (
+        candidates.join(pa, "id_a")
+        .join(pb, (F.col("id_b") == F.col("_idb")) & (F.col("h") == F.col("h_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    pairs = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+    # pairs first, then the index parts: a crash anywhere re-runs the
+    # whole batch and overwrites every directory identically
+    pairs.write.mode("overwrite").parquet(_part_dir(state_path, "pairs", batch_id))
+    sigs_b.write.mode("overwrite").parquet(_part_dir(state_path, "sigs", batch_id))
+    banded_b.write.mode("overwrite").parquet(
+        _part_dir(state_path, "banded", batch_id)
+    )
+    post_b.write.mode("overwrite").parquet(
+        _part_dir(state_path, "postings", batch_id)
+    )
+
+
+def neardup_ingest_stream(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    k: int = 12,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    drop_exact_dups: bool = True,
+):
+    """Wire a document stream into the near-dup ingest sink; returns the
+    started StreamingQuery (caller owns trigger/termination).
+
+    ``drop_exact_dups`` turns on the watermark-bounded digest layer:
+    byte-identical re-arrivals inside the horizon are suppressed BEFORE
+    the MinHash path (they are exact dups, not near-dups — the batch
+    twin of that layer is dedup_exact / merge_into_digest_table)."""
+    os.makedirs(state_path, exist_ok=True)
+    prepared = stream
+    if drop_exact_dups:
+        prepared = (
+            prepared.withColumn("__digest", F.md5(F.col(text_col)))
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["__digest"])
+            .drop("__digest")
+        )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        match_and_register_batch(
+            batch_df.sparkSession,
+            batch_df,
+            state_path,
+            batch_id,
+            text_col=text_col,
+            id_col=id_col,
+            k=k,
+            num_perm=num_perm,
+            bands=bands,
+            threshold=threshold,
+        )
+
+    return (
+        prepared.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

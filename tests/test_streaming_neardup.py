@@ -1,0 +1,164 @@
+"""Streaming near-dup ingest tests: a chunked replay of the corpus must
+emit EXACTLY the batch operator's verified pair set (dedup_minhash_lsh —
+same banding, same prefilter, same exact-Jaccard math), under both state
+store providers; crash-replay of a batch is idempotent; the watermark
+digest layer suppresses byte-identical re-arrivals before the MinHash
+path."""
+
+from __future__ import annotations
+
+import datetime
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from mapreducer_pi_cs4433_spark.queries.catalog import QUERIES
+from mapreducer_pi_cs4433_spark.sources.loaders import load_table
+from mapreducer_pi_cs4433_spark.streaming.neardup import (
+    match_and_register_batch,
+    neardup_ingest_stream,
+    read_emitted_pairs,
+)
+
+from .conftest import SF_SMOKE
+
+_BASE_TS = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _doc_chunks(spark, extra_rows=()):
+    """The smoke corpus interleaved into 3 ingest chunks (doc_id % 3, so
+    near-dup pairs span chunk boundaries), each stamped with its own
+    ingest hour."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    rows = sorted(docs.collect(), key=lambda r: r.doc_id)
+    chunks = [[r for r in rows if r.doc_id % 3 == i] for i in range(3)]
+    for i, extra in enumerate(extra_rows):
+        chunks[i % 3].extend(extra)
+    return chunks
+
+
+def _write_chunk(spark, src, chunk, hour):
+    ts = _BASE_TS + datetime.timedelta(hours=hour)
+    spark.createDataFrame(
+        [Row(doc_id=r.doc_id, text=r.text) for r in chunk]
+    ).withColumn("ts", F.lit(ts).cast("timestamp")).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+
+def _batch_pairs(spark):
+    return {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in QUERIES["dedup_minhash_lsh"](spark, SF_SMOKE).collect()
+    }
+
+
+@pytest.mark.parametrize("provider", ["hdfs", "rocksdb"])
+def test_neardup_ingest_replay_matches_batch(spark, provider):
+    """Three-chunk replay -> the emitted pair union equals the batch
+    operator bit-for-bit (ids AND jaccard doubles: the verification is
+    the same integer math either way). Runs under both state store
+    providers (the digest layer holds the only operator state)."""
+    from mapreducer_pi_cs4433_spark.session import enable_rocksdb_state
+
+    src = tempfile.mkdtemp(prefix="nd_src_")
+    ckpt = tempfile.mkdtemp(prefix="nd_ck_")
+    state = tempfile.mkdtemp(prefix="nd_state_")
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    if provider == "rocksdb":
+        enable_rocksdb_state(spark)
+    try:
+        for i, chunk in enumerate(_doc_chunks(spark)):
+            _write_chunk(spark, src, chunk, hour=i)
+            stream = spark.readStream.schema(
+                "doc_id long, text string, ts timestamp"
+            ).option("maxFilesPerTrigger", 1).parquet(src)
+            q = neardup_ingest_stream(stream, state, ckpt)
+            q.awaitTermination(300)
+        got = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in read_emitted_pairs(spark, state).collect()
+        }
+        want = _batch_pairs(spark)
+        assert got == want
+        assert got  # the corpus has planted near-dups; empty == broken
+        # pairs must span chunk boundaries, or the test proves nothing
+        assert any(a % 3 != b % 3 for a, b, _ in got)
+    finally:
+        if provider == "rocksdb":
+            if prev is None:
+                spark.conf.unset(
+                    "spark.sql.streaming.stateStore.providerClass"
+                )
+            else:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev
+                )
+        for d in (src, ckpt, state):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_neardup_batch_replay_is_idempotent(spark):
+    """Re-running a batch id (foreachBatch crash-replay) overwrites the
+    same per-batch directories with the same content — the pair union
+    and the index parts are unchanged."""
+    chunks = _doc_chunks(spark)
+    state = tempfile.mkdtemp(prefix="ndi_state_")
+    try:
+        docs0 = spark.createDataFrame(
+            [Row(doc_id=r.doc_id, text=r.text) for r in chunks[0]]
+        )
+        docs1 = spark.createDataFrame(
+            [Row(doc_id=r.doc_id, text=r.text) for r in chunks[1]]
+        )
+        match_and_register_batch(spark, docs0, state, batch_id=0)
+        match_and_register_batch(spark, docs1, state, batch_id=1)
+        first = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in read_emitted_pairs(spark, state).collect()
+        }
+        # crash-replay of the LAST batch: same id, same docs
+        match_and_register_batch(spark, docs1, state, batch_id=1)
+        second = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in read_emitted_pairs(spark, state).collect()
+        }
+        assert first == second
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
+def test_neardup_digest_layer_suppresses_exact_dups(spark):
+    """A byte-identical re-arrival (new doc_id, same text, inside the
+    watermark horizon) is dropped by the digest layer BEFORE the MinHash
+    path: it forms no pairs (without suppression it would pair at
+    jaccard 1.0 with its twin) and the emitted set still equals the
+    batch operator on the original corpus."""
+    twin_src = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text"
+    ).orderBy("doc_id").limit(1).collect()[0]
+    dup = Row(doc_id=999_999, text=twin_src.text)
+    src = tempfile.mkdtemp(prefix="ndd_src_")
+    ckpt = tempfile.mkdtemp(prefix="ndd_ck_")
+    state = tempfile.mkdtemp(prefix="ndd_state_")
+    try:
+        chunks = _doc_chunks(spark, extra_rows=([], [dup], []))
+        for i, chunk in enumerate(chunks):
+            _write_chunk(spark, src, chunk, hour=i)
+            stream = spark.readStream.schema(
+                "doc_id long, text string, ts timestamp"
+            ).option("maxFilesPerTrigger", 1).parquet(src)
+            q = neardup_ingest_stream(stream, state, ckpt, watermark="1 day")
+            q.awaitTermination(300)
+        got = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in read_emitted_pairs(spark, state).collect()
+        }
+        assert not any(a == 999_999 or b == 999_999 for a, b, _ in got)
+        assert got == _batch_pairs(spark)
+    finally:
+        for d in (src, ckpt, state):
+            shutil.rmtree(d, ignore_errors=True)
