@@ -468,6 +468,7 @@ from . import (  # noqa: E402,F401  (registration side effect)
     extensions,
     incremental,
     insights,
+    mining,
     olap,
     pipeline_ext,
     quality,
@@ -723,6 +724,13 @@ _DRIVER_PRIORITY = [
     # (The 13 r7-new queries — curation/insights/retrieval bands,
     # grouping sets, time-to-conversion — moved from here into the r8
     # driver seats above for their first driver evidence.)
+    # r8 band (queries/mining.py): exactness & structure mining — new
+    # below the zero-sum window (the 13 r8 seats went to the r7 bands'
+    # first driver evidence), with the same FULL-file + sf0.001/sf0.01
+    # test evidence as every below-cap band
+    "dedup_prefix_filter",
+    "graph_kcore_census",
+    "text_collocation_pmi",
 ]
 
 

@@ -991,7 +991,11 @@ def test_graph_broadcast_gate_modes(spark, monkeypatch):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try:
-        for name in ("graph_label_propagation", "graph_pagerank_suppliers"):
+        for name in (
+            "graph_label_propagation",
+            "graph_pagerank_suppliers",
+            "graph_kcore_census",
+        ):
             monkeypatch.delenv(
                 "SPARK_GRAFT_GRAPH_BROADCAST_MAX_NODES", raising=False
             )
@@ -1007,3 +1011,49 @@ def test_graph_broadcast_gate_modes(spark, monkeypatch):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_prefix_filter_rare_first_window_no_cartesian(spark):
+    """Prefix filtering must read the persisted postings artifact (no
+    raw documents scan), rank tokens with ONE per-doc window (the
+    id-grain exchange), and never degrade to a cartesian/nested-loop
+    pair join — the candidate join is an equi-join on the token."""
+    df = QUERIES["dedup_prefix_filter"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert plan.count("documents.parquet") == 0  # postings artifact only
+    assert "Window" in plan
+    for node in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in plan
+    assert count_exchanges(df) <= 10
+
+
+def test_kcore_linear_plan_and_checkpointed_keepers(spark):
+    """The k-core census's LIVE plan must be the final restrict+census
+    only — the peeling rounds ran eagerly into node-sized checkpoints
+    (keeper nesting restricts the BASE artifact each round). Pins the
+    fix for the 3^peels lineage explosion the edges-carried-forward
+    unroll produced (730 exchanges at 6 peels): the live plan is 2
+    exchanges, 2 size-gated semi-joins, bounded node count."""
+    import re
+
+    df = QUERIES["graph_kcore_census"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert count_exchanges(df) == 2
+    assert has_broadcast_join(df)  # default gate mode at smoke scale
+    for node in ("CartesianProduct", "BroadcastNestedLoopJoin", "Window ("):
+        assert node not in plan
+    # plan-size regression guard: the exploded form printed ~1500 nodes
+    assert len(re.findall(r"\(\d+\) ", plan)) < 80
+
+
+def test_pmi_one_scan_one_window_takeordered(spark):
+    """PMI collocations: ONE documents scan (the vocab marginal table is
+    checkpointed, not re-tokenized per join side), ONE lead() window on
+    the (doc_id, pos) grain, and the global top-K cut planned as
+    TakeOrderedAndProject — never a global sort."""
+    df = QUERIES["text_collocation_pmi"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert plan.count("documents.parquet") == 1
+    assert "TakeOrderedAndProject" in plan
+    assert count_exchanges(df) == 2  # window grain + pair-count agg
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -1622,3 +1622,153 @@ def test_prop_item_similarity_equals_python_fold(spark, rows):
         assert got == want
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# r8 band: prefix-filter join / k-core peel / PMI collocations
+# ---------------------------------------------------------------------------
+
+_pf_docs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=60),          # doc_id
+        st.text(alphabet="ab", min_size=1, max_size=24),  # tiny alphabet:
+    ),                                                    # force collisions
+    min_size=1,
+    max_size=22,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(deadline=None, max_examples=8, suppress_health_check=list(HealthCheck))
+@given(rows=_pf_docs)
+def test_prop_prefix_filter_equals_exact_join(spark, rows):
+    """The prefix-filter theorem, empirically: on arbitrary corpora
+    (identical docs, subset docs, docs shorter than the shingle width,
+    heavy shingle collisions from a 2-letter alphabet) the pruned join
+    must emit EXACTLY the inverted-index full join's pairs — zero
+    recall loss, zero extra pairs."""
+    from mapreducer_pi_cs4433_spark.functions import dedup
+
+    df = spark.createDataFrame(list(rows), "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.prefix_filter_jaccard_pairs(
+            df, k=3, threshold=0.5
+        ).collect()
+    }
+    want = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(df, k=3, threshold=0.5).collect()
+    }
+    assert got == want
+
+
+_kcore_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=12),  # l_partkey
+        st.integers(min_value=1, max_value=6),   # l_suppkey
+    ),
+    min_size=1,
+    max_size=40,  # duplicates allowed: the edge build dedups
+)
+
+
+@settings(deadline=None, max_examples=8, suppress_health_check=list(HealthCheck))
+@given(rows=_kcore_edges)
+def test_prop_kcore_equals_python_peel(spark, rows):
+    """The fixed-peel k-core census must equal the sequential Python
+    peel on arbitrary little graphs — duplicate lineitem rows (edge
+    dedup), stars that dissolve entirely (empty census), nodes whose
+    neighbors are peeled under them mid-round."""
+    import shutil
+    from collections import defaultdict
+
+    from mapreducer_pi_cs4433_spark.queries.catalog import QUERIES
+    from mapreducer_pi_cs4433_spark.queries.mining import (
+        _KCORE_K,
+        _KCORE_PEELS,
+    )
+
+    d = _tmp_sf_dir(
+        spark, lineitem=(list(rows), "l_partkey long, l_suppkey long")
+    )
+    try:
+        got = {
+            (r.core_degree, r.n_nodes, r.n_suppliers, r.min_node)
+            for r in QUERIES["graph_kcore_census"](spark, d).collect()
+        }
+        edges = {(a, 1_000_000 + b) for a, b in rows}
+        adj = defaultdict(set)
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        nodes = set(adj)
+        for _ in range(_KCORE_PEELS):
+            nodes = {
+                n for n in nodes if len(adj[n] & nodes) >= _KCORE_K
+            }
+        deg = {n: len(adj[n] & nodes) for n in nodes}
+        by_deg = defaultdict(list)
+        for n, c in deg.items():
+            if c > 0:
+                by_deg[c].append(n)
+        want = {
+            (c, len(ns), sum(1 for n in ns if n >= 1_000_000), min(ns))
+            for c, ns in by_deg.items()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+_pmi_docs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=40),  # doc_id
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=12
+        ),
+    ),
+    min_size=1,
+    max_size=20,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(deadline=None, max_examples=8, suppress_health_check=list(HealthCheck))
+@given(rows=_pmi_docs)
+def test_prop_pmi_equals_python_counts(spark, rows):
+    """The integer-lift collocation ranking must equal the pure-Python
+    count fold — same truncating-division order, same min-support cut,
+    same (lift, support, w1, w2) total order at the top-K boundary —
+    on corpora with empty docs, one-token docs, and saturated 4-token
+    vocabularies where every bigram clears min-support."""
+    import shutil
+    from collections import Counter
+
+    from mapreducer_pi_cs4433_spark.queries.catalog import QUERIES
+    from mapreducer_pi_cs4433_spark.queries.mining import (
+        _PMI_MIN_SUPPORT,
+        _PMI_TOP_K,
+    )
+
+    docs = [(i, " ".join(ws)) for i, ws in rows]
+    d = _tmp_sf_dir(spark, documents=(docs, "doc_id long, text string"))
+    try:
+        got = [
+            (r.w1, r.w2, r.n_pair, r.lift_e9)
+            for r in QUERIES["text_collocation_pmi"](spark, d).collect()
+        ]
+        uni: Counter = Counter()
+        pair: Counter = Counter()
+        for _i, ws in rows:
+            uni.update(ws)
+            pair.update(zip(ws, ws[1:]))
+        scored = [
+            (w1, w2, c, (c * 1_000_000 // uni[w1] * 1_000) // uni[w2])
+            for (w1, w2), c in pair.items()
+            if c >= _PMI_MIN_SUPPORT
+        ]
+        scored.sort(key=lambda t: (-t[3], -t[2], t[0], t[1]))
+        assert got == scored[:_PMI_TOP_K]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
