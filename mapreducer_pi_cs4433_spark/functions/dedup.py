@@ -139,6 +139,61 @@ def ngram_jaccard_pairs(
     )
 
 
+def _prefix_index(posting: DataFrame, threshold: float) -> DataFrame:
+    """(id, h, pos, n_sh) — each doc's rare-first token prefix: tokens
+    ranked by (global document frequency asc, hash asc) within the doc,
+    cut at p = n - ceil(t*n) + 1. This IS AllPairs' "prefix index" — a
+    corpus BUILD output (one token-keyed df count + one id-keyed window
+    over the postings), persisted via ensure_prefix_index so queries
+    read a ~p-per-doc parquet instead of re-ranking the posting table
+    (measured 5.7 s of the live query at sf0.1 before persisting)."""
+    from pyspark.sql.window import Window
+
+    sizes = posting.groupBy("id").agg(F.count("*").alias("n_sh"))
+    dfreq = posting.groupBy("h").agg(F.count("*").alias("dfq"))
+    return (
+        posting.join(dfreq, "h")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(
+                    F.col("dfq").asc(), F.col("h").asc()
+                )
+            ),
+        )
+        .join(sizes, "id")
+        .filter(
+            F.col("pos")
+            <= F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(threshold)) + 1
+        )
+        .select("id", "h", "pos", "n_sh")
+    )
+
+
+def ensure_prefix_index(
+    spark,
+    df: DataFrame,
+    sf_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Persisted AllPairs prefix index — build-once sibling of
+    ensure_postings (the threshold is part of the key: the prefix cut
+    depends on it)."""
+    from .artifacts import ensure_table
+
+    return ensure_table(
+        spark,
+        sf_dir,
+        f"pf_prefix_k{k}_t{threshold}",
+        lambda: _prefix_index(
+            _hashed_postings(df, text_col, id_col, k), threshold
+        ),
+    )
+
+
 def prefix_filter_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -146,6 +201,7 @@ def prefix_filter_jaccard_pairs(
     k: int = 5,
     threshold: float = 0.5,
     posting: DataFrame | None = None,
+    prefix: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard pairs via PREFIX FILTERING (AllPairs/PPJoin family)
     — the recall-LOSSLESS alternative to MinHash banding for the same
@@ -177,35 +233,59 @@ def prefix_filter_jaccard_pairs(
 
     Output (id_a, id_b, jaccard) equals ngram_jaccard_pairs exactly
     (property-tested); jaccard is one int/int IEEE division.
-    """
-    from pyspark.sql.window import Window
 
+    `posting` / `prefix` accept the PERSISTED artifact tables
+    (ensure_postings / ensure_prefix_index) — per-doc content-determined
+    values, same subset-equals-recompute property as the MinHash
+    artifacts.
+    """
     if posting is None:
         posting = _hashed_postings(df, text_col, id_col, k)
     sizes = posting.groupBy("id").agg(F.count("*").alias("n_sh"))
-    dfreq = posting.groupBy("h").agg(F.count("*").alias("dfq"))
-    ranked = (
-        posting.join(dfreq, "h")
-        .withColumn(
-            "pos",
-            F.row_number().over(
-                Window.partitionBy("id").orderBy(
-                    F.col("dfq").asc(), F.col("h").asc()
-                )
-            ),
-        )
-        .join(sizes, "id")
-        # prefix length p = n - ceil(t*n) + 1
-        .filter(
-            F.col("pos")
-            <= F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(threshold)) + 1
-        )
-        .select("id", "h")
+    if prefix is None:
+        prefix = _prefix_index(posting, threshold)
+    ranked = prefix
+    pa = ranked.select(
+        "h",
+        F.col("id").alias("id_a"),
+        F.col("pos").alias("pos_a"),
+        F.col("n_sh").alias("n_a"),
     )
-    pa = ranked.select("h", F.col("id").alias("id_a"))
-    pb = ranked.select(F.col("h").alias("h_b"), F.col("id").alias("id_b"))
+    pb = ranked.select(
+        F.col("h").alias("h_b"),
+        F.col("id").alias("id_b"),
+        F.col("pos").alias("pos_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    # Two further LOSSLESS prunes (PPJoin's length + positional filters),
+    # applied per matched row before the pair dedup (measured at sf0.1:
+    # 2.8M raw matches -> 665k rows -> 264k pairs at t=0.5):
+    # - length: J >= t forces t*max(|A|,|B|) <= |A ∩ B| <= min(|A|,|B|);
+    # - positional: for the pair's FIRST shared prefix token no common
+    #   token precedes it in either doc (prefixes hold each doc's
+    #   globally-smallest tokens, so an earlier common token would be an
+    #   earlier shared prefix token), hence |A ∩ B| <= 1 + min(n_a -
+    #   pos_a, n_b - pos_b); requiring that bound to reach the overlap
+    #   floor alpha = ceil(t/(1+t)*(n_a+n_b)) can only drop rows whose
+    #   pair, if true, keeps its first-token row (minimal positions =
+    #   maximal bound).
+    alpha = F.ceil(
+        (F.col("n_a") + F.col("n_b")) * F.lit(threshold / (1.0 + threshold))
+    )
     candidates = (
         pa.join(pb, (pa["h"] == pb["h_b"]) & (pa["id_a"] < pb["id_b"]))
+        .filter(
+            (F.col("n_b") >= F.ceil(F.col("n_a") * F.lit(threshold)))
+            & (F.col("n_a") >= F.ceil(F.col("n_b") * F.lit(threshold)))
+            & (
+                1
+                + F.least(
+                    F.col("n_a") - F.col("pos_a"),
+                    F.col("n_b") - F.col("pos_b"),
+                )
+                >= alpha
+            )
+        )
         .select("id_a", "id_b")
         .distinct()
     )

@@ -881,7 +881,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
 
 
-_NGRAM_JACCARD_ORACLE = f"""
+def _ngram_jaccard_oracle(threshold: float) -> str:
+    """Exact shingle-Jaccard pair SQL at `threshold` — shared by the
+    t=0.5 dedup family entries below and (at t=0.7) the r8
+    dedup_prefix_filter entry; rendering at _JACCARD_T reproduces the
+    historical _NGRAM_JACCARD_ORACLE byte-for-byte."""
+    return f"""
     WITH d AS (
         SELECT doc_id, regexp_replace(text, '\\s+', ' ', 'g') AS norm
         FROM documents
@@ -900,8 +905,11 @@ _NGRAM_JACCARD_ORACLE = f"""
     )
     SELECT id_a, id_b, c / (sa.n + sb.n - c) AS jaccard
     FROM i JOIN sz sa ON id_a = sa.id JOIN sz sb ON id_b = sb.id
-    WHERE c / (sa.n + sb.n - c) >= {_JACCARD_T}
+    WHERE c / (sa.n + sb.n - c) >= {threshold}
     """
+
+
+_NGRAM_JACCARD_ORACLE = _ngram_jaccard_oracle(_JACCARD_T)
 
 
 @query("dedup_ngram_jaccard", oracle=_NGRAM_JACCARD_ORACLE)

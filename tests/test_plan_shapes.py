@@ -1013,15 +1013,16 @@ def test_graph_broadcast_gate_modes(spark, monkeypatch):
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 
 
-def test_prefix_filter_rare_first_window_no_cartesian(spark):
-    """Prefix filtering must read the persisted postings artifact (no
-    raw documents scan), rank tokens with ONE per-doc window (the
-    id-grain exchange), and never degrade to a cartesian/nested-loop
-    pair join — the candidate join is an equi-join on the token."""
+def test_prefix_filter_artifact_backed_no_cartesian(spark):
+    """Prefix filtering's LIVE plan must read only the persisted
+    artifacts (no raw documents scan, and no Window — the rare-first
+    per-doc ranking ran once at prefix-index BUILD time) and never
+    degrade to a cartesian/nested-loop pair join — the candidate join
+    is an equi-join on the token."""
     df = QUERIES["dedup_prefix_filter"](spark, SF_SMOKE)
     plan = formatted_plan(df)
-    assert plan.count("documents.parquet") == 0  # postings artifact only
-    assert "Window" in plan
+    assert plan.count("documents.parquet") == 0  # artifacts only
+    assert "Window (" not in plan  # ranking amortized into the artifact
     for node in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         assert node not in plan
     assert count_exchanges(df) <= 10

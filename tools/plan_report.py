@@ -90,7 +90,7 @@ _SHOWCASE = [
     ("search_mmr_rerank", "MMR diversification: one corpus TakeOrdered, then constant-bounded unrolled picks"),
     ("events_time_to_conversion", "forward as-of: running-min purchase window, joinless, census on top"),
     # round 8: exactness & structure mining band
-    ("dedup_prefix_filter", "AllPairs prefix filter: rare-first per-doc window, lossless candidate equi-join"),
+    ("dedup_prefix_filter", "AllPairs prefix filter: persisted rare-first index, lossless pruned equi-join"),
     ("graph_kcore_census", "k-core peel: node-sized checkpointed keepers, 2-exchange live plan, size-gated joins"),
     ("text_collocation_pmi", "PMI collocations: one lead() window, integer lift, TakeOrdered top-K"),
 ]
