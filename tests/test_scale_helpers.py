@@ -647,3 +647,26 @@ def test_orc_roundtrip_schema_and_pushdown(spark):
         assert "PushedFilters" in plan and "doc_id" in plan
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_parquet_num_rows_matches_spark_count(spark, tmp_path, monkeypatch):
+    """parquet_num_rows (the free footer count behind the iterative-graph
+    broadcast size gate) must equal the Spark count of the same artifact,
+    and return None for unreadable/missing paths so callers fall back to
+    a real count instead of gating on garbage."""
+    from mapreducer_pi_cs4433_spark.functions.artifacts import (
+        artifact_dir,
+        ensure_table,
+        parquet_num_rows,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    ensure_table(
+        spark,
+        "/some/corpus",
+        "rows_probe",
+        lambda: spark.range(123).repartition(4),
+    )
+    path = artifact_dir("/some/corpus", "rows_probe")
+    assert parquet_num_rows(path) == 123
+    assert parquet_num_rows(path + "_missing") is None
