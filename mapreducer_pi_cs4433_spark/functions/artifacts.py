@@ -80,7 +80,13 @@ def parquet_num_rows(path: str) -> int | None:
                 if e.is_file() and e.name.endswith(".parquet"):
                     total += pq.read_metadata(e.path).num_rows
         return total
-    except OSError:
+    except (OSError, ImportError, ValueError):
+        # OSError: missing/unlistable path; ImportError: no pyarrow in
+        # this environment; ValueError covers pyarrow's ArrowInvalid
+        # (a ValueError subclass) from a footer another process is
+        # mid-writing — all three are the documented fall-back-to-count
+        # cases, not crashes (r8 self-review: only OSError was caught,
+        # so a missing pyarrow crashed every gated graph query)
         return None
 
 

@@ -139,6 +139,41 @@ def ngram_jaccard_pairs(
     )
 
 
+def verify_exact_jaccard(
+    candidates: DataFrame, posting: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact posting-intersection verification of (id_a, id_b) candidate
+    pairs -> (id_a, id_b, jaccard >= threshold). The shared tail of every
+    candidate generator that is NOT the full inverted-index join: the
+    prefix-filter operator and the streaming near-dup ingest both call
+    this (r8 self-review: each had carried its own copy), so the "same
+    exact math as ngram_jaccard_pairs" equivalence the oracles rely on
+    has one definition. Intersection via two posting joins restricted to
+    the candidates (relational, no array ops); jaccard is one int/int
+    IEEE division."""
+    sizes = posting.groupBy("id").agg(F.count("*").alias("n_sh"))
+    pa = posting.select(F.col("id").alias("id_a"), "h")
+    pb = posting.select(F.col("id").alias("_idb"), F.col("h").alias("h_b"))
+    inter = (
+        candidates.join(pa, "id_a")
+        .join(pb, (F.col("id_b") == F.col("_idb")) & (F.col("h") == F.col("h_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def _prefix_index(posting: DataFrame, threshold: float) -> DataFrame:
     """(id, h, pos, n_sh) — each doc's rare-first token prefix: tokens
     ranked by (global document frequency asc, hash asc) within the doc,
@@ -178,10 +213,14 @@ def ensure_prefix_index(
     id_col: str = "doc_id",
     k: int = 5,
     threshold: float = 0.5,
+    posting: DataFrame | None = None,
 ) -> DataFrame:
     """Persisted AllPairs prefix index — build-once sibling of
     ensure_postings (the threshold is part of the key: the prefix cut
-    depends on it)."""
+    depends on it). Builds FROM the postings artifact (built here if the
+    caller doesn't pass it): the ranking needs only (id, h), so
+    re-shingling the raw corpus for it would be a duplicated full-corpus
+    pass at build time (r8 self-review)."""
     from .artifacts import ensure_table
 
     return ensure_table(
@@ -189,7 +228,10 @@ def ensure_prefix_index(
         sf_dir,
         f"pf_prefix_k{k}_t{threshold}",
         lambda: _prefix_index(
-            _hashed_postings(df, text_col, id_col, k), threshold
+            posting
+            if posting is not None
+            else ensure_postings(spark, df, sf_dir, text_col, id_col, k),
+            threshold,
         ),
     )
 
@@ -241,7 +283,6 @@ def prefix_filter_jaccard_pairs(
     """
     if posting is None:
         posting = _hashed_postings(df, text_col, id_col, k)
-    sizes = posting.groupBy("id").agg(F.count("*").alias("n_sh"))
     if prefix is None:
         prefix = _prefix_index(posting, threshold)
     ranked = prefix
@@ -289,27 +330,7 @@ def prefix_filter_jaccard_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # exact verification — identical to the LSH path's tail
-    va = posting.select(F.col("id").alias("id_a"), "h")
-    vb = posting.select(F.col("id").alias("_idb"), F.col("h").alias("h_b"))
-    inter = (
-        candidates.join(va, "id_a")
-        .join(vb, (F.col("id_b") == F.col("_idb")) & (F.col("h") == F.col("h_b")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return verify_exact_jaccard(candidates, posting, threshold)
 
 
 def minhash_signatures(

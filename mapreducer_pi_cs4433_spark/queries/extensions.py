@@ -2513,6 +2513,16 @@ def graph_nodes_broadcastable(spark: SparkSession, sf_dir: str) -> bool:
     return n <= cap
 
 
+def graph_broadcast_hint(spark: SparkSession, sf_dir: str):
+    """The size-gated join hint every iterative-graph member applies to
+    its node-sized table (labels / ranks / keepers): F.broadcast below
+    the crossover, identity above it (one definition for the whole
+    family — LPA, PageRank, k-core each used to carry a copy)."""
+    if graph_nodes_broadcastable(spark, sf_dir):
+        return F.broadcast
+    return lambda df: df
+
+
 def ensure_pagerank_graph(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -2575,11 +2585,7 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym, deg = ensure_pagerank_graph(spark, sf_dir)
     # size-gated hint (r8): force the broadcast only while the node table
     # fits — see graph_nodes_broadcastable for the 100x rationale
-    _hint = (
-        F.broadcast
-        if graph_nodes_broadcastable(spark, sf_dir)
-        else (lambda df: df)
-    )
+    _hint = graph_broadcast_hint(spark, sf_dir)
     r = deg.select(
         F.col("src").alias("node"), F.lit(_PR_SCALE).cast("long").alias("r")
     )

@@ -33,7 +33,7 @@ from .catalog import _fmt_doc, _t, query
 from .extensions import (
     ensure_basket_order_brand,
     ensure_pagerank_graph,
-    graph_nodes_broadcastable,
+    graph_broadcast_hint,
 )
 
 # ---------------------------------------------------------------------------
@@ -117,11 +117,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # label-table broadcast only while the node count (free from the
     # degree artifact's parquet footers) fits; above the crossover the
     # join is left plain so AQE picks a shuffle join instead of OOMing
-    _hint = (
-        F.broadcast
-        if graph_nodes_broadcastable(spark, sf_dir)
-        else (lambda df: df)
-    )
+    _hint = graph_broadcast_hint(spark, sf_dir)
     # seed from the DEGREE artifact (one row per node, node-sized parquet
     # read) rather than distinct() over the edge list — drops an
     # edge-sized exchange from the plan

@@ -39,7 +39,7 @@ from .extensions import (
     _SHINGLE_K,
     _ngram_jaccard_oracle,
     ensure_pagerank_graph,
-    graph_nodes_broadcastable,
+    graph_broadcast_hint,
 )
 
 # ---------------------------------------------------------------------------
@@ -83,13 +83,19 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification against the postings artifact. No recall to account
     for."""
     docs = _t(spark, sf_dir, "documents")
+    posting = dedup.ensure_postings(spark, docs, sf_dir, k=_SHINGLE_K)
     return dedup.prefix_filter_jaccard_pairs(
         docs,
         k=_SHINGLE_K,
         threshold=_PF_THRESHOLD,
-        posting=dedup.ensure_postings(spark, docs, sf_dir, k=_SHINGLE_K),
+        posting=posting,
         prefix=dedup.ensure_prefix_index(
-            spark, docs, sf_dir, k=_SHINGLE_K, threshold=_PF_THRESHOLD
+            spark,
+            docs,
+            sf_dir,
+            k=_SHINGLE_K,
+            threshold=_PF_THRESHOLD,
+            posting=posting,
         ),
     )
 
@@ -168,11 +174,7 @@ def _kcore_degree_table(
     tripled its fact-sized subtree per round (3^peels plan explosion:
     730 exchanges at 6 peels, caught by plan inspection r8)."""
     sym, _deg = ensure_pagerank_graph(spark, sf_dir)
-    _hint = (
-        F.broadcast
-        if graph_nodes_broadcastable(spark, sf_dir)
-        else (lambda df: df)
-    )
+    _hint = graph_broadcast_hint(spark, sf_dir)
     keep = None
     for _ in range(peels):
         edges = sym if keep is None else _restrict(sym, keep, _hint)

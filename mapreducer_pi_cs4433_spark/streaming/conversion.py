@@ -129,8 +129,17 @@ def conversion_stateful(
             for eid, et, s in sorted(touches, key=lambda t: (t[2], t[0])):
                 nxt = min((p for p in purchases if p >= s), default=None)
                 if nxt is not None and nxt <= s + w and wm_s >= nxt:
+                    # resolving at wm_s == nxt is safe: a late event is
+                    # strictly above the sub-second watermark, so its
+                    # floored second is >= wm_s == nxt — never NEARER
                     out.append((user, eid, et, s, nxt - s, 1))
-                elif wm_s >= s + w:
+                elif wm_s > s + w:
+                    # censor only STRICTLY past the window-end second:
+                    # at wm_s == s + w a late purchase flooring to
+                    # exactly s + w is still admissible and the batch
+                    # twin counts it (lag <= window, inclusive) — the
+                    # same floored-boundary class as the purchase-prune
+                    # fix below (caught by r8 self-review)
                     out.append((user, eid, et, s, None, 0))
                 else:
                     still.append((eid, et, s))

@@ -34,7 +34,12 @@ Exactly-once without a pointer file: every write is a per-batch
 SUBDIRECTORY keyed by batch id, written with overwrite — a foreachBatch
 crash-replay rewrites the same directories with the same deterministic
 content. History reads EXCLUDE the current batch id, so a half-written
-replay attempt can never feed its own candidates.
+replay attempt can never feed its own candidates. Batch ids are
+per-CHECKPOINT-LINEAGE (they restart at 0 under a new checkpoint dir),
+so a state dir is tied to one lineage for life — enforced: an id below
+the newest committed batch (impossible for a true crash-replay, which
+only ever re-delivers the last batch) raises instead of overwriting
+committed index parts.
 
 At 100 TB: the batch side of every join is batch-sized (broadcast); the
 per-batch cost is ONE scan of the banded index (equi-join on (band,
@@ -62,6 +67,7 @@ from ..functions.dedup import (
     _banded_keys,
     _hashed_postings,
     minhash_signatures,
+    verify_exact_jaccard,
 )
 
 _PAIR_SCHEMA = "id_a long, id_b long, jaccard double"
@@ -71,22 +77,30 @@ def _part_dir(root: str, kind: str, batch_id: int) -> str:
     return os.path.join(root, kind, f"b{batch_id:08d}")
 
 
+def _committed_batches(root: str, kind: str) -> list[int]:
+    """Batch ids with a committed (_SUCCESS) part for one state table."""
+    base = os.path.join(root, kind)
+    if not os.path.isdir(base):
+        return []
+    return sorted(
+        int(d[1:])
+        for d in os.listdir(base)
+        if d.startswith("b")
+        and os.path.exists(os.path.join(base, d, "_SUCCESS"))
+    )
+
+
 def _read_parts(
     spark: SparkSession, root: str, kind: str, exclude_batch: int
 ) -> DataFrame | None:
     """Union of all COMMITTED per-batch parts of one state table, minus
     the batch currently being (re)processed: its directories may exist
     from a crashed attempt and must not feed their own history."""
-    base = os.path.join(root, kind)
-    if not os.path.isdir(base):
-        return None
-    parts = sorted(
-        os.path.join(base, d)
-        for d in os.listdir(base)
-        if d.startswith("b")
-        and d != f"b{exclude_batch:08d}"
-        and os.path.exists(os.path.join(base, d, "_SUCCESS"))
-    )
+    parts = [
+        _part_dir(root, kind, b)
+        for b in _committed_batches(root, kind)
+        if b != exclude_batch
+    ]
     if not parts:
         return None
     return spark.read.parquet(*parts)
@@ -96,20 +110,10 @@ def read_emitted_pairs(spark: SparkSession, state_path: str) -> DataFrame:
     """Every near-dup pair emitted so far (id_a, id_b, jaccard) — the
     union the batch-equivalence test compares against
     dedup.minhash_lsh_pairs of the full corpus."""
-    base = os.path.join(state_path, "pairs")
-    parts = (
-        sorted(
-            os.path.join(base, d)
-            for d in os.listdir(base)
-            if d.startswith("b")
-            and os.path.exists(os.path.join(base, d, "_SUCCESS"))
-        )
-        if os.path.isdir(base)
-        else []
-    )
-    if not parts:
+    got = _read_parts(spark, state_path, "pairs", exclude_batch=-1)
+    if got is None:
         return spark.createDataFrame([], _PAIR_SCHEMA)
-    return spark.read.parquet(*parts)
+    return got
 
 
 def match_and_register_batch(
@@ -134,6 +138,20 @@ def match_and_register_batch(
     agreement prefilter, exact posting-intersection Jaccard — so a
     pair's presence and value are identical whether computed here or
     by minhash_lsh_pairs over the assembled corpus."""
+    committed = _committed_batches(state_path, "pairs")
+    if committed and batch_id < committed[-1]:
+        # Batch ids are per-CHECKPOINT-LINEAGE (they restart at 0 under
+        # a new checkpoint dir): an id BELOW the newest committed batch
+        # is not a crash-replay (foreachBatch only ever replays the
+        # last batch) — it is a restarted query pointed at an old state
+        # dir, and overwriting committed parts would corrupt the index
+        # and hide history from the candidate join. Same contract
+        # merge_sink.py documents; here it is enforced.
+        raise ValueError(
+            f"batch_id {batch_id} is below the newest committed batch "
+            f"{committed[-1]}: this state dir belongs to another "
+            "checkpoint lineage; use a fresh state_path for a new query"
+        )
     rows_per_band = num_perm // bands
 
     # batch-sized derived tables, each consumed by several joins below:
@@ -213,29 +231,10 @@ def match_and_register_batch(
         )
 
     # exact verification — the batch operator's posting-intersection
-    # math verbatim, restricted to this batch's candidates
-    sizes = all_post.groupBy("id").agg(F.count("*").alias("n_sh"))
-    pa = all_post.select(F.col("id").alias("id_a"), "h")
-    pb = all_post.select(F.col("id").alias("_idb"), F.col("h").alias("h_b"))
-    inter = (
-        candidates.join(pa, "id_a")
-        .join(pb, (F.col("id_b") == F.col("_idb")) & (F.col("h") == F.col("h_b")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    pairs = (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_common")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    # math via the SHARED helper (one definition of the "same math as
+    # ngram_jaccard_pairs" contract), restricted to this batch's
+    # candidates
+    pairs = verify_exact_jaccard(candidates, all_post, threshold)
 
     # pairs first, then the index parts: a crash anywhere re-runs the
     # whole batch and overwrites every directory identically

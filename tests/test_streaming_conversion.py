@@ -23,10 +23,12 @@ from .conftest import SF_SMOKE
 _SCHEMA = "user_id long, ts timestamp, event_id long, event_type string"
 
 
-def _run(spark, src, ckpt, out, watermark="1 second"):
+def _run(spark, src, ckpt, out, watermark="1 second", window_seconds=7 * 86_400):
     stream = spark.readStream.schema(_SCHEMA).parquet(src)
     q = (
-        conversion_stateful(stream, watermark=watermark)
+        conversion_stateful(
+            stream, watermark=watermark, window_seconds=window_seconds
+        )
         .writeStream.format("parquet")
         .option("path", out)
         .option("checkpointLocation", ckpt)
@@ -240,6 +242,58 @@ def test_purchase_at_watermark_second_survives_prune(spark):
             for r in spark.read.parquet(out).filter("user_id = 5").collect()
         }
         assert got == {51: (0, 1)}
+    finally:
+        for d in (src, ckpt, out):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_censor_waits_past_window_end_second(spark):
+    """The r8 self-review boundary fix, mirror image of the purchase
+    prune: a touch must NOT censor while the watermark merely ENTERS the
+    window-end second (wm_s == s + w) — a late purchase flooring to
+    exactly s + w is still admissible and the batch twin counts it
+    (lag <= window, inclusive). The pre-fix `wm_s >= s + w` censored at
+    the boundary and lost the lag-20 conversion constructed here."""
+    src = tempfile.mkdtemp(prefix="cv4_src_")
+    ckpt = tempfile.mkdtemp(prefix="cv4_ck_")
+    out = tempfile.mkdtemp(prefix="cv4_out_")
+    kw = {"watermark": "10 seconds", "window_seconds": 20}
+    try:
+        # touch at second 100, window 20 -> window end second 120; the
+        # :130.5 pin row puts the watermark at 120.5 (wm_s == 120)
+        _write(spark, src, [
+            Row(user_id=7, ts="2024-01-01 00:01:40", event_id=70,
+                event_type="view"),
+            Row(user_id=9, ts="2024-01-01 00:02:10.500", event_id=900,
+                event_type="purchase"),
+        ])
+        _run(spark, src, ckpt, out, **kw)
+        # run 2: an OUT-of-window user-7 purchase (second 125) invokes
+        # the update at wm_s == 120: the pre-fix code censored here
+        _write(spark, src, [
+            Row(user_id=7, ts="2024-01-01 00:02:05", event_id=701,
+                event_type="purchase"),
+        ])
+        _run(spark, src, ckpt, out, **kw)
+        # run 3: the late purchase at 120.7 — above the 120.5 watermark,
+        # floors to second 120 == s + w -> in-window, converts lag 20
+        _write(spark, src, [
+            Row(user_id=7, ts="2024-01-01 00:02:00.700", event_id=702,
+                event_type="purchase"),
+        ])
+        _run(spark, src, ckpt, out, **kw)
+        for i, ts in enumerate(("2024-03-01 00:00:00",
+                                "2024-03-02 00:00:00")):
+            _write(spark, src, [
+                Row(user_id=-1, ts=ts, event_id=-1 - i,
+                    event_type="__sentinel"),
+            ])
+            _run(spark, src, ckpt, out, **kw)
+        got = {
+            r.event_id: (r.lag_s, r.conv)
+            for r in spark.read.parquet(out).filter("user_id = 7").collect()
+        }
+        assert got == {70: (20, 1)}
     finally:
         for d in (src, ckpt, out):
             shutil.rmtree(d, ignore_errors=True)

@@ -162,3 +162,27 @@ def test_neardup_digest_layer_suppresses_exact_dups(spark):
     finally:
         for d in (src, ckpt, state):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_neardup_rejects_foreign_checkpoint_lineage(spark):
+    """Batch ids restart at 0 under a new checkpoint dir, so an id BELOW
+    the newest committed batch is a restarted query pointed at an old
+    state dir — it must raise instead of overwriting committed index
+    parts and hiding history (a true crash-replay only ever re-delivers
+    the LAST batch, which stays allowed and idempotent)."""
+    import pytest as _pytest
+
+    chunks = _doc_chunks(spark)
+    state = tempfile.mkdtemp(prefix="ndl_state_")
+    try:
+        docs0 = spark.createDataFrame(
+            [Row(doc_id=r.doc_id, text=r.text) for r in chunks[0]]
+        )
+        match_and_register_batch(spark, docs0, state, batch_id=0)
+        match_and_register_batch(spark, docs0, state, batch_id=1)
+        with _pytest.raises(ValueError, match="checkpoint lineage"):
+            match_and_register_batch(spark, docs0, state, batch_id=0)
+        # the last committed id remains a legal (idempotent) replay
+        match_and_register_batch(spark, docs0, state, batch_id=1)
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
