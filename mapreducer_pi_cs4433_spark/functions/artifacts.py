@@ -67,18 +67,30 @@ def parquet_num_rows(path: str) -> int | None:
     size-gating decisions (broadcast vs shuffle join of a node-sized
     artifact) free: parquet stores num_rows in every footer, so the
     count costs one metadata stat per file. Returns None when the
-    footers can't be read (artifact not built yet, non-local store
-    without a pyarrow filesystem) — callers fall back to a Spark
-    count() on the node-sized table, still cheap relative to one
-    iteration of the job being gated."""
+    footers can't be read OR can't be trusted as the table's total —
+    artifact not built yet / build killed mid-write (no _SUCCESS
+    marker: summing the surviving footers would return a PARTIAL count
+    rather than the table's), a partition_by layout (data files nested
+    in subdirectories: the top-level scan would see zero files and
+    report 0 rows for a populated table), or a non-local store without
+    a pyarrow filesystem — callers fall back to a Spark count() on the
+    node-sized table, still cheap relative to one iteration of the job
+    being gated (r9 advice: the pre-fix version violated this contract
+    on both unreachable-but-documented edges)."""
     try:
         import pyarrow.parquet as pq
 
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            return None
         total = 0
+        n_files = 0
         with os.scandir(path) as it:
             for e in it:
                 if e.is_file() and e.name.endswith(".parquet"):
                     total += pq.read_metadata(e.path).num_rows
+                    n_files += 1
+        if n_files == 0:  # partitioned layout: files live one level down
+            return None
         return total
     except (OSError, ImportError, ValueError):
         # OSError: missing/unlistable path; ImportError: no pyarrow in

@@ -701,33 +701,16 @@ def minhash_lsh_pairs(
             .filter(agree >= math.ceil(est_floor * num_perm))
             .select("id_a", "id_b")
         )
-    # exact verification of candidates only: intersection via two posting
-    # joins restricted to candidate pairs (relational, no array ops).
+    # exact verification of candidates only, via the ONE shared tail
+    # (verify_exact_jaccard) the prefix-filter and streaming ingest paths
+    # already use — r9 advice: this highest-traffic path had kept its own
+    # inline copy of the identical sizes/inter/jaccard math, re-creating
+    # the drift risk the helper was introduced to eliminate.
     # No .cache() on the posting stream: ReuseExchange shares the shuffle
     # across branches, and caching measured slower + leaked storage.
     if posting is None:
         posting = _hashed_postings(df, text_col, id_col, k)
-    sizes = posting.groupBy("id").agg(F.count("*").alias("n_sh"))
-    pa = posting.select(F.col("id").alias("id_a"), "h")
-    pb = posting.select(F.col("id").alias("_idb"), F.col("h").alias("h_b"))
-    inter = (
-        candidates.join(pa, "id_a")
-        .join(pb, (F.col("id_b") == F.col("_idb")) & (F.col("h") == F.col("h_b")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return verify_exact_jaccard(candidates, posting, threshold)
 
 
 def connected_components(

@@ -30,6 +30,11 @@ from the batch's banded self-join; cross-batch pairs from the
 batch-vs-history band join — together they cover every pair exactly
 once (a pair's LATER member sees the earlier one in history).
 
+doc_ids are unique for the state dir's lifetime (first writer wins):
+a batch row whose id is already in the committed sigs index is dropped
+before signing — re-registering it would union a second sigs/postings
+copy and silently inflate every later exact-Jaccard involving that doc.
+
 Exactly-once without a pointer file: every write is a per-batch
 SUBDIRECTORY keyed by batch id, written with overwrite — a foreachBatch
 crash-replay rewrites the same directories with the same deterministic
@@ -154,6 +159,33 @@ def match_and_register_batch(
         )
     rows_per_band = num_perm // bands
 
+    hist_banded = _read_parts(spark, state_path, "banded", batch_id)
+    hist_sigs = _read_parts(spark, state_path, "sigs", batch_id)
+    hist_post = _read_parts(spark, state_path, "postings", batch_id)
+
+    if hist_sigs is not None:
+        # First-writer-wins id guard (r9 advice): a doc_id already in the
+        # committed index (a byte-identical re-crawl arriving past the
+        # digest layer's watermark horizon, drop_exact_dups=False, or the
+        # same id re-sent with changed text) must NOT register a second
+        # sigs/postings copy — duplicate posting rows inflate
+        # verify_exact_jaccard's n_common and size counts, silently
+        # corrupting every later jaccard involving that doc and breaking
+        # the batch-equivalence contract. doc_ids are a table's identity
+        # for the state dir's lifetime, exactly like the batch corpus;
+        # re-ingesting one is suppressed, matching the digest layer's
+        # semantics. Cost shape: one id-column scan of the sigs index
+        # semi-joined against the BROADCAST batch ids (batch-sized
+        # output), then a broadcast anti-join back onto the batch — the
+        # corpus side is never shuffled.
+        batch_ids = batch_docs.select(F.col(id_col).alias("id")).distinct()
+        colliding = hist_sigs.select("id").join(F.broadcast(batch_ids), "id")
+        batch_docs = batch_docs.join(
+            F.broadcast(colliding.select(F.col("id").alias(id_col))),
+            id_col,
+            "left_anti",
+        )
+
     # batch-sized derived tables, each consumed by several joins below:
     # materialize once (localCheckpoint) — the multi-consumer invariant
     sigs_b = minhash_signatures(
@@ -161,10 +193,6 @@ def match_and_register_batch(
     ).localCheckpoint()
     post_b = _hashed_postings(batch_docs, text_col, id_col, k).localCheckpoint()
     banded_b = _banded_keys(sigs_b, bands, rows_per_band).localCheckpoint()
-
-    hist_banded = _read_parts(spark, state_path, "banded", batch_id)
-    hist_sigs = _read_parts(spark, state_path, "sigs", batch_id)
-    hist_post = _read_parts(spark, state_path, "postings", batch_id)
 
     # candidates WITHIN the batch: the batch operator's banded self-join
     lb = banded_b.select("band", "bkey", F.col("id").alias("id_a"))

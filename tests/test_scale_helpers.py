@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -670,3 +671,21 @@ def test_parquet_num_rows_matches_spark_count(spark, tmp_path, monkeypatch):
     path = artifact_dir("/some/corpus", "rows_probe")
     assert parquet_num_rows(path) == 123
     assert parquet_num_rows(path + "_missing") is None
+    # Contract edges (r9 advice): a killed/partial build (no _SUCCESS)
+    # must return None — not the partial sum of surviving footers — and
+    # a partition_by layout (data files nested one level down) must
+    # return None — not 0 — so the broadcast gate falls back to a real
+    # count() instead of gating on garbage.
+    os.remove(os.path.join(path, "_SUCCESS"))
+    assert parquet_num_rows(path) is None
+    ensure_table(
+        spark,
+        "/some/corpus",
+        "rows_probe_part",
+        lambda: spark.range(50).withColumn("p", F.col("id") % 2),
+        partition_by="p",
+    )
+    ppath = artifact_dir("/some/corpus", "rows_probe_part")
+    assert parquet_num_rows(ppath) is None
+    # and the documented fallback really does produce the true count
+    assert spark.read.parquet(ppath).count() == 50

@@ -164,6 +164,60 @@ def test_neardup_digest_layer_suppresses_exact_dups(spark):
             shutil.rmtree(d, ignore_errors=True)
 
 
+def test_neardup_reingested_doc_id_is_not_reregistered(spark):
+    """First-writer-wins id guard (r9 advice): a doc_id already in the
+    committed index — a byte-identical re-crawl arriving past the digest
+    horizon, or the same id re-sent with CHANGED text — must not
+    register a second sigs/postings copy. Without the guard the
+    duplicated posting rows inflate verify_exact_jaccard's n_common and
+    size counts, so every later jaccard involving that doc is silently
+    wrong and the batch-equivalence contract breaks."""
+    from mapreducer_pi_cs4433_spark.streaming.neardup import _read_parts
+
+    chunks = _doc_chunks(spark)
+    state = tempfile.mkdtemp(prefix="ndr_state_")
+    try:
+        docs0 = spark.createDataFrame(
+            [Row(doc_id=r.doc_id, text=r.text) for r in chunks[0]]
+        )
+        match_and_register_batch(spark, docs0, state, batch_id=0)
+        # batch 1 re-sends one committed id byte-identical and another
+        # committed id with changed text, plus chunk 1's genuinely new docs
+        replay_same = chunks[0][0]
+        replay_changed = chunks[0][1]
+        docs1 = spark.createDataFrame(
+            [Row(doc_id=r.doc_id, text=r.text) for r in chunks[1]]
+            + [
+                Row(doc_id=replay_same.doc_id, text=replay_same.text),
+                Row(doc_id=replay_changed.doc_id, text="entirely new text"),
+            ]
+        )
+        match_and_register_batch(spark, docs1, state, batch_id=1)
+        match_and_register_batch(
+            spark,
+            spark.createDataFrame(
+                [Row(doc_id=r.doc_id, text=r.text) for r in chunks[2]]
+            ),
+            state,
+            batch_id=2,
+        )
+        # exactly one signature row per doc across the whole index
+        sigs = _read_parts(spark, state, "sigs", exclude_batch=-1)
+        dup_ids = (
+            sigs.groupBy("id").count().filter(F.col("count") > 1).collect()
+        )
+        assert dup_ids == []
+        # and the emitted pairs still equal the batch operator on the
+        # original corpus — the re-arrivals changed nothing
+        got = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in read_emitted_pairs(spark, state).collect()
+        }
+        assert got == _batch_pairs(spark)
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
 def test_neardup_rejects_foreign_checkpoint_lineage(spark):
     """Batch ids restart at 0 under a new checkpoint dir, so an id BELOW
     the newest committed batch is a restarted query pointed at an old
