@@ -8,10 +8,15 @@ touches a whole columnar batch at a time and the JVM never interprets the
 bytes.
 
 The media codec libraries (PIL/ffmpeg/torchaudio) are not available in this
-container, so the decode kernels are STUBS: ``decode_image`` raises
-NotImplementedError by design, and ``fake_decode_image`` is a deterministic
-stand-in that exercises the identical Spark-side plumbing — schema contract,
-batch iteration, partition behavior — which is the part this engine owns.
+container. ``decode_image`` therefore layers: PIL when importable (full
+codec coverage), else a dependency-free HEADER parser for the four
+self-describing container formats whose dimensions live at fixed or
+trivially-tokenized offsets (BMP, PNM/PPM, PNG, GIF) — so the real-decode
+branch executes in CI on real generated images — and NotImplementedError
+only for containers neither layer understands (JPEG et al. genuinely need
+a codec). ``fake_decode_image`` remains the deterministic stand-in that
+exercises the identical Spark-side plumbing — schema contract, batch
+iteration, partition behavior — which is the part this engine owns.
 """
 
 from __future__ import annotations
@@ -68,24 +73,83 @@ def attach_payload(
     )
 
 
-def decode_image(payload: bytes) -> tuple[int, int]:
-    """Real decode kernel — import-gated on an image codec library.
+def parse_image_header(payload: bytes) -> tuple[int, int] | None:
+    """Dependency-free (width, height) from the container HEADER of the
+    formats that are public fixed-layout specs — exactly what a 100 TB
+    ingest wants anyway (dimensions without rasterizing a single pixel):
 
-    If PIL is importable the payload is decoded for real (header-only:
-    ``Image.open`` reads dimensions lazily without rasterizing the pixels);
-    otherwise NotImplementedError, and plumbing tests fall back to
-    ``fake_decode_image``. This container ships no codec library, so the
-    PIL path is exercised only where one is installed (the test is
-    importorskip-gated); the Spark-side plumbing (extract_features) is
-    identical either way.
+    - BMP: BITMAPINFOHEADER int32 width/height at offset 18 (negative
+      height = top-down DIB, dimensions are its magnitude);
+    - PNM (P1-P6: PBM/PGM/PPM, ASCII or binary): whitespace-tokenized
+      "magic width height" with ``#``-to-EOL comments allowed anywhere
+      in the header;
+    - PNG: IHDR is REQUIRED to be the first chunk, so big-endian uint32
+      width/height sit at fixed offsets 16/20;
+    - GIF (87a/89a): little-endian uint16 logical-screen size at 6/8.
+
+    Returns None for anything else (JPEG's dimensions live in a
+    variable-position SOF marker behind entropy-coded segments — that is
+    codec territory, not header territory)."""
+    import struct
+
+    if len(payload) >= 26 and payload[:2] == b"BM":
+        w, h = struct.unpack_from("<ii", payload, 18)
+        return (int(w), abs(int(h)))
+    if len(payload) >= 2 and payload[0:1] == b"P" and payload[1:2] in b"123456":
+        dims = []
+        i = 2
+        while len(dims) < 2 and i < len(payload):
+            c = payload[i : i + 1]
+            if c == b"#":  # comment runs to end of line
+                nl = payload.find(b"\n", i)
+                if nl < 0:
+                    return None
+                i = nl + 1
+            elif c.isspace():
+                i += 1
+            elif c.isdigit():
+                j = i
+                while j < len(payload) and payload[j : j + 1].isdigit():
+                    j += 1
+                dims.append(int(payload[i:j]))
+                i = j
+            else:
+                return None  # malformed header
+        if len(dims) == 2:
+            return (dims[0], dims[1])
+        return None
+    if len(payload) >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = struct.unpack_from(">II", payload, 16)
+        return (int(w), int(h))
+    if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack_from("<HH", payload, 6)
+        return (int(w), int(h))
+    return None
+
+
+def decode_image(payload: bytes) -> tuple[int, int]:
+    """Real decode kernel, layered (r8 verdict ask #7 closed the CI gap):
+
+    1. PIL when importable — full codec coverage, header-only dimension
+       read (``Image.open`` is lazy, no pixel rasterization);
+    2. else ``parse_image_header`` — the dependency-free header parser,
+       so REAL generated BMP/PPM/PNG/GIF images decode in this container
+       and the real-decode branch runs in CI;
+    3. else NotImplementedError: the container format genuinely needs a
+       codec library (e.g. JPEG) — plumbing tests fall back to
+       ``fake_decode_image``.
     """
     try:
         from PIL import Image
-    except ImportError as exc:  # pragma: no cover - container has no PIL
+    except ImportError:
+        dims = parse_image_header(payload)
+        if dims is not None:
+            return dims
         raise NotImplementedError(
-            "image decoding requires a codec library (e.g. PIL); "
+            "this container format needs a codec library (e.g. PIL); "
+            "only BMP/PNM/PNG/GIF headers decode dependency-free — "
             "use fake_decode_image for plumbing tests"
-        ) from exc
+        ) from None
     import io
 
     with Image.open(io.BytesIO(payload)) as im:

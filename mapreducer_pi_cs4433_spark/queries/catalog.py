@@ -532,21 +532,26 @@ _DRIVER_PRIORITY = [
     "asof_last_purchase_per_click",
     "range_join_click_error_pairs",
     "window_running_spend",
-    # r8 band (13 seats): the 13 r7-new queries (curation + insights +
-    # retrieval bands, the grouping-sets shape, time-to-conversion),
-    # seated for FIRST driver evidence per the r7 verdict's ask — all
-    # FULL-green at both SFs since they shipped, none driver-recorded
-    # yet. graph_label_propagation additionally changed this round (the
-    # size-gated broadcast), so its seat doubles as fresh-evidence-on-
-    # changed-code. Seats funded by demoting the 13 r7-driver-green
-    # entries (CORRECTNESS_r07.json, 50/50 green) whose code is
+    # r9 band (5 seats): the three r8 mining-band queries
+    # (dedup_prefix_filter, graph_kcore_census, text_collocation_pmi),
+    # seated for FIRST driver evidence per the r8 verdict's ask #1; the
+    # new skew_salted_segment_value (ask #5: operators/skew.py gets an
+    # oracle-backed registered demonstration); and dedup_minhash_lsh,
+    # whose verification tail changed this round (refactor onto the
+    # shared verify_exact_jaccard helper) — fresh driver evidence on
+    # changed code. Seats funded by demoting five r8-driver-green
+    # entries (CORRECTNESS_r08.json, 50/50 green) whose code is
     # unchanged since, listed first below the cap per the committed
     # zero-sum policy.
-    "orders_pareto_frontier",
-    "shards_compaction_plan",
-    "text_vocab_coverage",
-    "scd2_asof_diff",
-    "events_late_arrival_census",
+    "dedup_prefix_filter",
+    "graph_kcore_census",
+    "text_collocation_pmi",
+    "skew_salted_segment_value",
+    "dedup_minhash_lsh",
+    # r8 band remainder: still in-window from r8 (driver-green there);
+    # graph_label_propagation and graph-gate siblings read
+    # parquet_num_rows, whose contract hardened this round, so the LPA
+    # seat doubles as fresh-evidence-on-changed-code again.
     "embedding_pc1_power_iter",
     "olap_grouping_sets_margins",
     "graph_label_propagation",
@@ -556,9 +561,16 @@ _DRIVER_PRIORITY = [
     "search_mmr_rerank",
     "events_time_to_conversion",
     # --- 50-entry driver window ends here ---------------------------------
-    # First below the cap: the r8 demotions — all r7-driver-green
-    # (CORRECTNESS_r07.json) on code unchanged since, re-verified every
+    # First below the cap: the r9 demotions — all r8-driver-green
+    # (CORRECTNESS_r08.json) on code unchanged since, re-verified every
     # round by the FULL files.
+    "orders_pareto_frontier",
+    "shards_compaction_plan",
+    "text_vocab_coverage",
+    "scd2_asof_diff",
+    "events_late_arrival_census",
+    # The r8 demotions — all r7-driver-green (CORRECTNESS_r07.json) on
+    # code unchanged since, re-verified every round by the FULL files.
     "scd2_user_type_history",
     "scd2_point_in_time_state",
     "similarity_topk_ivfpq",
@@ -677,7 +689,8 @@ _DRIVER_PRIORITY = [
     # defers to FULL-file + test evidence (window pressure: 87 queries,
     # 50 rows)
     "neardup_rate_by_source",
-    "dedup_minhash_lsh",
+    # (dedup_minhash_lsh moved into the r9 driver seats above: its
+    # verification tail changed in r9.)
     "dedup_simhash",
     "similarity_topk_ivf",
     # Stable: driver-green in r2 (CORRECTNESS_r02.json), or re-verified
@@ -724,13 +737,9 @@ _DRIVER_PRIORITY = [
     # (The 13 r7-new queries — curation/insights/retrieval bands,
     # grouping sets, time-to-conversion — moved from here into the r8
     # driver seats above for their first driver evidence.)
-    # r8 band (queries/mining.py): exactness & structure mining — new
-    # below the zero-sum window (the 13 r8 seats went to the r7 bands'
-    # first driver evidence), with the same FULL-file + sf0.001/sf0.01
-    # test evidence as every below-cap band
-    "dedup_prefix_filter",
-    "graph_kcore_census",
-    "text_collocation_pmi",
+    # (The r8 mining band — dedup_prefix_filter, graph_kcore_census,
+    # text_collocation_pmi — moved from here into the r9 driver seats
+    # above for their first driver evidence.)
 ]
 
 

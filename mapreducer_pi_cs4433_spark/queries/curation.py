@@ -604,3 +604,93 @@ _fmt_doc(
     S=_GRAM_SCALE,
     T=_GRAM_DIM * (_GRAM_DIM + 1) // 2,
 )
+
+
+# ---------------------------------------------------------------------------
+# 7. Skew-remedied hot-key join + aggregation (operators/skew.py, registered)
+# ---------------------------------------------------------------------------
+
+
+_SKEW_SALT = 8
+
+
+@query(
+    "skew_salted_segment_value",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+               AS value_centi
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY mktsegment
+    """,
+)
+def skew_salted_segment_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event value per market segment, computed through BOTH explicit skew
+    remedies from ``operators/skew.py`` so each runs as a registered,
+    oracle-checked query rather than a helper only tests touch:
+
+    1. ``salted_join``: events (the fact side — at 100 TB a handful of
+       power users make ``user_id`` hot) join the customer dimension on a
+       SALTED key — fact rows get a deterministic row-identity salt, the
+       dimension is replicated across all ``{SALT}`` buckets, so a hot user
+       spreads over ``{SALT}`` shuffle partitions instead of serializing on
+       one. This is the regime between "broadcastable" and "AQE is
+       enough": the dimension is too big to broadcast outright at the
+       target SF but cheap to replicate ``{SALT}``-fold.
+    2. salted two-phase aggregation: the rollup key (``c_mktsegment``,
+       5 values) has far fewer groups than shuffle partitions — the
+       one-giant-group regime where a single reducer becomes the job's
+       critical path for aggregates WITHOUT map-side partial pushdown.
+       The explicit form aggregates per (segment, salt) first (fan-out
+       ``{SALT}``), then per segment, so no reducer ever sees a whole
+       group. count/sum carry partial pushdown anyway — what the oracle
+       proves is salt-INVARIANCE: the result is bit-identical to the
+       unsalted plain GROUP BY the DuckDB twin runs, independent of how
+       rows landed in salt buckets.
+
+    The salts come from ``xxhash64(monotonically_increasing_id())`` (row
+    identity, not key), so a hot key's rows spread uniformly and counts/
+    sums are reproducible under task retries. Money stays in int64
+    centi-units (catalog determinism rules). Plan pins
+    (tests/test_plan_shapes.py): join keys include ``_salt``, the
+    dimension side carries the replicating explode, no BroadcastHashJoin
+    under ``autoBroadcastJoinThreshold=-1``, and the aggregation shows
+    the two-level (partial-per-salt -> final) HashAggregate chain.
+    """
+    from ..operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.round(F.col("value") * 100).cast("long").alias("v")
+    )
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, dim, "user_id", salt_buckets=_SKEW_SALT)
+    return (
+        joined.withColumn(
+            "_gsalt",
+            F.pmod(
+                F.xxhash64(F.monotonically_increasing_id()),
+                F.lit(_SKEW_SALT),
+            ).cast("int"),
+        )
+        .groupBy("c_mktsegment", "_gsalt")
+        .agg(F.count("*").alias("_pn"), F.sum("v").alias("_pv"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("_pn").cast("long").alias("n_events"),
+            F.sum("_pv").cast("long").alias("value_centi"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("mktsegment"),
+            "n_events",
+            "value_centi",
+        )
+        .orderBy("mktsegment")
+    )
+
+
+_fmt_doc(skew_salted_segment_value, SALT=_SKEW_SALT)

@@ -197,9 +197,11 @@ def graph_kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     restricts the edge list to survivors. Peeling is IDEMPOTENT once
     converged (a converged core loses nothing to another round), so the
     fixed unroll equals the true k-core whenever {p} rounds suffice —
-    asserted at the test scale factors by peel({p}) == peel({p}+1) —
-    and the oracle runs the IDENTICAL fixed program, so the hash check
-    holds by construction even before convergence. Output: census of
+    asserted by peel({p}) == peel({p}+1) at sf0.001 and sf0.01 on every
+    suite run and at sf0.1 under the full gate (tests/test_mining.py;
+    measured convergence depth per SF recorded in CORRECTNESS_NOTES.md)
+    — and the oracle runs the IDENTICAL fixed program, so the hash
+    check holds by construction even before convergence. Output: census of
     the surviving subgraph by within-core degree.
 
     Scale shape per round — the fourth member of the iterative-graph

@@ -1058,3 +1058,34 @@ def test_pmi_one_scan_one_window_takeordered(spark):
     assert "TakeOrderedAndProject" in plan
     assert count_exchanges(df) == 2  # window grain + pair-count agg
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_skew_salted_join_and_two_phase_agg(spark):
+    """skew_salted_segment_value pins BOTH explicit skew remedies under
+    auto-broadcast disabled (the hint-free regime where salting is the
+    only de-skew left): the fact-dim join must run on the SALTED
+    composite key (a hot user spreads over salt_buckets partitions — so
+    `_salt` appears in the join keys and the plan is a shuffle join, not
+    a broadcast of the replicated dim), the dim side must carry the
+    replicating explode (Generate), and the rollup must show the
+    two-level partial-per-(segment,salt) -> final-per-segment
+    HashAggregate chain."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["skew_salted_segment_value"](spark, SF_SMOKE)
+        plan = formatted_plan(df)
+        assert not has_broadcast_join(df)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "_salt" in plan  # the composite join key survived planning
+        assert "Generate" in plan and "explode" in plan  # dim replication
+        # two-phase aggregation: partial keyed by (segment, salt) then
+        # final keyed by segment alone — both levels visible
+        assert "_gsalt" in plan
+        assert plan.count("HashAggregate") >= 4
+        for node in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+            assert node not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")

@@ -218,6 +218,71 @@ def test_neardup_reingested_doc_id_is_not_reregistered(spark):
         shutil.rmtree(state, ignore_errors=True)
 
 
+def test_neardup_compaction_mid_stream_preserves_equivalence(spark):
+    """Compacting the per-batch index parts MID-STREAM (after batch 1 of
+    3) must leave the protocol intact: later batches still see the full
+    history through the compacted segment, a crash-replay of the newest
+    batch still excludes its own directories, and the final pair union
+    still equals the batch operator (r8 verdict ask #6 — the module
+    prescribed compaction but nothing proved the ``b{id}/_SUCCESS``
+    listing protocol and a compactor agree)."""
+    from mapreducer_pi_cs4433_spark.streaming.neardup import (
+        _committed_batches,
+        _compacted_hi,
+        compact_index,
+    )
+
+    chunks = _doc_chunks(spark)
+    state = tempfile.mkdtemp(prefix="ndc_state_")
+    try:
+        dfs = [
+            spark.createDataFrame(
+                [Row(doc_id=r.doc_id, text=r.text) for r in c]
+            )
+            for c in chunks
+        ]
+        match_and_register_batch(spark, dfs[0], state, batch_id=0)
+        match_and_register_batch(spark, dfs[1], state, batch_id=1)
+        assert compact_index(spark, state) == 0  # covers batch 0 only:
+        # batch 1 is the newest committed — the only replay candidate —
+        # and must stay a per-batch dir
+        assert _compacted_hi(state, "sigs") == 0
+        assert _committed_batches(state, "sigs") == [1]
+        # crash-replay of the newest batch AFTER compaction: idempotent
+        match_and_register_batch(spark, dfs[1], state, batch_id=1)
+        match_and_register_batch(spark, dfs[2], state, batch_id=2)
+        got = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in read_emitted_pairs(spark, state).collect()
+        }
+        assert got == _batch_pairs(spark)
+        # compact again now that batch 2 committed; union unchanged
+        assert compact_index(spark, state) == 1
+        again = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in read_emitted_pairs(spark, state).collect()
+        }
+        assert again == got
+        # crash-window safety: a leftover covered ``b`` dir (segment
+        # committed, delete crashed) must NOT double-read
+        import os as _os
+
+        leftover = _os.path.join(state, "sigs", "b00000000")
+        seg = _os.path.join(state, "sigs", "c00000000_00000001")
+        spark.read.parquet(seg).filter(
+            F.col("id") % 3 == 0
+        ).write.mode("overwrite").parquet(leftover)
+        from mapreducer_pi_cs4433_spark.streaming.neardup import _read_parts
+
+        sigs = _read_parts(spark, state, "sigs", exclude_batch=-1)
+        assert (
+            sigs.groupBy("id").count().filter(F.col("count") > 1).count()
+            == 0
+        )
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
 def test_neardup_rejects_foreign_checkpoint_lineage(spark):
     """Batch ids restart at 0 under a new checkpoint dir, so an id BELOW
     the newest committed batch is a restarted query pointed at an old
