@@ -187,15 +187,22 @@ def compact_index(
 
     Returns hi (the highest compacted batch id), or -1 when there is
     nothing new to compact (fewer than two committed batches, or the
-    current segment already covers everything below the newest). Run it
+    current segments already cover everything below the newest). Run it
     OFFLINE (between trigger runs), like any lakehouse OPTIMIZE."""
     import shutil
 
     newest = _newest_committed(state_path, "pairs")
     hi = newest - 1
-    if hi < 0 or _compacted_hi(state_path, "pairs") >= hi:
+    if hi < 0:
         return -1
-    for kind in _INDEX_KINDS:
+    # per-KIND already-covered check (not pairs-only): a crash after some
+    # kinds' segments committed but before the rest must leave a re-run
+    # able to finish the stragglers — pairs commits first, so gating on
+    # pairs alone would turn every such re-run into a no-op
+    todo = [k for k in _INDEX_KINDS if _compacted_hi(state_path, k) < hi]
+    if not todo:
+        return -1
+    for kind in todo:
         live = _live_parts(state_path, kind, exclude_batch=newest)
         if not live:
             continue
@@ -204,17 +211,13 @@ def compact_index(
             "overwrite"
         ).parquet(seg)
         # leftovers last — readers already ignore them once seg exists
-        old_hi = _compacted_hi(state_path, kind)
+        # (both the covered per-batch dirs and any older, subsumed
+        # segment: _live_parts takes the max-hi segment only)
         for b in _committed_batches(state_path, kind):
             if b <= hi:
                 shutil.rmtree(_part_dir(state_path, kind, b), ignore_errors=True)
         for d in os.listdir(os.path.join(state_path, kind)):
-            if (
-                d.startswith("c")
-                and "_" in d
-                and int(d.split("_")[1]) < hi
-                and old_hi < hi
-            ):
+            if d.startswith("c") and "_" in d and int(d.split("_")[1]) < hi:
                 shutil.rmtree(
                     os.path.join(state_path, kind, d), ignore_errors=True
                 )
@@ -268,6 +271,18 @@ def match_and_register_batch(
             "checkpoint lineage; use a fresh state_path for a new query"
         )
     rows_per_band = num_perm // bands
+
+    # WITHIN-batch id uniqueness (self-review r9): two rows with the same
+    # doc_id in ONE batch (drop_exact_dups=False, or distinct texts under
+    # one id) would otherwise slip past the committed-index guard below
+    # and register a MERGED union-document — _hashed_postings would pool
+    # both texts' shingles under the id, so every later jaccard against
+    # it matches neither version. Pick one deterministically (min text
+    # digest: stable under retries and partitioning), matching the
+    # first-writer-wins semantics of the cross-batch guard.
+    batch_docs = batch_docs.groupBy(id_col).agg(
+        F.expr(f"min_by({text_col}, md5({text_col}))").alias(text_col)
+    )
 
     hist_banded = _read_parts(spark, state_path, "banded", batch_id)
     hist_sigs = _read_parts(spark, state_path, "sigs", batch_id)

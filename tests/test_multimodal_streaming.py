@@ -253,3 +253,42 @@ def test_extract_features_with_real_decoder(spark):
     feats = multimodal.extract_features(media, decoder=multimodal.decode_image)
     got = {r.media_id: (r.width, r.height) for r in feats.collect()}
     assert got == {1: (31, 17), 2: (9, 23), 3: (5, 3), 4: (300, 200)}
+
+
+def test_header_parser_rejects_lookalike_containers():
+    """Self-review r9 hardening: header-LOOKALIKE payloads that would
+    have decoded to packed garbage must return None (codec territory) —
+    an OS/2 BITMAPCOREHEADER BMP (uint16 dims, not int32), a BMP with a
+    non-positive width, and a PNG signature whose first chunk is not
+    IHDR."""
+    import struct
+
+    # OS/2 core-header BMP: 12-byte DIB, 100x50 uint16 dims at 18/20
+    os2 = (
+        struct.pack("<2sIHHI", b"BM", 26 + 6, 0, 0, 26)
+        + struct.pack("<IHHHH", 12, 100, 50, 1, 24)
+        + b"\x00" * 8
+    )
+    assert multimodal.parse_image_header(os2) is None
+    # negative width = corrupt (negative HEIGHT stays legal: top-down DIB)
+    bad_w = bytearray(_tiny_bmp(13, 7))
+    bad_w[18:22] = struct.pack("<i", -13)
+    assert multimodal.parse_image_header(bytes(bad_w)) is None
+    # PNG signature, tEXt first chunk: dims offsets hold chunk payload
+    fake_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"tEXt"
+        + b"\x01\x02\x03\x04\x05\x06\x07\x08\x09\x0a\x0b\x0c\x0d"
+        + b"\x00" * 4
+    )
+    assert multimodal.parse_image_header(fake_png) is None
+
+
+def test_pil_probe_is_memoized():
+    """The PIL availability probe runs once per process, not once per
+    payload — a failed import is NOT cached by Python, so the per-call
+    retry put a sys.path scan on the Arrow batch hot path."""
+    probed = multimodal._pil_image_module()
+    assert multimodal._PIL_IMAGE is not False  # probe resolved
+    assert multimodal._pil_image_module() is probed  # and sticks

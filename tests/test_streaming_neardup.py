@@ -305,3 +305,100 @@ def test_neardup_rejects_foreign_checkpoint_lineage(spark):
         match_and_register_batch(spark, docs0, state, batch_id=1)
     finally:
         shutil.rmtree(state, ignore_errors=True)
+
+
+def test_neardup_within_batch_duplicate_id_registers_one_doc(spark):
+    """Self-review r9: two rows with the SAME doc_id inside one batch
+    (distinct texts, drop_exact_dups=False regime) must not register a
+    merged union-document — exactly one deterministically-chosen text is
+    signed, so the module's id-uniqueness invariant holds within a batch
+    too, and the surviving pairs still match the batch operator run on
+    the same deduplicated corpus."""
+    from mapreducer_pi_cs4433_spark.streaming.neardup import _read_parts
+
+    chunks = _doc_chunks(spark)
+    state = tempfile.mkdtemp(prefix="ndw_state_")
+    try:
+        dup_id = chunks[0][0].doc_id
+        docs0 = spark.createDataFrame(
+            [Row(doc_id=r.doc_id, text=r.text) for r in chunks[0]]
+            + [Row(doc_id=dup_id, text="a second text under the same id")]
+        )
+        match_and_register_batch(spark, docs0, state, batch_id=0)
+        sigs = _read_parts(spark, state, "sigs", exclude_batch=-1)
+        assert sigs.filter(F.col("id") == dup_id).count() == 1
+        post = _read_parts(spark, state, "postings", exclude_batch=-1)
+        n_shingles = post.filter(F.col("id") == dup_id).count()
+        # the registered shingle set must equal ONE text's, never the
+        # union of both (the union-doc failure mode)
+        from mapreducer_pi_cs4433_spark.functions.dedup import (
+            _hashed_postings,
+        )
+
+        singles = {
+            t: _hashed_postings(
+                spark.createDataFrame([Row(doc_id=dup_id, text=t)]),
+                "text",
+                "doc_id",
+                12,
+            ).count()
+            for t in (
+                chunks[0][0].text,
+                "a second text under the same id",
+            )
+        }
+        assert n_shingles in set(singles.values())
+        assert n_shingles < sum(singles.values())
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
+def test_neardup_compaction_removes_subsumed_segment_and_recovers(spark):
+    """Self-review r9, two compactor contracts the first test missed:
+    (1) a second compaction must DELETE the older, subsumed segment
+    (the always-false old_hi guard leaked a full index copy per run);
+    (2) a crash between kinds (pairs' segment committed, the rest not)
+    must leave a re-run able to finish the stragglers — the old
+    pairs-only early-return turned that re-run into a permanent no-op."""
+    import os as _os
+
+    from mapreducer_pi_cs4433_spark.streaming import neardup as nd
+
+    chunks = _doc_chunks(spark)
+    state = tempfile.mkdtemp(prefix="nds_state_")
+    try:
+        dfs = [
+            spark.createDataFrame(
+                [Row(doc_id=r.doc_id, text=r.text) for r in c]
+            )
+            for c in chunks
+        ]
+        match_and_register_batch(spark, dfs[0], state, batch_id=0)
+        match_and_register_batch(spark, dfs[1], state, batch_id=1)
+        assert nd.compact_index(spark, state) == 0
+        match_and_register_batch(spark, dfs[2], state, batch_id=2)
+        # crash simulation: only the pairs kind gets its new segment
+        orig_kinds = nd._INDEX_KINDS
+        nd._INDEX_KINDS = ("pairs",)
+        try:
+            assert nd.compact_index(spark, state) == 1
+        finally:
+            nd._INDEX_KINDS = orig_kinds
+        assert nd._compacted_hi(state, "pairs") == 1
+        assert nd._compacted_hi(state, "sigs") == 0  # straggler
+        # the re-run must finish the stragglers, not no-op on pairs
+        assert nd.compact_index(spark, state) == 1
+        for kind in orig_kinds:
+            assert nd._compacted_hi(state, kind) == 1, kind
+            # and the subsumed c..._00000000 segment is gone
+            listing = _os.listdir(_os.path.join(state, kind))
+            assert [d for d in listing if d.startswith("c")] == [
+                "c00000000_00000001"
+            ], kind
+        got = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in read_emitted_pairs(spark, state).collect()
+        }
+        assert got == _batch_pairs(spark)
+    finally:
+        shutil.rmtree(state, ignore_errors=True)

@@ -93,6 +93,8 @@ _SHOWCASE = [
     ("dedup_prefix_filter", "AllPairs prefix filter: persisted rare-first index, lossless pruned equi-join"),
     ("graph_kcore_census", "k-core peel: node-sized checkpointed keepers, 2-exchange live plan, size-gated joins"),
     ("text_collocation_pmi", "PMI collocations: one lead() window, integer lift, TakeOrdered top-K"),
+    # round 9: the registered skew remedies
+    ("skew_salted_segment_value", "salted join + two-phase salted agg: hot keys spread over salt buckets, oracle proves salt-invariance"),
 ]
 
 _MAX_LINES = 70
