@@ -548,14 +548,18 @@ _DRIVER_PRIORITY = [
     "text_collocation_pmi",
     "skew_salted_segment_value",
     "dedup_minhash_lsh",
+    # r9 second wave (2 more seats, funded by demoting
+    # embedding_pc1_power_iter and item_similarity_topk — both
+    # r8-driver-green on unchanged code): the DPP layout rollup and the
+    # linear multi-touch attribution twin, both new this round.
+    "layout_partition_pruned_rollup",
+    "events_attribution_linear",
     # r8 band remainder: still in-window from r8 (driver-green there);
     # graph_label_propagation and graph-gate siblings read
     # parquet_num_rows, whose contract hardened this round, so the LPA
     # seat doubles as fresh-evidence-on-changed-code again.
-    "embedding_pc1_power_iter",
     "olap_grouping_sets_margins",
     "graph_label_propagation",
-    "item_similarity_topk",
     "events_attribution_last_touch",
     "search_hybrid_rrf",
     "search_mmr_rerank",
@@ -564,6 +568,8 @@ _DRIVER_PRIORITY = [
     # First below the cap: the r9 demotions — all r8-driver-green
     # (CORRECTNESS_r08.json) on code unchanged since, re-verified every
     # round by the FULL files.
+    "embedding_pc1_power_iter",
+    "item_similarity_topk",
     "orders_pareto_frontier",
     "shards_compaction_plan",
     "text_vocab_coverage",

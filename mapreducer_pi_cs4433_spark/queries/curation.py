@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.artifacts import ensure_table
 from .catalog import _fmt_doc, _t, query
 
 # ---------------------------------------------------------------------------
@@ -694,3 +695,82 @@ def skew_salted_segment_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _fmt_doc(skew_salted_segment_value, SALT=_SKEW_SALT)
+
+
+# ---------------------------------------------------------------------------
+# 8. Dynamic partition pruning over a partitioned layout
+# ---------------------------------------------------------------------------
+
+_DPP_KIND = "orders_by_year"
+
+
+@query(
+    "layout_partition_pruned_rollup",
+    oracle="""
+    WITH o AS (
+        SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+               o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+        FROM orders
+    ), fy AS (
+        SELECT o_year FROM (
+            SELECT o_year, count(DISTINCT o_month) AS mp FROM o GROUP BY o_year
+        ) WHERE mp = 12
+    )
+    SELECT o.o_year, o.o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(o.pc) AS BIGINT) AS rev_centi
+    FROM o JOIN fy USING (o_year)
+    GROUP BY o.o_year, o.o_orderpriority
+    """,
+)
+def layout_partition_pruned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(year, priority) revenue rollup restricted to CALENDAR-COMPLETE
+    years (all 12 months present — the standard guard before any
+    year-over-year comparison; TPC-H's 1998 has 8 months and must not be
+    compared against full years), computed over a year-PARTITIONED layout
+    so the restriction becomes DYNAMIC PARTITION PRUNING — the one
+    file-skipping mechanism the layout family did not yet demonstrate
+    (layout_zorder_stats covers min/max skipping within files; this
+    covers whole-directory skipping decided at RUNTIME by a join).
+
+    Scale shape: the fact artifact is written `partitionBy(o_year)`
+    (ensure_table), the qualifying-years side is a year-sized aggregate
+    with a LITERAL selective predicate (months == 12 — Spark's DPP
+    planner requires a likely-selective filter on the dim side; an
+    attribute-vs-attribute threshold does not qualify, measured), and
+    Catalyst inserts a dynamicpruning subquery into the fact scan's
+    PartitionFilters: incomplete years' directories are never opened,
+    which at 100 TB is the difference between scanning 7 years and
+    scanning the 6 being reported. Plan pinned in
+    tests/test_plan_shapes.py (dynamicpruning present + broadcast dim +
+    no second full scan shape). The census-defining aggregate itself
+    reads only (o_year, o_month) — column pruning keeps the threshold
+    pass narrow. Both engines compute the identical integer program;
+    the partitioned layout changes WHERE bytes live, never values.
+    """
+    fact = ensure_table(
+        spark,
+        sf_dir,
+        _DPP_KIND,
+        lambda: _t(spark, sf_dir, "orders").select(
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("pc"),
+            F.month(F.col("o_orderdate")).alias("o_month"),
+            F.year(F.col("o_orderdate")).alias("o_year"),
+        ),
+        partition_by="o_year",
+    )
+    full_years = (
+        fact.groupBy("o_year")
+        .agg(F.countDistinct("o_month").alias("mp"))
+        .filter(F.col("mp") == 12)
+        .select("o_year")
+    )
+    return (
+        fact.join(F.broadcast(full_years), "o_year")
+        .groupBy("o_year", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("pc").cast("long").alias("rev_centi"),
+        )
+    )

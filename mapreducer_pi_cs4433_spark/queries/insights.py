@@ -458,3 +458,84 @@ def events_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _fmt_doc(events_time_to_conversion, D=_CONV_WINDOW_S // 86400)
+
+
+# ---------------------------------------------------------------------------
+# 6. Linear (equal-split) multi-touch attribution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_attribution_linear",
+    oracle=f"""
+    WITH purchases AS (
+        SELECT event_id, user_id, epoch(date_trunc('second', ts)) AS pts
+        FROM events WHERE event_type = 'purchase'
+    ), touches AS (
+        SELECT user_id, event_type, epoch(date_trunc('second', ts)) AS tts
+        FROM events WHERE event_type <> 'purchase'
+    ), matched AS (
+        SELECT p.event_id, t.event_type,
+               count(*) OVER (PARTITION BY p.event_id) AS n_t
+        FROM purchases p JOIN touches t
+          ON p.user_id = t.user_id
+         AND t.tts <= p.pts AND p.pts - t.tts <= {_ATTR_WINDOW_S}
+    )
+    SELECT event_type AS channel,
+           CAST(sum(1000 // n_t) AS BIGINT) AS credit_milli,
+           count(*) AS n_credited_touches,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_purchases
+    FROM matched GROUP BY event_type
+    """,
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-split) multi-touch attribution — the complement of
+    ``events_attribution_last_touch``: every purchase splits 1000 credit
+    milli-units EQUALLY across ALL the user's non-purchase touches inside
+    the {D}-day lookback (floor division: each of n touches gets
+    1000 div n; the sub-milli remainder is deliberately dropped, same
+    truncation both engines). Output is the per-channel credit census —
+    last-touch says which channel CLOSES, linear says which channels
+    PARTICIPATE.
+
+    Scale shape: unlike last-touch (an as-of join — ONE winning touch
+    per purchase), linear attribution inherently materializes every
+    (purchase, touch) pair in the window, so the operator is an equi-join
+    on user_id with a time-window predicate: pair volume is bounded by
+    per-user activity x the lookback, the partition-safe bound every
+    attribution system lives with (a pathological single user is a hot
+    key — AQE skew-join splits it; the join carries only 3 narrow
+    columns). The per-purchase touch count is one count() window on the
+    purchase id (grain = matched pairs), then the census aggregation is
+    |channels|-sized with map-side partials. Integer credit units keep
+    the split exact cross-engine (1000 div n == DuckDB 1000 // n on
+    positives); purchases with zero in-window touches earn no credit row
+    by definition (last-touch's 'none' bucket covers that census).
+    """
+    events = _t(spark, sf_dir, "events")
+    sec_long = F.date_trunc("second", F.col("ts")).cast("long")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", sec_long.alias("pts")
+    )
+    touches = events.filter(F.col("event_type") != "purchase").select(
+        "user_id", "event_type", sec_long.alias("tts")
+    )
+    matched = (
+        purchases.join(touches, "user_id")
+        .filter(
+            (F.col("tts") <= F.col("pts"))
+            & (F.col("pts") - F.col("tts") <= _ATTR_WINDOW_S)
+        )
+        .select("event_id", "event_type")
+        .withColumn(
+            "n_t", F.count("*").over(Window.partitionBy("event_id"))
+        )
+    )
+    return matched.groupBy(F.col("event_type").alias("channel")).agg(
+        F.sum(F.expr("1000 div n_t")).cast("long").alias("credit_milli"),
+        F.count("*").alias("n_credited_touches"),
+        F.countDistinct("event_id").alias("n_purchases"),
+    )
+
+
+_fmt_doc(events_attribution_linear, D=_ATTR_WINDOW_S // 86400)

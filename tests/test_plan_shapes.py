@@ -1089,3 +1089,41 @@ def test_skew_salted_join_and_two_phase_agg(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_dpp_fires_on_partitioned_rollup(spark):
+    """layout_partition_pruned_rollup pins DYNAMIC partition pruning: the
+    fact artifact is year-partitioned and the calendar-complete-years dim
+    side carries a literal selective predicate, so Catalyst must insert a
+    dynamicpruning subquery into the fact scan's PartitionFilters —
+    incomplete years' directories are never opened. (An
+    attribute-vs-attribute threshold does NOT qualify for DPP — measured;
+    the query's docstring records it — so this test also guards against a
+    refactor silently trading the literal predicate away.)"""
+    df = QUERIES["layout_partition_pruned_rollup"](spark, SF_SMOKE)
+    ep = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in ep
+    assert has_broadcast_join(df)  # the year dim rides a broadcast
+    plan = formatted_plan(df)
+    for node in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in plan
+
+
+def test_linear_attribution_equi_join_no_cartesian(spark):
+    """events_attribution_linear materializes every (purchase, touch)
+    pair in the lookback — the plan must do it as an EQUI-join on
+    user_id with the time window as a post-join filter (never an
+    interval nested-loop/cartesian), one count() window on the purchase
+    id, and a partial-aggregated channel census."""
+    df = QUERIES["events_attribution_linear"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    for node in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or has_broadcast_join(df)
+    )
+    assert plan.count("Window") >= 1  # per-purchase touch count
+    assert plan.count("HashAggregate") >= 2  # partial + final census
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

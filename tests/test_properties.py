@@ -1772,3 +1772,58 @@ def test_prop_pmi_equals_python_counts(spark, rows):
         assert got == scored[:_PMI_TOP_K]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(deadline=None, max_examples=10, suppress_health_check=list(HealthCheck))
+@given(rows=_attr_rows)
+def test_prop_linear_attribution_equals_python_fold(spark, rows):
+    """The linear-attribution census must equal the per-purchase Python
+    scan: every non-purchase touch row at-or-before the purchase second
+    and inside the lookback earns 1000 div n milli-credits (floor split
+    across the purchase's n in-window touches); purchases with no touch
+    earn nothing. Unlike last-touch there is NO equal-second collapse —
+    every touch row participates."""
+    import datetime
+    import shutil
+
+    from mapreducer_pi_cs4433_spark.queries.catalog import QUERIES
+    from mapreducer_pi_cs4433_spark.queries.insights import _ATTR_WINDOW_S
+
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (eid, base + datetime.timedelta(seconds=off), uid, et, 1.0)
+        for eid, (uid, off, et) in enumerate(rows)
+    ]
+    d = _tmp_sf_dir(
+        spark,
+        events=(
+            data,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double",
+        ),
+    )
+    try:
+        got = {
+            r.channel: (r.credit_milli, r.n_credited_touches, r.n_purchases)
+            for r in QUERIES["events_attribution_linear"](spark, d).collect()
+        }
+        per: dict = {}
+        for peid, (uid, off, et) in enumerate(rows):
+            if et != "purchase":
+                continue
+            touched = [
+                tet
+                for _tid, (tuid, toff, tet) in enumerate(rows)
+                if tet != "purchase"
+                and tuid == uid
+                and toff <= off
+                and off - toff <= _ATTR_WINDOW_S
+            ]
+            n = len(touched)
+            for tet in touched:
+                cm, nt, pids = per.get(tet, (0, 0, set()))
+                per[tet] = (cm + 1000 // n, nt + 1, pids | {peid})
+        want = {ch: (cm, nt, len(p)) for ch, (cm, nt, p) in per.items()}
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

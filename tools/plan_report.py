@@ -93,8 +93,10 @@ _SHOWCASE = [
     ("dedup_prefix_filter", "AllPairs prefix filter: persisted rare-first index, lossless pruned equi-join"),
     ("graph_kcore_census", "k-core peel: node-sized checkpointed keepers, 2-exchange live plan, size-gated joins"),
     ("text_collocation_pmi", "PMI collocations: one lead() window, integer lift, TakeOrdered top-K"),
-    # round 9: the registered skew remedies
+    # round 9: the registered skew remedies + the DPP layout + linear attribution
     ("skew_salted_segment_value", "salted join + two-phase salted agg: hot keys spread over salt buckets, oracle proves salt-invariance"),
+    ("layout_partition_pruned_rollup", "dynamic partition pruning: year-partitioned artifact, dim-side literal filter prunes directories at runtime"),
+    ("events_attribution_linear", "linear multi-touch attribution: user-keyed equi-join pairs, per-purchase count window, integer credit split"),
 ]
 
 _MAX_LINES = 70
