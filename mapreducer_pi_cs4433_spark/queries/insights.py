@@ -461,7 +461,7 @@ _fmt_doc(events_time_to_conversion, D=_CONV_WINDOW_S // 86400)
 
 
 # ---------------------------------------------------------------------------
-# 6. Linear (equal-split) multi-touch attribution
+# 5. Linear (equal-split) multi-touch attribution
 # ---------------------------------------------------------------------------
 
 

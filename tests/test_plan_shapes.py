@@ -1101,10 +1101,9 @@ def test_dpp_fires_on_partitioned_rollup(spark):
     the query's docstring records it — so this test also guards against a
     refactor silently trading the literal predicate away.)"""
     df = QUERIES["layout_partition_pruned_rollup"](spark, SF_SMOKE)
-    ep = df._jdf.queryExecution().executedPlan().toString()
-    assert "dynamicpruning" in ep
-    assert has_broadcast_join(df)  # the year dim rides a broadcast
-    plan = formatted_plan(df)
+    plan = formatted_plan(df)  # one rendering serves every assertion
+    assert "dynamicpruningexpression" in plan  # in PartitionFilters
+    assert "BroadcastHashJoin" in plan  # the year dim rides a broadcast
     for node in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         assert node not in plan
 
@@ -1115,6 +1114,8 @@ def test_linear_attribution_equi_join_no_cartesian(spark):
     user_id with the time window as a post-join filter (never an
     interval nested-loop/cartesian), one count() window on the purchase
     id, and a partial-aggregated channel census."""
+    import re
+
     df = QUERIES["events_attribution_linear"](spark, SF_SMOKE)
     plan = formatted_plan(df)
     for node in ("CartesianProduct", "BroadcastNestedLoopJoin"):
@@ -1122,8 +1123,11 @@ def test_linear_attribution_equi_join_no_cartesian(spark):
     assert (
         "SortMergeJoin" in plan
         or "ShuffledHashJoin" in plan
-        or has_broadcast_join(df)
+        or "BroadcastHashJoin" in plan
     )
     assert plan.count("Window") >= 1  # per-purchase touch count
-    assert plan.count("HashAggregate") >= 2  # partial + final census
+    # partial + final census = >= 2 DISTINCT aggregate nodes; formatted
+    # plans print each node twice (tree + detail), so count the numbered
+    # tree entries, not the substring (a bare count >= 2 is vacuous)
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
