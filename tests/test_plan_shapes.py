@@ -8,6 +8,8 @@ rather than melting at 100 TB.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -50,8 +52,12 @@ def test_task_b_broadcast_join_and_single_shuffle(spark):
     df = QUERIES["task_b_page_counts"](spark, SF_SMOKE)
     assert has_broadcast_join(df)
     assert count_exchanges(df) == 1
-    # partial aggregation (the combiner, R5) present
-    assert formatted_plan(df).count("HashAggregate") >= 2
+    # partial aggregation (the combiner, R5) present: 2 numbered nodes
+    # (formatted plans print each node twice — tree + detail — so bare
+    # substring counts are vacuous; count the numbered tree entries)
+    assert len(
+        re.findall(r"\(\d+\) HashAggregate", formatted_plan(df))
+    ) >= 2
 
 
 def test_task_g_no_driver_roundtrip(spark):
@@ -60,9 +66,9 @@ def test_task_g_no_driver_roundtrip(spark):
     df = QUERIES["task_g_stale_users"](spark, SF_SMOKE)
     plan = formatted_plan(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
-    # two aggregations (per-user max + global max) over one cached/scanned
-    # source, but still a single submitted plan
-    assert plan.count("HashAggregate") >= 2
+    # two aggregations (per-user max + global max), each partial+final
+    # = 4 numbered aggregate nodes, still a single submitted plan
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 4
 
 
 def test_task_h_average_broadcast(spark):
@@ -75,7 +81,9 @@ def test_wordcount_partial_aggregation(spark):
     """R5: the combiner. Partial + final HashAggregate around one exchange."""
     df = QUERIES["wordcount"](spark, SF_SMOKE)
     assert count_exchanges(df) == 1
-    assert formatted_plan(df).count("HashAggregate") >= 2
+    assert len(
+        re.findall(r"\(\d+\) HashAggregate", formatted_plan(df))
+    ) >= 2
 
 
 def test_topk_never_global_sorts(spark):
@@ -264,8 +272,9 @@ def test_retention_joins_after_per_user_reduction(spark):
     df = QUERIES["events_user_retention"](spark, SF_SMOKE)
     plan = formatted_plan(df)
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
-    # aggregation appears below the join on both inputs
-    assert plan.count("HashAggregate") >= 4  # partial+final per side min
+    # aggregation appears below the join on both inputs:
+    # partial+final per side = 4 numbered nodes minimum (measured 6)
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 4
 
 
 def test_lsh_entries_never_rescan_the_corpus(spark):
@@ -655,7 +664,9 @@ def test_cdc_latest_state_is_one_agg_no_sort(spark):
     assert "Window" not in plan
     # max(struct) is sort-based, not hash-based — but still partial+final
     # around the one exchange (the map-side combine the docstring claims)
-    assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 2
+    assert len(
+        re.findall(r"\(\d+\) (?:Sort|Hash)Aggregate", plan)
+    ) >= 2
     assert "partial_max" in plan
 
 
@@ -1081,9 +1092,10 @@ def test_skew_salted_join_and_two_phase_agg(spark):
         assert "_salt" in plan  # the composite join key survived planning
         assert "Generate" in plan and "explode" in plan  # dim replication
         # two-phase aggregation: partial keyed by (segment, salt) then
-        # final keyed by segment alone — both levels visible
+        # final keyed by segment alone — both levels visible, each
+        # partial+final = 4 numbered aggregate nodes
         assert "_gsalt" in plan
-        assert plan.count("HashAggregate") >= 4
+        assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 4
         for node in ("CartesianProduct", "BroadcastNestedLoopJoin"):
             assert node not in plan
     finally:
