@@ -55,7 +55,13 @@ same ~520 B/doc the batch artifacts already persist, just appended per
 batch instead of rebuilt per run; compact the per-batch parts
 periodically with ``compact_index`` (protocol-aware: it folds committed
 batches below the newest into one ``c{lo}_{hi}`` segment readers
-prefer over the covered ``b`` dirs) like any streaming sink.
+prefer over the covered ``b`` dirs) like any streaming sink — either
+offline between trigger runs, or automatically via
+``neardup_ingest_stream(compact_every=N)``, which runs it inside the
+sink AFTER a batch's own writes commit (a safe point: the next batch's
+history read is the first reader that can observe it, and a crash
+anywhere in the hook replays the batch through the same idempotent
+protocol).
 
 Reference note: the reference repo (MapReducer-PI-cs4433) has no
 streaming or dedup surface; this module extends the engine's
@@ -414,6 +420,8 @@ def neardup_ingest_stream(
     bands: int = 16,
     threshold: float = 0.5,
     drop_exact_dups: bool = True,
+    compact_every: int | None = None,
+    compact_target_partitions: int = 8,
 ):
     """Wire a document stream into the near-dup ingest sink; returns the
     started StreamingQuery (caller owns trigger/termination).
@@ -421,7 +429,19 @@ def neardup_ingest_stream(
     ``drop_exact_dups`` turns on the watermark-bounded digest layer:
     byte-identical re-arrivals inside the horizon are suppressed BEFORE
     the MinHash path (they are exact dups, not near-dups — the batch
-    twin of that layer is dedup_exact / merge_into_digest_table)."""
+    twin of that layer is dedup_exact / merge_into_digest_table).
+
+    ``compact_every=N`` turns on auto-compaction: once more than N
+    committed per-batch parts sit above the current segment's coverage,
+    the sink calls ``compact_index`` right after the batch's own writes
+    commit. The trigger counts LIVE parts (not batch ids), so empty
+    batches and replays don't skew the cadence, and the steady-state
+    part count per state table is bounded at N per-batch dirs plus one
+    segment of ``compact_target_partitions`` files. The hook inherits
+    the compactor's whole crash protocol — a crash mid-hook replays the
+    batch, whose re-run excludes its own dirs and finishes straggler
+    kinds — because the hook IS the offline call, just scheduled at the
+    one point in a trigger cycle with no concurrent history reader."""
     os.makedirs(state_path, exist_ok=True)
     prepared = stream
     if drop_exact_dups:
@@ -447,6 +467,17 @@ def neardup_ingest_stream(
             bands=bands,
             threshold=threshold,
         )
+        if compact_every is not None:
+            hi = _compacted_hi(state_path, "pairs")
+            live_b = [
+                b for b in _committed_batches(state_path, "pairs") if b > hi
+            ]
+            if len(live_b) > compact_every:
+                compact_index(
+                    batch_df.sparkSession,
+                    state_path,
+                    target_partitions=compact_target_partitions,
+                )
 
     return (
         prepared.writeStream.foreachBatch(_sink)

@@ -353,6 +353,62 @@ def test_neardup_within_batch_duplicate_id_registers_one_doc(spark):
         shutil.rmtree(state, ignore_errors=True)
 
 
+def test_neardup_auto_compaction_bounds_parts_and_preserves_equivalence(
+    spark,
+):
+    """compact_every=N inside the sink: a six-chunk replay must (1) end
+    with at most N per-batch dirs above one committed segment per state
+    table — the bounded-part-count contract the hook exists for — and
+    (2) emit exactly the batch operator's pair set, i.e. auto-compaction
+    at the end of a trigger cycle never perturbs the next batch's
+    history read."""
+    import os as _os
+
+    from mapreducer_pi_cs4433_spark.streaming.neardup import (
+        _committed_batches,
+        _compacted_hi,
+        _INDEX_KINDS,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    rows = sorted(docs.collect(), key=lambda r: r.doc_id)
+    chunks = [[r for r in rows if r.doc_id % 6 == i] for i in range(6)]
+    src = tempfile.mkdtemp(prefix="nda_src_")
+    ckpt = tempfile.mkdtemp(prefix="nda_ck_")
+    state = tempfile.mkdtemp(prefix="nda_state_")
+    try:
+        for i, chunk in enumerate(chunks):
+            _write_chunk(spark, src, chunk, hour=i)
+            stream = spark.readStream.schema(
+                "doc_id long, text string, ts timestamp"
+            ).option("maxFilesPerTrigger", 1).parquet(src)
+            q = neardup_ingest_stream(
+                stream, state, ckpt, compact_every=2
+            )
+            q.awaitTermination(300)
+        got = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in read_emitted_pairs(spark, state).collect()
+        }
+        assert got == _batch_pairs(spark)
+        assert got
+        for kind in _INDEX_KINDS:
+            hi = _compacted_hi(state, kind)
+            assert hi >= 0, kind  # a segment actually committed
+            live_b = [
+                b for b in _committed_batches(state, kind) if b > hi
+            ]
+            assert len(live_b) <= 2, (kind, hi, live_b)
+            # covered leftovers were deleted, not just shadowed
+            listing = _os.listdir(_os.path.join(state, kind))
+            assert not any(
+                d.startswith("b") and int(d[1:]) <= hi for d in listing
+            ), (kind, listing)
+    finally:
+        for d in (src, ckpt, state):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def test_neardup_compaction_removes_subsumed_segment_and_recovers(spark):
     """Self-review r9, two compactor contracts the first test missed:
     (1) a second compaction must DELETE the older, subsumed segment
