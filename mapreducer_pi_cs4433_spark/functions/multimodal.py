@@ -250,6 +250,146 @@ def extract_features(
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+PPM_SIDE = 16  # synthesized image side (pixels); 8 | side and side <= 16
+_PPM_GROUP_EVERY = 4  # consecutive doc_ids sharing one base image
+_PPM_DELTA_STEP = 3  # per-variant uniform brightness shift
+
+
+def synthesize_ppm_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    side: int = PPM_SIDE,
+    group_every: int = _PPM_GROUP_EVERY,
+    delta_step: int = _PPM_DELTA_STEP,
+) -> DataFrame:
+    """Deterministic REAL-image corpus: one binary P6 PPM payload per doc,
+    with planted perceptual near-dups — every ``group_every`` consecutive
+    doc_ids share one md5-derived base image, and each member is shifted
+    by a uniform brightness delta (``(doc_id % group_every) * delta_step``)
+    so the group's payloads are byte-DIFFERENT but perceptually identical.
+    Pixel math is engine-neutral by construction (md5 of a decimal string,
+    byte % 200 keeps every shifted value < 255, so no clamp ever breaks
+    the uniform-shift property) — a SQL engine can regenerate the gray
+    values analytically without touching a byte of the container format,
+    which is what makes the decode→hash round trip hash-checkable.
+
+    Gray row y of group g is ``md5(f"{g}:{y}")``'s 16 digest bytes
+    (``% 200``, ``+ delta``); R=G=B=gray, so any sane luma reduction
+    recovers the value exactly. Payloads are genuine P6 containers —
+    header + raw interleaved RGB — parsed back by the generic decoder in
+    ``ahash_features``, never by re-running this formula."""
+    import pandas as pd
+
+    if side > 16 or side % 8:
+        raise ValueError("side must be a multiple of 8, at most 16 (one md5 per row)")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        header = f"P6\n{side} {side}\n255\n".encode()
+
+        def one(doc_id: int) -> bytes:
+            grp = doc_id // group_every
+            delta = (doc_id % group_every) * delta_step
+            rgb = bytearray()
+            for y in range(side):
+                dig = hashlib.md5(f"{grp}:{y}".encode()).digest()
+                for b in dig[:side]:
+                    g = (b % 200) + delta
+                    rgb += bytes((g, g, g))
+            return header + bytes(rgb)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "payload": pdf[id_col].map(lambda d: one(int(d))),
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(
+        run, schema="media_id long, payload binary"
+    )
+
+
+def ahash_features(media: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) over REAL image payloads, Arrow
+    batch at a time: parse the P6 PPM container (generic tokenizer —
+    comments and arbitrary header whitespace allowed, same dialect as
+    ``parse_image_header``), reduce to integer gray (floor mean of R,G,B),
+    block-average down to an 8x8 grid, threshold each block against the
+    global mean, and pack the 64 bits into two int32-range longs
+    (``ahash_lo`` = blocks 0-31 row-major, ``ahash_hi`` = 32-63; two
+    halves so no engine ever faces a sign bit).
+
+    Exact integer thresholding: block i is bright iff
+    ``sum_i * 64 > total`` — equivalent to mean_i > global mean for any
+    w,h divisible by 8, and why a UNIFORM brightness shift can never flip
+    a bit (both sides shift by the same amount). Rows whose payload fails
+    to parse (wrong magic, truncated raster, maxval > 255, dimensions not
+    divisible by 8) are dropped, mirroring the loader's malformed-row
+    policy."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        def one(p: bytes) -> tuple[int, int] | None:
+            if p[:2] != b"P6":
+                return None
+            vals: list[int] = []
+            i = 2
+            while len(vals) < 3 and i < len(p):
+                c = p[i : i + 1]
+                if c == b"#":
+                    nl = p.find(b"\n", i)
+                    if nl < 0:
+                        return None
+                    i = nl + 1
+                elif c.isspace():
+                    i += 1
+                elif c.isdigit():
+                    j = i
+                    while j < len(p) and p[j : j + 1].isdigit():
+                        j += 1
+                    vals.append(int(p[i:j]))
+                    i = j
+                else:
+                    return None
+            if len(vals) < 3:
+                return None
+            w, h, maxval = vals
+            i += 1  # exactly one whitespace byte separates maxval and raster
+            need = w * h * 3
+            if maxval > 255 or w % 8 or h % 8 or w == 0 or h == 0:
+                return None
+            if len(p) < i + need:
+                return None
+            arr = np.frombuffer(p, dtype=np.uint8, count=need, offset=i)
+            gray = arr.reshape(h, w, 3).astype(np.int64).sum(axis=2) // 3
+            bsum = gray.reshape(8, h // 8, 8, w // 8).sum(axis=(1, 3))
+            total = int(gray.sum())
+            bits = (bsum * 64 > total).flatten()  # blk = brow*8 + bcol
+            lo = sum(int(bits[b]) << b for b in range(32))
+            hi = sum(int(bits[32 + b]) << b for b in range(32))
+            return lo, hi
+
+        for pdf in batches:
+            hashed = pdf["payload"].map(lambda p: one(bytes(p or b"")))
+            keep = hashed.notna()
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"][keep],
+                    "ahash_lo": hashed[keep].map(lambda t: t[0]).astype("int64"),
+                    "ahash_hi": hashed[keep].map(lambda t: t[1]).astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(
+        run, schema="media_id long, ahash_lo long, ahash_hi long"
+    )
+
+
 def sample_frames(
     media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
 ) -> DataFrame:

@@ -1428,6 +1428,97 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "image_ahash_neardup",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, doc_id // 4 AS grp, (doc_id % 4) * 3 AS delta
+        FROM documents
+    ), rowhash AS (
+        SELECT d.doc_id, d.delta, y.y,
+               md5(concat(d.grp, ':', y.y)) AS hex
+        FROM d, generate_series(0, 15) AS y(y)
+    ), px AS (
+        SELECT doc_id, y, x.x,
+               (16 * (strpos('0123456789abcdef', substr(hex, 2 * x.x + 1, 1)) - 1)
+                   + (strpos('0123456789abcdef', substr(hex, 2 * x.x + 2, 1)) - 1)
+               ) % 200 + delta AS gray
+        FROM rowhash, generate_series(0, 15) AS x(x)
+    ), blk AS (
+        SELECT doc_id, (y // 2) * 8 + (x // 2) AS b, SUM(gray)::BIGINT AS bsum
+        FROM px GROUP BY doc_id, (y // 2) * 8 + (x // 2)
+    ), tot AS (
+        SELECT doc_id, SUM(gray)::BIGINT AS total FROM px GROUP BY doc_id
+    ), bits AS (
+        SELECT blk.doc_id, blk.b,
+               CASE WHEN blk.bsum * 64 > tot.total
+                    THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+        FROM blk JOIN tot USING (doc_id)
+    ), h AS (
+        SELECT doc_id,
+               SUM(CASE WHEN b < 32 THEN bit << b ELSE 0 END)::BIGINT AS ahash_lo,
+               SUM(CASE WHEN b >= 32 THEN bit << (b - 32) ELSE 0 END)::BIGINT AS ahash_hi
+        FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b2.doc_id AS id_b, a.ahash_hi, a.ahash_lo
+    FROM h a JOIN h b2
+      ON a.ahash_hi = b2.ahash_hi AND a.ahash_lo = b2.ahash_lo
+     AND a.doc_id < b2.doc_id
+    """,
+)
+def image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup, REAL pixel math end-to-end: synthesize a
+    binary P6 PPM payload per document (every 4 consecutive doc_ids share
+    one md5-derived 16x16 base image; each member gets a uniform
+    brightness shift, so group payloads are byte-different but
+    perceptually identical), parse the containers back with the GENERIC
+    PPM tokenizer, compute the 8x8 average-hash in exact integer math
+    (block bright iff ``sum*64 > total``), and emit every hash-equal pair
+    — decode -> downsample -> threshold -> 64-bit hash -> equality join,
+    the image twin of the text near-dup family (ROADMAP r10 candidate #2).
+
+    Hash-checkable because the two engines meet at the HASH, through
+    entirely different routes: Spark round-trips real container bytes
+    (synthesis encodes, ahash_features decodes — any header/raster/layout
+    bug breaks parity), while the oracle regenerates the gray values
+    analytically from the same engine-neutral md5 formula and never sees
+    a byte of PPM. A uniform shift preserves every ``block > mean``
+    comparison exactly (both sides move together; % 200 + max delta 9
+    can never clamp at 255), so planted variants collide by construction
+    rather than by tolerance.
+
+    At 100 TB: both Python stages are narrow Arrow-batched mapInPandas
+    (one fused stage, no shuffle); the only exchange is the equality
+    self-join on the 64-bit hash — the standard exact-key dedup shuffle,
+    carrying (id, 2 longs) per image, never payload bytes. Hamming-ball
+    matching (distance <= k) is the banded variant dedup_simhash already
+    demonstrates; exact aHash equality is the production common case."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.synthesize_ppm_corpus(docs)
+    # two consumers below: materialize the (id, lo, hi) table once —
+    # without this, each join side re-synthesizes and re-hashes the corpus
+    hashed = multimodal.ahash_features(media).localCheckpoint()
+    b = hashed.select(
+        F.col("media_id").alias("id_b"),
+        F.col("ahash_lo").alias("lo_b"),
+        F.col("ahash_hi").alias("hi_b"),
+    )
+    return (
+        hashed.join(
+            b,
+            (F.col("ahash_lo") == F.col("lo_b"))
+            & (F.col("ahash_hi") == F.col("hi_b"))
+            & (F.col("media_id") < F.col("id_b")),
+        )
+        .select(
+            F.col("media_id").alias("id_a"),
+            "id_b",
+            "ahash_hi",
+            "ahash_lo",
+        )
+    )
+
+
+@query(
     "events_value_quartiles_disc",
     oracle="""
     WITH c AS (

@@ -292,3 +292,124 @@ def test_pil_probe_is_memoized():
     probed = multimodal._pil_image_module()
     assert multimodal._PIL_IMAGE is not False  # probe resolved
     assert multimodal._pil_image_module() is probed  # and sticks
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image near-dup: synthesize -> decode -> aHash (r10 candidate #2)
+# ---------------------------------------------------------------------------
+
+
+def _ref_ahash(payload: bytes) -> tuple[int, int]:
+    """Independent pure-Python aHash reference: no numpy, no reuse of the
+    production kernel — straight loops over the P6 bytes, so a bug in the
+    vectorized reshape/packing can't hide in a shared implementation."""
+    assert payload[:2] == b"P6"
+    vals: list[int] = []
+    i = 2
+    while len(vals) < 3:
+        c = payload[i : i + 1]
+        if c == b"#":
+            i = payload.index(b"\n", i) + 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while payload[j : j + 1].isdigit():
+                j += 1
+            vals.append(int(payload[i:j]))
+            i = j
+    w, h, _maxval = vals
+    i += 1  # single whitespace before the raster
+    gray = [
+        [
+            (
+                payload[i + 3 * (y * w + x)]
+                + payload[i + 3 * (y * w + x) + 1]
+                + payload[i + 3 * (y * w + x) + 2]
+            )
+            // 3
+            for x in range(w)
+        ]
+        for y in range(h)
+    ]
+    total = sum(map(sum, gray))
+    bh, bw = h // 8, w // 8
+    bits = []
+    for br in range(8):
+        for bc in range(8):
+            s = sum(
+                gray[y][x]
+                for y in range(br * bh, (br + 1) * bh)
+                for x in range(bc * bw, (bc + 1) * bw)
+            )
+            bits.append(1 if s * 64 > total else 0)
+    lo = sum(bits[b] << b for b in range(32))
+    hi = sum(bits[32 + b] << b for b in range(32))
+    return lo, hi
+
+
+def test_ahash_matches_pure_python_reference(spark):
+    """The vectorized mapInPandas kernel must agree with the loop-wise
+    reference on every synthesized payload — the round trip through real
+    P6 bytes is the part the oracle's analytic regeneration can't see
+    in isolation."""
+    docs = spark.range(24).select(F.col("id").alias("doc_id"))
+    media = multimodal.synthesize_ppm_corpus(docs)
+    payloads = {r.media_id: bytes(r.payload) for r in media.collect()}
+    got = {
+        r.media_id: (r.ahash_lo, r.ahash_hi)
+        for r in multimodal.ahash_features(media).collect()
+    }
+    assert len(got) == 24
+    assert got == {m: _ref_ahash(p) for m, p in payloads.items()}
+
+
+def test_ahash_uniform_shift_invariant_groups(spark):
+    """The planted-near-dup contract: one group's four payloads are
+    byte-DIFFERENT (distinct md5s) yet hash-EQUAL — a uniform brightness
+    shift moves every block sum and the global sum together, so no
+    ``sum*64 > total`` comparison can flip. Across a group boundary the
+    base image changes and the hashes separate (deterministic: the md5
+    pixel values are fixed forever)."""
+    import hashlib
+
+    docs = spark.range(8).select(F.col("id").alias("doc_id"))
+    media = multimodal.synthesize_ppm_corpus(docs)
+    payloads = {r.media_id: bytes(r.payload) for r in media.collect()}
+    hashes = {
+        r.media_id: (r.ahash_lo, r.ahash_hi)
+        for r in multimodal.ahash_features(media).collect()
+    }
+    assert len({hashlib.md5(payloads[i]).hexdigest() for i in range(4)}) == 4
+    assert len({hashes[i] for i in range(4)}) == 1
+    assert len({hashes[i] for i in range(4, 8)}) == 1
+    assert hashes[0] != hashes[4]
+
+
+def test_ahash_drops_malformed_and_honors_comments(spark):
+    """Malformed payloads (wrong magic, truncated raster, maxval > 255,
+    dimensions not divisible by 8) drop like the loader's malformed-row
+    policy; a header COMMENT changes bytes but not the decoded image, so
+    the hash is unchanged."""
+    docs = spark.range(1).select(F.col("id").alias("doc_id"))
+    good = bytes(
+        spark_payload
+        for r in multimodal.synthesize_ppm_corpus(docs).collect()
+        for spark_payload in bytes(r.payload)
+    )
+    commented = good[:2] + b"\n# a comment\n" + good[2:]
+    rows = [
+        (0, good),
+        (1, commented),
+        (2, b"P5" + good[2:]),          # wrong magic (grayscale PGM)
+        (3, good[:-10]),                 # truncated raster
+        (4, good.replace(b"\n255\n", b"\n65535\n", 1)),  # 16-bit maxval
+        (5, b"P6\n12 12\n255\n" + b"\x10" * (12 * 12 * 3)),  # 12 % 8 != 0
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    hashes = {
+        r.media_id: (r.ahash_lo, r.ahash_hi)
+        for r in multimodal.ahash_features(media).collect()
+    }
+    assert set(hashes) == {0, 1}
+    assert hashes[0] == hashes[1]

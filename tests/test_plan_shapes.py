@@ -1143,3 +1143,34 @@ def test_linear_attribution_equi_join_no_cartesian(spark):
     # tree entries, not the substring (a bare count >= 2 is vacuous)
     assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_image_ahash_hashes_once_joins_once(spark):
+    """image_ahash_neardup: the synthesized-and-hashed (id, lo, hi) table
+    is materialized ONCE (localCheckpoint) — both self-join sides must
+    scan the SAME RDD, with no Python eval node left in the pair plan (a
+    lost checkpoint would re-synthesize and re-hash the corpus per side)
+    — and the only join is the hash-equality pair join (never an
+    interval/cartesian shape)."""
+    import re
+
+    df = QUERIES["image_ahash_neardup"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan ExistingRDD", plan)) == 2
+    for node in (
+        "MapInPandas",
+        "ArrowEvalPython",
+        "BatchEvalPython",
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+    ):
+        assert node not in plan, node
+    assert (
+        len(
+            re.findall(
+                r"\(\d+\) (?:BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin)",
+                plan,
+            )
+        )
+        == 1
+    )
