@@ -132,6 +132,59 @@ def _bucketed_join_extra(spark, sf_dir: str) -> dict:
     return extra
 
 
+def _skew_remedy_extra(spark) -> dict:
+    """Re-measure the naive / AQE / salted_join skew triple every round
+    (ROADMAP r10 candidate #4). SCALE.md records a one-off crossover:
+    AQE's skewedPartitionThresholdInBytes (256 MB default) leaves
+    sub-threshold skew unsplit, and that gap is exactly what the
+    explicit salt covers. A one-off goes stale the day a Spark upgrade
+    moves the default or rewrites the splitter — re-measuring here turns
+    that drift into a BENCH_r{N} diff instead of prose archaeology.
+
+    Scaled to ~1/5 of the SCALE.md experiment so the bench budget holds;
+    the REGIME is preserved: one key owns half the fact rows, the hot
+    partition stays far below the AQE byte threshold (so AQE choosing
+    to split it would itself be news), and broadcast is disabled to
+    force a shuffle join. Reported under 'extra', never in the headline.
+    Single-shot timings — read the RATIO, not the digits; the SCALE.md
+    3-run-median crossover remains the calibrated reference point.
+    """
+    from pyspark.sql import functions as F
+
+    from mapreducer_pi_cs4433_spark.operators.skew import salted_join
+
+    n_fact, n_dim = 4_000_000, 10_000
+    fact = spark.range(n_fact).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 0 ELSE id % 10000 END AS k", "id AS v"
+    )
+    dim = spark.range(n_dim).selectExpr("id AS k", "id * 3 AS w")
+    out: dict = {}
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_skew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        def run(label, make):
+            t0 = time.perf_counter()
+            make().select(
+                F.sum(F.col("v") + F.col("w")).alias("s")
+            ).write.format("noop").mode("overwrite").save()
+            out[label] = round(time.perf_counter() - t0, 3)
+
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        run("naive_shuffle_join_sec", lambda: fact.join(dim, "k"))
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        run("aqe_skew_join_sec", lambda: fact.join(dim, "k"))
+        run(
+            "salted_join_sec",
+            lambda: salted_join(fact, dim, "k", salt_buckets=16),
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prev_skew)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # Artifact build-cost visibility (r3/r4 carried ask): unless the
@@ -205,6 +258,7 @@ def _run(sf_dir: str) -> None:
         pass_totals.append(round(ptotal, 2))
 
     extra = _bucketed_join_extra(spark, sf_dir)
+    extra["skew_remedy"] = _skew_remedy_extra(spark)
     extra["pass1_total_sec"] = pass_totals[0]
     extra["pass2_total_sec"] = pass_totals[1]
 

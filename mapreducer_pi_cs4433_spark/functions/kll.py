@@ -56,12 +56,20 @@ def _compact(sk: dict, l: int) -> None:
     """Halve level l into level l+1: sort, keep alternating items
     starting at the level's parity offset, flip the parity. The kept
     half's doubled weight preserves total weight exactly; the discarded
-    half perturbs any rank by at most 2^l."""
+    half perturbs any rank by at most 2^l.
+
+    An ODD level length would break the weight invariant — alternating
+    selection over 2m+1 items keeps m or m+1, promoting to weight 2m or
+    2m+2 — so one item (the max) stays behind at level l and only the
+    even remainder compacts, the standard KLL leftover rule. (Caught by
+    the sketch_weight == n_events contract itself: the first draft
+    drifted by +2/+3 per type at sf0.01.)"""
     items = sorted(sk["levels"][l])
+    leftover = [items.pop()] if len(items) % 2 else []
     if len(sk["levels"]) == l + 1:
         sk["levels"].append([])
         sk["parity"].append(0)
-    sk["levels"][l] = []
+    sk["levels"][l] = leftover
     sk["levels"][l + 1].extend(items[sk["parity"][l] :: 2])
     sk["parity"][l] ^= 1
 

@@ -421,3 +421,175 @@ def join_cardinality_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("distinct_b", "exact_b", "est_b"))
         .unionByName(row("intersection", "exact_i", "est_i"))
     )
+
+
+# Rank band for the KLL contract: +/-20 permille around each target
+# quantile. Worst-case deterministic KLL error at cap=512 on the test
+# corpora (n per type <= ~30k, H = log2(n/cap) <= 6) is ~12 permille;
+# the alternating-parity schedule cancels most of that in practice, so
+# the band carries >3x measured margin. Production sizes cap with the
+# target n like any sketch parameter (error ~ H/cap).
+_KLL_BANDS = ((500, 480, 520), (950, 930, 970), (990, 970, 1000))
+
+
+@query(
+    "events_quantile_sketch_kll",
+    oracle="""
+    WITH r AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY value)
+                   AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events WHERE value IS NOT NULL
+    ), w AS (
+        SELECT event_type,
+               MIN(CASE WHEN rk = (n * 500 + 999) // 1000 THEN value END)
+                   AS d50,
+               MIN(CASE WHEN rk = (n * 950 + 999) // 1000 THEN value END)
+                   AS d95,
+               MIN(CASE WHEN rk = (n * 990 + 999) // 1000 THEN value END)
+                   AS d99,
+               COUNT(*) AS n_events
+        FROM r GROUP BY event_type
+    )
+    SELECT event_type, 500 AS q_permille, d50 AS exact_value,
+           1 AS kll_in_band, n_events AS sketch_weight, n_events FROM w
+    UNION ALL
+    SELECT event_type, 950, d95, 1, n_events, n_events FROM w
+    UNION ALL
+    SELECT event_type, 990, d99, 1, n_events, n_events FROM w
+    """,
+)
+def events_quantile_sketch_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch built IN the engine (ROADMAP r10
+    candidate #3): per-partition KLL compactor builds emit bounded
+    (level, value) item tables via mapInPandas, ONE applyInPandas reduce
+    per event_type merges them and reads off p50/p95/p99 — the two-phase
+    build+merge shape that replaces a 100 TB sort with a shuffle of
+    fixed-size sketches, demonstrated structurally instead of delegated
+    to percentile_approx (events_value_quantiles keeps that entry).
+
+    Hash-checked through TWO contracts the oracle can state exactly:
+    (1) the GK entry's rank-band — each estimate must lie between the
+    exact q-/+20-permille discrete quantiles (functions/kll.py docs the
+    deterministic error bound; the band carries >3x margin at the test
+    SFs), so `kll_in_band` is the literal 1; and (2) EXACT total weight —
+    compaction halves items while doubling weight, so `sketch_weight`
+    must equal n_events bit-for-bit, which pins the mergeability
+    bookkeeping (a dropped or double-counted partial sketch breaks it).
+    The sketch's internal items legitimately depend on partitioning
+    (like Spark's own GK summaries); every emitted column is
+    partition-invariant, which the 7/61-partition sweeps require.
+
+    The merge sorts incoming item rows by (level, value) before folding,
+    so one type's result is deterministic regardless of which executor
+    finished first. Exact quantiles and band edges ride the
+    (type, value, count) GRAIN — map-side-combinable, windows bounded by
+    value cardinality, no sort of the raw stream anywhere (the
+    events_value_quantiles discipline)."""
+    from pyspark.sql import Window
+
+    from ..functions import kll
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+
+    def build(batches):
+        import pandas as pd
+
+        sketches: dict = {}
+        for pdf in batches:
+            for t, vals in pdf.groupby("event_type")["value"]:
+                sk = sketches.setdefault(t, kll.new_sketch())
+                kll.add_many(sk, vals.to_numpy())
+        rows = [
+            (t, l, v)
+            for t, sk in sketches.items()
+            for l, v in kll.to_items(sk)
+        ]
+        if rows:
+            yield pd.DataFrame(rows, columns=["event_type", "level", "value"])
+
+    partials = ev.mapInPandas(
+        build, schema="event_type string, level int, value double"
+    )
+
+    bands = _KLL_BANDS
+
+    def merge(pdf):
+        import pandas as pd
+
+        t = pdf["event_type"].iloc[0]
+        ordered = pdf.sort_values(["level", "value"])
+        sk = kll.new_sketch()
+        kll.merge_items(sk, zip(ordered["level"], ordered["value"]))
+        w = kll.total_weight(sk)
+        return pd.DataFrame(
+            {
+                "event_type": [t] * len(bands),
+                "q_permille": [q for q, _, _ in bands],
+                "est": [kll.quantile(sk, q) for q, _, _ in bands],
+                "sketch_weight": [w] * len(bands),
+            }
+        )
+
+    ests = partials.groupBy("event_type").applyInPandas(
+        merge,
+        schema="event_type string, q_permille int, est double, sketch_weight long",
+    )
+
+    w_cum = Window.partitionBy("event_type").orderBy("value")
+    w_type = Window.partitionBy("event_type")
+    g = (
+        ev.groupBy("event_type", "value")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("cum", F.sum("c").over(w_cum))
+        .withColumn("n", F.sum("c").over(w_type))
+    )
+
+    def disc(num: int):
+        return F.min(
+            F.when(
+                F.col("cum") >= F.expr(f"(n * {num} + 999) div 1000"),
+                F.col("value"),
+            )
+        )
+
+    aggs = [F.count(F.lit(1)).alias("_dummy")]
+    for q, lo, hi in bands:
+        aggs += [
+            disc(lo).alias(f"lo{q}"),
+            disc(q).alias(f"d{q}"),
+            disc(hi).alias(f"hi{q}"),
+        ]
+    ranks = (
+        g.groupBy("event_type")
+        .agg(F.max("n").alias("n_events"), *aggs)
+        .drop("_dummy")
+    )
+
+    exact = F.lit(None).cast("double")
+    lo_e = F.lit(None).cast("double")
+    hi_e = F.lit(None).cast("double")
+    for q, _, _ in bands:
+        is_q = F.col("q_permille") == q
+        exact = F.when(is_q, F.col(f"d{q}")).otherwise(exact)
+        lo_e = F.when(is_q, F.col(f"lo{q}")).otherwise(lo_e)
+        hi_e = F.when(is_q, F.col(f"hi{q}")).otherwise(hi_e)
+
+    return (
+        ests.join(F.broadcast(ranks), "event_type")
+        .select(
+            "event_type",
+            "q_permille",
+            exact.alias("exact_value"),
+            (
+                (F.col("est") >= lo_e) & (F.col("est") <= hi_e)
+            ).cast("int").alias("kll_in_band"),
+            "sketch_weight",
+            "n_events",
+        )
+    )

@@ -17,11 +17,41 @@ def write_partitioned(
     path: str,
     partition_cols: list[str],
     mode: str = "overwrite",
+    max_partitions: int | None = 10_000,
 ) -> None:
     """Hive-style partitioned parquet: readers filtering on partition_cols
-    scan only matching directories (PartitionFilters in the plan). Choose
-    low-cardinality columns (date, event_type) — high-cardinality partition
-    keys create a small-file explosion."""
+    scan only matching directories (PartitionFilters in the plan — static
+    pruning for literal predicates, DYNAMIC pruning when a selective join
+    supplies the values at runtime; layout_partition_pruned_rollup pins
+    the latter). Choose low-cardinality columns (date, event_type).
+
+    Cardinality guard (ROADMAP r10 candidate #5): a high-cardinality
+    partition column — a user id, a near-unique timestamp — turns the
+    write into one directory per distinct tuple, each holding a
+    near-empty file, and every later listing into the job's real cost;
+    the mistake is silent at test scale and catastrophic at 100 TB. The
+    guard prices one distinct-count over the partition columns (partial
+    aggregation makes it grain-sized, and the count stops at
+    max_partitions + 1 — it never enumerates the full blowup) against
+    that unbounded layout error, and REFUSES the write instead of
+    producing it. ``max_partitions=None`` skips the probe when the
+    cardinality is known by construction (e.g. an enum column)."""
+    if max_partitions is not None:
+        n = (
+            df.select(*partition_cols)
+            .distinct()
+            .limit(max_partitions + 1)
+            .count()
+        )
+        if n > max_partitions:
+            raise ValueError(
+                f"write_partitioned({partition_cols}) would create more "
+                f"than {max_partitions} partition directories — a "
+                "small-file explosion. Partition on a lower-cardinality "
+                "column, bucket instead (write_bucketed_table), or pass "
+                "an explicit higher max_partitions if the layout is "
+                "intentional."
+            )
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 

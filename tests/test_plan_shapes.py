@@ -1174,3 +1174,22 @@ def test_image_ahash_hashes_once_joins_once(spark):
         )
         == 1
     )
+
+
+def test_kll_two_phase_build_merge_no_fact_sort(spark):
+    """events_quantile_sketch_kll is the structural mergeability demo:
+    exactly ONE MapInPandas (per-partition compactor build) feeding
+    exactly ONE FlatMapGroupsInPandas (per-type merge) — sketches
+    shuffle, never raw values in sorted order — the type-sized rank
+    table rides a broadcast join, and the exact quantiles come from the
+    grain (no row_number over the fact stream, the quantile-family
+    discipline)."""
+    import re
+
+    df = QUERIES["events_quantile_sketch_kll"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+    assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", plan)) == 1
+    assert "BroadcastHashJoin" in plan
+    assert "row_number" not in plan
+    assert re.search(r"sum\(c#", plan)  # cum/n windows over the grain

@@ -1827,3 +1827,87 @@ def test_prop_linear_attribution_equals_python_fold(spark, rows):
         assert got == want
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# KLL mergeable quantile sketch — pure-core properties (no Spark needed)
+# ---------------------------------------------------------------------------
+
+_kll_values = st.lists(
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    min_size=1,
+    max_size=2000,
+)
+
+
+def _kll_rank_band_ok(values, sk, kll, cap):
+    """est's exact-rank interval must overlap the target rank +/- the
+    deterministic bound n*(H+2)/cap (+2 levels of slack over the
+    textbook H = log2(n/cap): the leftover rule re-queues one item per
+    compaction)."""
+    import bisect
+    import math
+
+    n = len(values)
+    srt = sorted(values)
+    h = max(1, math.ceil(math.log2(max(n / cap, 2))))
+    bound = n * (h + 2) // cap + 1
+    for q in (250, 500, 950, 990):
+        est = kll.quantile(sk, q)
+        target = -(-q * n // 1000)
+        lo_rank = bisect.bisect_left(srt, est) + 1
+        hi_rank = bisect.bisect_right(srt, est)
+        assert lo_rank - bound <= target <= hi_rank + bound, (q, n, cap)
+        if len(sk["levels"]) == 1:
+            # no compaction ever happened: the sketch IS the multiset and
+            # the estimate must be the exact discrete quantile
+            assert est == srt[target - 1], q
+
+
+@settings(deadline=None, max_examples=25, suppress_health_check=list(HealthCheck))
+@given(values=_kll_values, cap=st.sampled_from([8, 32, 512]))
+def test_prop_kll_weight_exact_and_rank_band(values, cap):
+    """Two invariants of the in-engine KLL sketch on arbitrary inputs:
+    total weight is EXACTLY n (compaction halves items while doubling
+    weight; the odd-length leftover rule keeps it exact — the invariant
+    that caught the first draft's +2/+3 drift), and every quantile
+    estimate sits within the deterministic rank-error bound. Small caps
+    force deep compaction stacks the catalog entry never reaches."""
+    from mapreducer_pi_cs4433_spark.functions import kll
+
+    sk = kll.new_sketch()
+    kll.add_many(sk, values, cap=cap)
+    assert kll.total_weight(sk) == len(values)
+    _kll_rank_band_ok(values, sk, kll, cap)
+    # determinism: the same input rebuilds the identical structure
+    sk2 = kll.new_sketch()
+    kll.add_many(sk2, values, cap=cap)
+    assert sk2 == sk
+
+
+@settings(deadline=None, max_examples=25, suppress_health_check=list(HealthCheck))
+@given(
+    values=_kll_values,
+    cut=st.integers(min_value=0, max_value=2000),
+    cap=st.sampled_from([8, 32]),
+)
+def test_prop_kll_merge_is_split_safe(values, cut, cap):
+    """Mergeability: build two partial sketches on an arbitrary split,
+    fold their serialized (level, value) items into a fresh sketch the
+    way the applyInPandas reduce does (rows sorted first, so executor
+    arrival order can't matter) — weight stays exactly n and the merged
+    estimates still satisfy the rank band."""
+    from mapreducer_pi_cs4433_spark.functions import kll
+
+    cut = min(cut, len(values))
+    a, b = kll.new_sketch(), kll.new_sketch()
+    if values[:cut]:
+        kll.add_many(a, values[:cut], cap=cap)
+    if values[cut:]:
+        kll.add_many(b, values[cut:], cap=cap)
+    merged = kll.new_sketch()
+    kll.merge_items(
+        merged, sorted(kll.to_items(a) + kll.to_items(b)), cap=cap
+    )
+    assert kll.total_weight(merged) == len(values)
+    _kll_rank_band_ok(values, merged, kll, cap)

@@ -689,3 +689,40 @@ def test_parquet_num_rows_matches_spark_count(spark, tmp_path, monkeypatch):
     assert parquet_num_rows(ppath) is None
     # and the documented fallback really does produce the true count
     assert spark.read.parquet(ppath).count() == 50
+
+
+def test_write_partitioned_rejects_high_cardinality(spark):
+    """The cardinality guard (ROADMAP r10 candidate #5): partitioning on
+    a near-unique column must be REFUSED before any file is written —
+    the small-file explosion is silent at test scale and catastrophic at
+    100 TB — while a low-cardinality layout passes untouched, an
+    explicit higher cap overrides, and max_partitions=None skips the
+    probe entirely."""
+    import os
+
+    import pytest as _pytest
+
+    events = load_table(spark, SF_SMOKE, "events").limit(500)
+    tmp = tempfile.mkdtemp(prefix="part_guard_")
+    try:
+        target = os.path.join(tmp, "bad")
+        with _pytest.raises(ValueError, match="small-file explosion"):
+            sinks.write_partitioned(
+                events, target, ["event_id"], max_partitions=100
+            )
+        assert not os.path.exists(target)  # refused BEFORE writing
+        # low cardinality passes under the same cap
+        good = os.path.join(tmp, "good")
+        sinks.write_partitioned(
+            events, good, ["event_type"], max_partitions=100
+        )
+        assert spark.read.parquet(good).count() == 500
+        # explicit opt-outs: higher cap, or no probe at all
+        sinks.write_partitioned(
+            events, os.path.join(tmp, "cap"), ["event_id"], max_partitions=1000
+        )
+        sinks.write_partitioned(
+            events, os.path.join(tmp, "none"), ["event_id"], max_partitions=None
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
