@@ -76,6 +76,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import partstore
 from ..functions.dedup import (
     _banded_keys,
     _hashed_postings,
@@ -85,83 +86,19 @@ from ..functions.dedup import (
 
 _PAIR_SCHEMA = "id_a long, id_b long, jaccard double"
 
-
-def _part_dir(root: str, kind: str, batch_id: int) -> str:
-    return os.path.join(root, kind, f"b{batch_id:08d}")
-
-
-def _segment_dir(root: str, kind: str, lo: int, hi: int) -> str:
-    return os.path.join(root, kind, f"c{lo:08d}_{hi:08d}")
-
-
-def _committed_batches(root: str, kind: str) -> list[int]:
-    """Batch ids with a committed (_SUCCESS) per-batch part for one
-    state table (compacted segments not included — see _live_parts)."""
-    base = os.path.join(root, kind)
-    if not os.path.isdir(base):
-        return []
-    return sorted(
-        int(d[1:])
-        for d in os.listdir(base)
-        if d.startswith("b")
-        and os.path.exists(os.path.join(base, d, "_SUCCESS"))
-    )
-
-
-def _compacted_hi(root: str, kind: str) -> int:
-    """Highest batch id covered by a committed compacted segment
-    (``c{lo}_{hi}`` directory), or -1 when none exists. Segments are
-    always compacted from batch 0, so they are nested — the max-hi one
-    subsumes the rest."""
-    base = os.path.join(root, kind)
-    if not os.path.isdir(base):
-        return -1
-    his = [
-        int(d.split("_")[1])
-        for d in os.listdir(base)
-        if d.startswith("c")
-        and "_" in d
-        and os.path.exists(os.path.join(base, d, "_SUCCESS"))
-    ]
-    return max(his, default=-1)
-
-
-def _newest_committed(root: str, kind: str) -> int:
-    """Newest batch id present in the committed state — per-batch part
-    or inside a compacted segment. The lineage guard's reference point."""
-    batches = _committed_batches(root, kind)
-    return max(_compacted_hi(root, kind), batches[-1] if batches else -1)
-
-
-def _live_parts(root: str, kind: str, exclude_batch: int) -> list[str]:
-    """Directories whose union IS one state table: the max-hi compacted
-    segment (if any) plus every committed per-batch part ABOVE its
-    coverage — a ``b`` dir at or below the segment's hi is a compaction
-    leftover (crash between segment commit and leftover delete) and
-    must be ignored, which is what makes the compactor crash-safe
-    without a manifest. ``exclude_batch`` is the batch currently being
-    (re)processed: its directories may exist from a crashed attempt and
-    must not feed their own history. It can never sit inside a segment
-    (compaction stops short of the newest committed batch, the only
-    legal crash-replay target)."""
-    hi = _compacted_hi(root, kind)
-    parts = [_segment_dir(root, kind, 0, hi)] if hi >= 0 else []
-    parts += [
-        _part_dir(root, kind, b)
-        for b in _committed_batches(root, kind)
-        if b > hi and b != exclude_batch
-    ]
-    return parts
-
-
-def _read_parts(
-    spark: SparkSession, root: str, kind: str, exclude_batch: int
-) -> DataFrame | None:
-    parts = _live_parts(root, kind, exclude_batch)
-    if not parts:
-        return None
-    return spark.read.parquet(*parts)
-
+# The directory protocol (per-batch overwrite parts, nested compacted
+# segments, leftover-ignoring reads, the lineage guard) lives in
+# streaming/partstore.py since a second ingest index arrived
+# (streaming/imagedup.py) — one definition of the listing rules. These
+# aliases keep this module's historical private API, which the protocol
+# tests drive directly.
+_part_dir = partstore.part_dir
+_segment_dir = partstore.segment_dir
+_committed_batches = partstore.committed_batches
+_compacted_hi = partstore.compacted_hi
+_newest_committed = partstore.newest_committed
+_live_parts = partstore.live_parts
+_read_parts = partstore.read_parts
 
 _INDEX_KINDS = ("pairs", "sigs", "banded", "postings")
 
@@ -173,61 +110,12 @@ def compact_index(
     table — the maintenance task the module header prescribes (small
     per-batch files accumulate exactly like any streaming sink's; the
     banded index especially wants few well-sized files because every
-    batch probes it once).
-
-    Protocol (agrees with ``_live_parts`` by construction):
-
-    1. covers batches 0..hi where hi = newest committed batch - 1. The
-       NEWEST batch is never compacted: it is the only batch a
-       foreachBatch crash-replay can re-deliver, and a replay must be
-       able to exclude its own directories from history — impossible
-       once folded into a segment.
-    2. per kind: union the currently-live parts at or below hi, write
-       them as ONE ``c00000000_{hi}`` segment (repartition to
-       `target_partitions`), THEN delete the covered ``b`` dirs and any
-       older (subsumed) segment. A crash between segment commit and
-       leftover deletion double-stores but never double-READS: readers
-       ignore ``b`` dirs at or below a committed segment's hi. A crash
-       mid-segment-write leaves no _SUCCESS, so readers never see the
-       torn segment and a re-run overwrites it.
-
-    Returns hi (the highest compacted batch id), or -1 when there is
-    nothing new to compact (fewer than two committed batches, or the
-    current segments already cover everything below the newest). Run it
-    OFFLINE (between trigger runs), like any lakehouse OPTIMIZE."""
-    import shutil
-
-    newest = _newest_committed(state_path, "pairs")
-    hi = newest - 1
-    if hi < 0:
-        return -1
-    # per-KIND already-covered check (not pairs-only): a crash after some
-    # kinds' segments committed but before the rest must leave a re-run
-    # able to finish the stragglers — pairs commits first, so gating on
-    # pairs alone would turn every such re-run into a no-op
-    todo = [k for k in _INDEX_KINDS if _compacted_hi(state_path, k) < hi]
-    if not todo:
-        return -1
-    for kind in todo:
-        live = _live_parts(state_path, kind, exclude_batch=newest)
-        if not live:
-            continue
-        seg = _segment_dir(state_path, kind, 0, hi)
-        spark.read.parquet(*live).repartition(target_partitions).write.mode(
-            "overwrite"
-        ).parquet(seg)
-        # leftovers last — readers already ignore them once seg exists
-        # (both the covered per-batch dirs and any older, subsumed
-        # segment: _live_parts takes the max-hi segment only)
-        for b in _committed_batches(state_path, kind):
-            if b <= hi:
-                shutil.rmtree(_part_dir(state_path, kind, b), ignore_errors=True)
-        for d in os.listdir(os.path.join(state_path, kind)):
-            if d.startswith("c") and "_" in d and int(d.split("_")[1]) < hi:
-                shutil.rmtree(
-                    os.path.join(state_path, kind, d), ignore_errors=True
-                )
-    return hi
+    batch probes it once). Protocol and crash-window analysis:
+    ``partstore.compact``. Reads _INDEX_KINDS at call time (the
+    crash-between-kinds tests monkeypatch it)."""
+    return partstore.compact(
+        spark, state_path, _INDEX_KINDS, "pairs", target_partitions
+    )
 
 
 def read_emitted_pairs(spark: SparkSession, state_path: str) -> DataFrame:
@@ -262,20 +150,10 @@ def match_and_register_batch(
     agreement prefilter, exact posting-intersection Jaccard — so a
     pair's presence and value are identical whether computed here or
     by minhash_lsh_pairs over the assembled corpus."""
-    newest = _newest_committed(state_path, "pairs")
-    if batch_id < newest:
-        # Batch ids are per-CHECKPOINT-LINEAGE (they restart at 0 under
-        # a new checkpoint dir): an id BELOW the newest committed batch
-        # is not a crash-replay (foreachBatch only ever replays the
-        # last batch) — it is a restarted query pointed at an old state
-        # dir, and overwriting committed parts would corrupt the index
-        # and hide history from the candidate join. Same contract
-        # merge_sink.py documents; here it is enforced.
-        raise ValueError(
-            f"batch_id {batch_id} is below the newest committed batch "
-            f"{newest}: this state dir belongs to another "
-            "checkpoint lineage; use a fresh state_path for a new query"
-        )
+    # Batch ids are per-CHECKPOINT-LINEAGE: an id below the newest
+    # committed batch is a restarted query pointed at an old state dir,
+    # never a crash-replay — enforced by the shared store protocol.
+    partstore.check_lineage(state_path, "pairs", batch_id)
     rows_per_band = num_perm // bands
 
     # WITHIN-batch id uniqueness (self-review r9): two rows with the same
@@ -467,17 +345,14 @@ def neardup_ingest_stream(
             bands=bands,
             threshold=threshold,
         )
-        if compact_every is not None:
-            hi = _compacted_hi(state_path, "pairs")
-            live_b = [
-                b for b in _committed_batches(state_path, "pairs") if b > hi
-            ]
-            if len(live_b) > compact_every:
-                compact_index(
-                    batch_df.sparkSession,
-                    state_path,
-                    target_partitions=compact_target_partitions,
-                )
+        if compact_every is not None and partstore.auto_compact_due(
+            state_path, "pairs", compact_every
+        ):
+            compact_index(
+                batch_df.sparkSession,
+                state_path,
+                target_partitions=compact_target_partitions,
+            )
 
     return (
         prepared.writeStream.foreachBatch(_sink)
