@@ -185,6 +185,62 @@ def _skew_remedy_extra(spark) -> dict:
     return out
 
 
+def _udf_tax_extra(spark, sf_dir: str) -> dict:
+    """Measure the Python-boundary tax every round: the same arithmetic
+    (TPC-H's discounted-taxed price) as a JVM builtin expression, an
+    Arrow-batched pandas_udf, and a row-at-a-time Python UDF, over the
+    identical localCheckpointed input. The engine's hot paths are
+    builtin-only with Arrow kernels where Python is unavoidable (the
+    no-row-UDF rule is test-enforced); this probe keeps the RATIO that
+    justifies the rule measured instead of folklore — an Arrow/py4j
+    regression (or a Spark release that narrows the gap) becomes a
+    BENCH_r{N} diff. Single-shot; read ratios, not digits."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf, udf
+
+    from mapreducer_pi_cs4433_spark.sources.loaders import load_table
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_extendedprice", "l_discount", "l_tax")
+        .localCheckpoint()  # all three variants read the same in-memory rows
+    )
+
+    # no type hints: bench.py runs under `from __future__ import
+    # annotations`, whose stringified hints the pandas_udf inferrer
+    # can't evaluate — the hint-less form is the legacy SCALAR eval type
+    _arrow_kernel = pandas_udf(
+        lambda p, d, t: p * (1 - d) * (1 + t), "double"
+    )
+
+    _row_kernel = udf(lambda p, d, t: p * (1 - d) * (1 + t), "double")
+
+    variants = {
+        "builtin_expr_sec": lambda: li.select(
+            (
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ).alias("x")
+        ),
+        "pandas_udf_sec": lambda: li.select(
+            _arrow_kernel("l_extendedprice", "l_discount", "l_tax").alias("x")
+        ),
+        "row_udf_sec": lambda: li.select(
+            _row_kernel("l_extendedprice", "l_discount", "l_tax").alias("x")
+        ),
+    }
+    out: dict = {}
+    for label, make in variants.items():
+        t0 = time.perf_counter()
+        make().select(F.sum("x").alias("s")).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        out[label] = round(time.perf_counter() - t0, 3)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # Artifact build-cost visibility (r3/r4 carried ask): unless the
@@ -259,6 +315,7 @@ def _run(sf_dir: str) -> None:
 
     extra = _bucketed_join_extra(spark, sf_dir)
     extra["skew_remedy"] = _skew_remedy_extra(spark)
+    extra["udf_tax"] = _udf_tax_extra(spark, sf_dir)
     extra["pass1_total_sec"] = pass_totals[0]
     extra["pass2_total_sec"] = pass_totals[1]
 
