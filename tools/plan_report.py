@@ -97,6 +97,9 @@ _SHOWCASE = [
     ("skew_salted_segment_value", "salted join + two-phase salted agg: hot keys spread over salt buckets, oracle proves salt-invariance"),
     ("layout_partition_pruned_rollup", "dynamic partition pruning: year-partitioned artifact, dim-side literal filter prunes directories at runtime"),
     ("events_attribution_linear", "linear multi-touch attribution: user-keyed equi-join pairs, per-purchase count window, integer credit split"),
+    # round 9 continuation: perceptual image dedup + in-engine KLL sketch
+    ("image_ahash_neardup", "image aHash near-dup: two fused mapInPandas stages into one checkpointed hash table, single equality pair join"),
+    ("events_quantile_sketch_kll", "KLL sketch: one MapInPandas build into one grouped merge, broadcast grain ranks, no fact sort"),
 ]
 
 _MAX_LINES = 70
