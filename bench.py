@@ -175,6 +175,12 @@ def _skew_remedy_extra(spark) -> dict:
         run("naive_shuffle_join_sec", lambda: fact.join(dim, "k"))
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
         run("aqe_skew_join_sec", lambda: fact.join(dim, "k"))
+        # salted leg with AQE skew-splitting OFF (self-review): the day
+        # a Spark upgrade drops the byte threshold under this workload,
+        # AQE would silently activate inside the salted run too and
+        # contaminate the per-remedy ratio at exactly the moment the
+        # probe exists to expose
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
         run(
             "salted_join_sec",
             lambda: salted_join(fact, dim, "k", salt_buckets=16),
@@ -195,7 +201,6 @@ def _udf_tax_extra(spark, sf_dir: str) -> dict:
     justifies the rule measured instead of folklore — an Arrow/py4j
     regression (or a Spark release that narrows the gap) becomes a
     BENCH_r{N} diff. Single-shot; read ratios, not digits."""
-    import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf, udf
 

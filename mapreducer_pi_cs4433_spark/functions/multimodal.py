@@ -390,6 +390,32 @@ def ahash_features(media: DataFrame) -> DataFrame:
     )
 
 
+def ahash_equal_pairs(hashed: DataFrame) -> DataFrame:
+    """Hash-equality self-pairs (id_a < id_b, both hash halves carried)
+    of an ``ahash_features`` table — ONE definition shared by the batch
+    query (image_ahash_neardup) and the streaming ingest's within-batch
+    join (streaming/imagedup.py), whose batch-equivalence contract
+    depends on the two staying identical (self-review: they were copies).
+    Callers materialize ``hashed`` first when it is expensive to
+    recompute (both consumers localCheckpoint)."""
+    b = hashed.select(
+        F.col("media_id").alias("id_b"),
+        F.col("ahash_lo").alias("lo_b"),
+        F.col("ahash_hi").alias("hi_b"),
+    )
+    return (
+        hashed.join(
+            b,
+            (F.col("ahash_lo") == F.col("lo_b"))
+            & (F.col("ahash_hi") == F.col("hi_b"))
+            & (F.col("media_id") < F.col("id_b")),
+        )
+        .select(
+            F.col("media_id").alias("id_a"), "id_b", "ahash_hi", "ahash_lo"
+        )
+    )
+
+
 def sample_frames(
     media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
 ) -> DataFrame:

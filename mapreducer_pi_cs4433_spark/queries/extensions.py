@@ -1497,25 +1497,7 @@ def image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two consumers below: materialize the (id, lo, hi) table once —
     # without this, each join side re-synthesizes and re-hashes the corpus
     hashed = multimodal.ahash_features(media).localCheckpoint()
-    b = hashed.select(
-        F.col("media_id").alias("id_b"),
-        F.col("ahash_lo").alias("lo_b"),
-        F.col("ahash_hi").alias("hi_b"),
-    )
-    return (
-        hashed.join(
-            b,
-            (F.col("ahash_lo") == F.col("lo_b"))
-            & (F.col("ahash_hi") == F.col("hi_b"))
-            & (F.col("media_id") < F.col("id_b")),
-        )
-        .select(
-            F.col("media_id").alias("id_a"),
-            "id_b",
-            "ahash_hi",
-            "ahash_lo",
-        )
-    )
+    return multimodal.ahash_equal_pairs(hashed)
 
 
 @query(

@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import partstore
-from ..functions.multimodal import ahash_features
+from ..functions.multimodal import ahash_equal_pairs, ahash_features
 
 _KINDS = ("pairs", "hashes")
 _PAIR_SCHEMA = "id_a long, id_b long, ahash_hi long, ahash_lo long"
@@ -99,22 +99,9 @@ def match_and_register_batch(
         )
     ).localCheckpoint()  # three consumers below: within-join x2 + write
 
-    rb = hashed.select(
-        F.col("media_id").alias("id_b"),
-        F.col("ahash_lo").alias("lo_b"),
-        F.col("ahash_hi").alias("hi_b"),
-    )
-    within = (
-        hashed.join(
-            rb,
-            (F.col("ahash_lo") == F.col("lo_b"))
-            & (F.col("ahash_hi") == F.col("hi_b"))
-            & (F.col("media_id") < F.col("id_b")),
-        )
-        .select(
-            F.col("media_id").alias("id_a"), "id_b", "ahash_hi", "ahash_lo"
-        )
-    )
+    # within-batch pairs: the batch operator's OWN pair join (shared
+    # definition — the batch-equivalence contract depends on it)
+    within = ahash_equal_pairs(hashed)
     if hist is not None:
         nb = hashed.select(
             F.col("media_id").alias("id_n"),
@@ -170,6 +157,7 @@ def image_ingest_stream(
     watermark: str = "1 hour",
     drop_exact_dups: bool = True,
     compact_every: int | None = None,
+    compact_target_partitions: int = 4,
 ):
     """Wire an image stream into the near-dup ingest sink; returns the
     started StreamingQuery (caller owns trigger/termination). Options
@@ -201,7 +189,11 @@ def image_ingest_stream(
         if compact_every is not None and partstore.auto_compact_due(
             state_path, "pairs", compact_every
         ):
-            compact_index(batch_df.sparkSession, state_path)
+            compact_index(
+                batch_df.sparkSession,
+                state_path,
+                target_partitions=compact_target_partitions,
+            )
 
     return (
         prepared.writeStream.foreachBatch(_sink)

@@ -66,11 +66,29 @@ _STATE_SCHEMA = StructType(
 
 def _restore(levels, values, parity, cap: int) -> dict:
     """Rebuild a sketch from its serialized item table. The stored items
-    already respect the cap, so no compaction fires during the refill —
-    the stored PARITY schedule is then overlaid so future compactions
-    resume exactly where the previous process stopped."""
+    respect the cap they were BUILT with, so the refill must not compact
+    — the stored PARITY schedule is then overlaid so future compactions
+    resume exactly where the previous process stopped.
+
+    Restarting a query with a SMALLER cap than its state was built with
+    would make the refill itself compact (self-review): the level
+    layout then no longer matches the stored parity array, and because
+    compaction preserves total weight exactly, the integrity guard
+    downstream would pass while the parity schedule — and with it the
+    determinism-across-restart claim — was silently wrong. Detected
+    here: compaction strictly shrinks the item count, so a refill that
+    lost items means a cap mismatch, and it raises instead of
+    degrading."""
+    items = list(zip(levels, values))
     sk = kll.new_sketch()
-    kll.merge_items(sk, zip(levels, values), cap=cap)
+    kll.merge_items(sk, items, cap=cap)
+    if len(kll.to_items(sk)) != len(items):
+        raise ValueError(
+            f"KLL state holds {len(items)} items but refilling at "
+            f"cap={cap} compacted to {len(kll.to_items(sk))}: the state "
+            "was built with a larger cap — restart with the original "
+            "cap (or a fresh checkpoint for the new one)"
+        )
     par = list(parity) + [0] * (len(sk["levels"]) - len(parity))
     sk["parity"] = par[: len(sk["levels"])]
     return sk

@@ -142,3 +142,13 @@ def test_state_roundtrip_preserves_weight_and_detects_corruption():
         _CAP,
     )
     assert kll.total_weight(corrupted) != 5000
+    # restart with a SMALLER cap: the refill would compact, desyncing
+    # the stored parity schedule while preserving weight — must raise,
+    # not silently degrade (self-review)
+    with pytest.raises(ValueError, match="larger cap"):
+        _restore(
+            [l for l, _ in items],
+            [v for _, v in items],
+            list(sk["parity"]),
+            8,
+        )
