@@ -554,14 +554,18 @@ _DRIVER_PRIORITY = [
     # linear multi-touch attribution twin, both new this round.
     "layout_partition_pruned_rollup",
     "events_attribution_linear",
-    # r9 third wave (2 seats, funded by demoting search_mmr_rerank and
-    # search_hybrid_rrf — both r8-driver-green on unchanged code): the
-    # perceptual image near-dup (real PPM decode -> integer aHash ->
-    # hash-equality pairs, analytically-regenerated oracle) and the
-    # in-engine mergeable KLL quantile sketch (rank-band + exact-weight
-    # contracts), both new this round.
+    # r9 third wave (3 seats, funded by demoting search_mmr_rerank,
+    # search_hybrid_rrf, and events_time_to_conversion — all
+    # r8-driver-green on unchanged code): the perceptual image near-dup
+    # (real PPM decode -> integer aHash -> hash-equality pairs,
+    # analytically-regenerated oracle), the in-engine mergeable KLL
+    # quantile sketch (rank-band + exact-weight contracts), and the
+    # hierarchical KLL cube-cell rollup (per-(type, day) cell sketches
+    # merged per type without rescanning raw data; + exact n_cells
+    # contract), all new this round.
     "image_ahash_neardup",
     "events_quantile_sketch_kll",
+    "events_quantile_rollup_kll",
     # r8 band remainder: still in-window from r8 (driver-green there);
     # graph_label_propagation and graph-gate siblings read
     # parquet_num_rows, whose contract hardened this round, so the LPA
@@ -569,11 +573,11 @@ _DRIVER_PRIORITY = [
     "olap_grouping_sets_margins",
     "graph_label_propagation",
     "events_attribution_last_touch",
-    "events_time_to_conversion",
     # --- 50-entry driver window ends here ---------------------------------
     # First below the cap: the r9 demotions — all r8-driver-green
     # (CORRECTNESS_r08.json) on code unchanged since, re-verified every
     # round by the FULL files.
+    "events_time_to_conversion",
     "search_hybrid_rrf",
     "search_mmr_rerank",
     "embedding_pc1_power_iter",

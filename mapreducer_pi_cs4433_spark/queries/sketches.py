@@ -488,8 +488,6 @@ def events_quantile_sketch_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
     (type, value, count) GRAIN — map-side-combinable, windows bounded by
     value cardinality, no sort of the raw stream anywhere (the
     events_value_quantiles discipline)."""
-    from pyspark.sql import Window
-
     from ..functions import kll
 
     # event_type IS NOT NULL on BOTH engines (self-review): the pandas
@@ -548,6 +546,16 @@ def events_quantile_sketch_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="event_type string, q_permille int, est double, sketch_weight long",
     )
 
+    return _kll_band_verdict(ests, _kll_exact_rank_table(ev, bands), bands)
+
+
+def _kll_exact_rank_table(ev: DataFrame, bands) -> DataFrame:
+    """Per-type exact discrete quantiles and band edges over the
+    (type, value, count) GRAIN — the rank-selection kernel both KLL
+    entries verify against (map-side-combinable aggregate, windows
+    bounded by value cardinality, no sort of the raw stream)."""
+    from pyspark.sql import Window
+
     w_cum = Window.partitionBy("event_type").orderBy("value")
     w_type = Window.partitionBy("event_type")
     g = (
@@ -572,8 +580,15 @@ def events_quantile_sketch_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
             disc(q).alias(f"d{q}"),
             disc(hi).alias(f"hi{q}"),
         ]
-    ranks = g.groupBy("event_type").agg(F.max("n").alias("n_events"), *aggs)
+    return g.groupBy("event_type").agg(F.max("n").alias("n_events"), *aggs)
 
+
+def _kll_band_verdict(
+    ests: DataFrame, ranks: DataFrame, bands, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Join estimates onto the broadcast rank table and emit the shared
+    output contract: exact_value + the kll_in_band bit per
+    (type, q_permille), plus the entry's own audit columns."""
     exact = F.lit(None).cast("double")
     lo_e = F.lit(None).cast("double")
     hi_e = F.lit(None).cast("double")
@@ -582,17 +597,158 @@ def events_quantile_sketch_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact = F.when(is_q, F.col(f"d{q}")).otherwise(exact)
         lo_e = F.when(is_q, F.col(f"lo{q}")).otherwise(lo_e)
         hi_e = F.when(is_q, F.col(f"hi{q}")).otherwise(hi_e)
-
-    return (
-        ests.join(F.broadcast(ranks), "event_type")
-        .select(
-            "event_type",
-            "q_permille",
-            exact.alias("exact_value"),
-            (
-                (F.col("est") >= lo_e) & (F.col("est") <= hi_e)
-            ).cast("int").alias("kll_in_band"),
-            "sketch_weight",
-            "n_events",
-        )
+    return ests.join(F.broadcast(ranks), "event_type").select(
+        "event_type",
+        "q_permille",
+        exact.alias("exact_value"),
+        ((F.col("est") >= lo_e) & (F.col("est") <= hi_e))
+        .cast("int")
+        .alias("kll_in_band"),
+        "sketch_weight",
+        *extra_cols,
+        "n_events",
     )
+
+
+@query(
+    "events_quantile_rollup_kll",
+    oracle="""
+    WITH base AS (
+        SELECT event_type, value, CAST(ts AS DATE) AS day
+        FROM events
+        WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), r AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY value)
+                   AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM base
+    ), w AS (
+        SELECT event_type,
+               MIN(CASE WHEN rk = (n * 500 + 999) // 1000 THEN value END)
+                   AS d50,
+               MIN(CASE WHEN rk = (n * 950 + 999) // 1000 THEN value END)
+                   AS d95,
+               MIN(CASE WHEN rk = (n * 990 + 999) // 1000 THEN value END)
+                   AS d99,
+               COUNT(*) AS n_events
+        FROM r GROUP BY event_type
+    ), cells AS (
+        SELECT event_type, COUNT(DISTINCT day) AS n_cells
+        FROM base GROUP BY event_type
+    )
+    SELECT w.event_type, 500 AS q_permille, d50 AS exact_value,
+           1 AS kll_in_band, n_events AS sketch_weight, c.n_cells, n_events
+    FROM w JOIN cells c ON w.event_type = c.event_type
+    UNION ALL
+    SELECT w.event_type, 950, d95, 1, n_events, c.n_cells, n_events
+    FROM w JOIN cells c ON w.event_type = c.event_type
+    UNION ALL
+    SELECT w.event_type, 990, d99, 1, n_events, c.n_cells, n_events
+    FROM w JOIN cells c ON w.event_type = c.event_type
+    """,
+)
+def events_quantile_rollup_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical sketch rollup — the property that makes MERGEABLE
+    sketches matter at 100 TB, demonstrated structurally: per-(type, day)
+    CELL sketches are built from ONE pass over the raw values, and the
+    per-type result is a merge of the CELLS' serialized items — raw data
+    is never rescanned at the coarser grain. This is the cube-cell
+    pattern (store a sketch per partition/day cell; answer any coarser
+    rollup by merging cells), which a non-mergeable quantile algorithm
+    simply cannot do.
+
+    Three-stage plan, pinned: one mapInPandas partial build keyed by
+    (type, day) -> one applyInPandas CELL merge per (type, day)
+    emitting the cell sketch's item table -> one applyInPandas TYPE
+    merge consuming cell items only. Contracts, all exact in the
+    oracle: the rank band (two stacked compaction layers still sit far
+    inside the +/-20-permille band — cells are day-sized, so most cell
+    sketches are exact and the type merge pays the only compaction),
+    sketch_weight == n_events bit-for-bit THROUGH the hierarchy (weight
+    exactness composes across merge levels), and n_cells == the exact
+    distinct-day count per type (a dropped or double-merged cell moves
+    it). Merges sort their input items, so executor arrival order can't
+    perturb anything."""
+    from ..functions import kll
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_type", F.to_date("ts").alias("day"), "value")
+    )
+
+    def build(batches):
+        import pandas as pd
+
+        sketches: dict = {}
+        for pdf in batches:
+            for (t, d), vals in pdf.groupby(["event_type", "day"])["value"]:
+                sk = sketches.setdefault((t, d), kll.new_sketch())
+                kll.add_many(sk, vals.to_numpy())
+        rows = [
+            (t, d, l, v)
+            for (t, d), sk in sketches.items()
+            for l, v in kll.to_items(sk)
+        ]
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["event_type", "day", "level", "value"]
+            )
+
+    partials = ev.mapInPandas(
+        build, schema="event_type string, day date, level int, value double"
+    )
+
+    def cell_merge(pdf):
+        import pandas as pd
+
+        t = pdf["event_type"].iloc[0]
+        d = pdf["day"].iloc[0]
+        ordered = pdf.sort_values(["level", "value"])
+        sk = kll.new_sketch()
+        kll.merge_items(sk, zip(ordered["level"], ordered["value"]))
+        items = kll.to_items(sk)
+        return pd.DataFrame(
+            {
+                "event_type": [t] * len(items),
+                "day": [d] * len(items),
+                "level": [l for l, _ in items],
+                "value": [v for _, v in items],
+            }
+        )
+
+    cells = partials.groupBy("event_type", "day").applyInPandas(
+        cell_merge,
+        schema="event_type string, day date, level int, value double",
+    )
+
+    bands = _KLL_BANDS
+
+    def type_merge(pdf):
+        import pandas as pd
+
+        t = pdf["event_type"].iloc[0]
+        n_cells = int(pdf["day"].nunique())
+        ordered = pdf.sort_values(["level", "value"])
+        sk = kll.new_sketch()
+        kll.merge_items(sk, zip(ordered["level"], ordered["value"]))
+        w = kll.total_weight(sk)
+        return pd.DataFrame(
+            {
+                "event_type": [t] * len(bands),
+                "q_permille": [q for q, _, _ in bands],
+                "est": [kll.quantile(sk, q) for q, _, _ in bands],
+                "sketch_weight": [w] * len(bands),
+                "n_cells": [n_cells] * len(bands),
+            }
+        )
+
+    ests = cells.groupBy("event_type").applyInPandas(
+        type_merge,
+        schema="event_type string, q_permille int, est double, "
+        "sketch_weight long, n_cells long",
+    )
+
+    ranks = _kll_exact_rank_table(ev.select("event_type", "value"), bands)
+    return _kll_band_verdict(ests, ranks, bands, extra_cols=("n_cells",))

@@ -1193,3 +1193,22 @@ def test_kll_two_phase_build_merge_no_fact_sort(spark):
     assert "BroadcastHashJoin" in plan
     assert "row_number" not in plan
     assert re.search(r"sum\(c#", plan)  # cum/n windows over the grain
+
+
+def test_kll_rollup_merges_cells_never_rescans(spark):
+    """events_quantile_rollup_kll pins the cube-cell hierarchy: one
+    MapInPandas partial build, then exactly TWO FlatMapGroupsInPandas —
+    the (type, day) cell merge and the per-type merge that consumes
+    CELL ITEMS only — so the coarser grain is answered without a second
+    pass over raw values (the property that makes mergeable sketches
+    matter at 100 TB). Exact ranks still ride the grain: no row_number
+    over facts, rank table broadcast."""
+    import re
+
+    df = QUERIES["events_quantile_rollup_kll"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+    assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", plan)) == 2
+    assert "BroadcastHashJoin" in plan
+    assert "row_number" not in plan
+    assert re.search(r"sum\(c#", plan)
