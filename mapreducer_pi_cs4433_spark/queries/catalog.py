@@ -566,17 +566,22 @@ _DRIVER_PRIORITY = [
     "image_ahash_neardup",
     "events_quantile_sketch_kll",
     "events_quantile_rollup_kll",
+    # r9 fourth wave (1 seat, funded by demoting
+    # events_attribution_last_touch — r8-driver-green on unchanged code,
+    # and its linear twin keeps the attribution family in-window): the
+    # in-engine register-exact HLL with cube-cell merge, new this round.
+    "events_distinct_hll_rollup",
     # r8 band remainder: still in-window from r8 (driver-green there);
     # graph_label_propagation and graph-gate siblings read
     # parquet_num_rows, whose contract hardened this round, so the LPA
     # seat doubles as fresh-evidence-on-changed-code again.
     "olap_grouping_sets_margins",
     "graph_label_propagation",
-    "events_attribution_last_touch",
     # --- 50-entry driver window ends here ---------------------------------
     # First below the cap: the r9 demotions — all r8-driver-green
     # (CORRECTNESS_r08.json) on code unchanged since, re-verified every
     # round by the FULL files.
+    "events_attribution_last_touch",
     "events_time_to_conversion",
     "search_hybrid_rrf",
     "search_mmr_rerank",

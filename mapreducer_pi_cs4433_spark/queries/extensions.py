@@ -1741,7 +1741,13 @@ def dedup_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     absolute floor of 3 for tiny groups, where HLL++'s dense-register
     bias correction dominates the relative error (observed: 23 vs 25 at
     n=25). The oracle asserts the literal TRUE, and an HLL regression
-    beyond the contract flips the bit and fails the hash."""
+    beyond the contract flips the bit and fails the hash.
+
+    The engine-private limitation is specific to Spark's built-in
+    sketch: the in-engine twin (events_distinct_hll_rollup,
+    queries/sketches.py) derives its registers from md5 bits both
+    engines standardize, so there the register table itself
+    hash-matches the oracle."""
     docs = _t(spark, sf_dir, "documents")
     agg = docs.groupBy("source").agg(
         F.approx_count_distinct("text", rsd=0.02).alias("approx"),

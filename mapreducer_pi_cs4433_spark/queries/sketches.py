@@ -1,17 +1,23 @@
-"""Frequency / membership sketches: count-min and Bloom-filter pruning.
+"""Sketches: count-min, Bloom pruning, KMV, KLL quantiles, and HLL.
 
-Completes the engine's sketch family (HLL distinct counts and GK quantiles
+The engine's sketch family (alongside the HLL++ wrapper and GK quantiles
 registered in extensions.py): CMS answers "how often did key X occur"
-from sublinear state, Bloom answers "might key X be in set S" — the two
-sketches a 100 TB pipeline uses to avoid full shuffles (CMS for heavy-key
-detection feeding the salted-join mitigation in operators/skew.py; Bloom
-for semi-join pruning before an expensive join).
+from sublinear state, Bloom answers "might key X be in set S" (the two
+sketches a 100 TB pipeline uses to avoid full shuffles — CMS for
+heavy-key detection feeding the salted-join mitigation in
+operators/skew.py; Bloom for semi-join pruning before an expensive
+join), KMV estimates join cardinalities, the KLL pair demonstrates
+mergeable quantiles structurally (build + merge + cube-cell rollup),
+and events_distinct_hll_rollup is the in-engine HyperLogLog whose
+REGISTERS are the verified output.
 
-Both entries are EXACT cross-engine twins, not error-banded contracts:
-the hash family is md5-derived (standardized bits in any engine), so
-DuckDB reproduces the sketch bit-for-bit and the driver hash-compares
-values. The accuracy claims (CMS never undercounts; Bloom never yields
-false negatives) are asserted as output columns the oracle recomputes.
+CMS, Bloom, KMV, and the HLL registers are EXACT cross-engine twins,
+not error-banded contracts: the hash family is md5-derived
+(standardized bits in any engine), so DuckDB reproduces the sketch
+bit-for-bit and the driver hash-compares values. The accuracy claims
+(CMS never undercounts; Bloom never yields false negatives; KLL/HLL
+estimates in band) are asserted as output columns the oracle recomputes
+or as one-sided claim bits.
 """
 
 from __future__ import annotations
@@ -752,3 +758,208 @@ def events_quantile_rollup_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ranks = _kll_exact_rank_table(ev.select("event_type", "value"), bands)
     return _kll_band_verdict(ests, ranks, bands, extra_cols=("n_cells",))
+
+
+# HLL geometry and register math live in functions/hll.py (ONE
+# definition shared with the streaming monitor, streaming/distinct.py);
+# re-exported here for the oracle f-string and the tests.
+from ..functions import hll as _hll  # noqa: E402
+
+_HLL_M = _hll.M
+_HLL_RHO_MAX = _hll.RHO_MAX
+# 20% relative band (>3 sigma at rsd 6.5%) with an absolute floor of 10
+# for tiny groups; measured rel err at the test SFs is 3.0-4.2%.
+_HLL_REL, _HLL_ABS = 0.20, 10.0
+
+
+@query(
+    "events_distinct_hll_rollup",
+    oracle=f"""
+    WITH du AS (
+        SELECT DISTINCT event_type, user_id FROM events
+        WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+    ), h AS (
+        SELECT event_type,
+               CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+                   1, 2)) AS UBIGINT) AS INTEGER) AS idx,
+               CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+                   3, 10)) AS UBIGINT) AS BIGINT) AS w
+        FROM du
+    ), rh AS (
+        SELECT event_type, idx,
+               CAST(CASE WHEN w = 0 THEN {_HLL_RHO_MAX}
+                    ELSE {_HLL_RHO_MAX} - length(bin(w)) END AS INTEGER)
+                   AS rho
+        FROM h
+    ), regs AS (
+        SELECT event_type, idx, MAX(rho) AS reg_val FROM rh GROUP BY 1, 2
+    ), grid AS (
+        SELECT t.event_type, CAST(g.i AS INTEGER) AS reg_idx
+        FROM (SELECT DISTINCT event_type FROM du) t
+        CROSS JOIN (SELECT unnest(generate_series(0, {_HLL_M - 1})) AS i) g
+    ), filled AS (
+        SELECT g.event_type, g.reg_idx,
+               CAST(COALESCE(r.reg_val, 0) AS INTEGER) AS reg_val
+        FROM grid g
+        LEFT JOIN regs r ON g.event_type = r.event_type AND g.reg_idx = r.idx
+    ), summ AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN reg_val = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS v_zero,
+               CAST(SUM(CAST(2 AS BIGINT) ** ({_HLL_RHO_MAX} - reg_val))
+                   AS BIGINT) AS sum_inv_scaled
+        FROM filled GROUP BY 1
+    ), nc AS (
+        SELECT event_type,
+               CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_cells
+        FROM events
+        WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        GROUP BY 1
+    ), ex AS (
+        SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+        FROM events
+        WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT f.event_type, f.reg_idx, f.reg_val, s.v_zero, s.sum_inv_scaled,
+           nc.n_cells, ex.exact_distinct, 1 AS hll_in_band
+    FROM filled f
+    JOIN summ s USING (event_type)
+    JOIN nc USING (event_type)
+    JOIN ex USING (event_type)
+    """,
+)
+def events_distinct_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog built IN the engine with register-level cross-engine
+    exactness — the distinct-count counterpart of the KLL pair: where
+    dedup_approx_distinct wraps Spark's HLL++ (estimate engine-private,
+    checkable only through a relative-error bit), this entry derives
+    every register from md5 bits both engines standardize, so the FULL
+    register table hash-matches the oracle and the sketch itself — not
+    just a claim about it — is the verified output.
+
+    Cube-cell mergeability, same hierarchy as events_quantile_rollup_kll:
+    per-(type, day) CELL registers are built from ONE pass over the raw
+    stream, and the per-type registers are a register-wise MAX of the
+    cells — raw data is never rescanned at the coarser grain, and max's
+    associativity makes the merged table equal the flat build the oracle
+    computes, bit for bit (THE mergeable-sketch property, asserted as
+    hash equality, with n_cells == exact distinct-day count pinning that
+    every cell arrived exactly once). Unlike the KLL pair this whole
+    plan is JVM codegen — md5/conv/bin/length column math, zero Python.
+
+    Contract columns: (reg_idx, reg_val) the bit-exact registers;
+    v_zero and sum_inv_scaled = sum(2^(41 - reg)) the harmonic-sum
+    bookkeeping as EXACT BIGINTs (the float estimate never crosses the
+    engine boundary); exact_distinct the true count; hll_in_band the
+    one-sided claim bit — Spark computes the standard HLL estimate
+    (alpha_m * m^2 / sum, linear-counting branch below 2.5m when zero
+    registers remain) and asserts |est - exact| <= max(20% * exact, 10)
+    — 3.0-4.2% measured at the test SFs, which also exercise BOTH
+    branches (linear at sf0.001/0.01, raw HLL at sf0.1). The oracle
+    emits literal 1, so an out-of-band estimate is a driver hash red.
+
+    Scale shape: registers are FIXED-SIZE state — the raw pass partial
+    aggregates to (type, day, idx) grain map-side (<= cells x 256 rows
+    regardless of corpus size), every later stage is register-table
+    sized, and the only other raw pass is the exact-truth countDistinct
+    the contract itself requires (drop it and the sketch path scans
+    once). At 100 TB 'how many distinct X per group' ships ~256 bytes
+    per live cell to one coordinator-sized merge instead of shuffling
+    the distinct-value stream — and the day grain means yesterday's
+    registers never rebuild (the incremental property the cube-cell
+    layout exists for)."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull() & F.col("user_id").isNotNull())
+        .select("event_type", F.to_date("ts").alias("day"), "user_id")
+    )
+    idx = _hll.idx_col(F.col("user_id"))
+    rho = _hll.rho_col(F.col("user_id"))
+
+    # Both raw passes land in register-sized localCheckpoints (the
+    # dual-consumer rule, the CMS discipline): cells feeds the type
+    # merge AND n_cells; exact feeds the grid spine AND the summary
+    # join. The LIVE plan therefore carries zero parquet scans.
+    cells = (
+        ev.select("event_type", "day", idx.alias("idx"), rho.alias("rho"))
+        .groupBy("event_type", "day", "idx")
+        .agg(F.max("rho").alias("reg_val"))
+        .localCheckpoint()
+    )
+    typeregs = cells.groupBy("event_type", "idx").agg(
+        F.max("reg_val").alias("reg_val")
+    )
+    # countDistinct (not distinct().count()) so a NULL day — a row with
+    # NULL ts still contributes registers but is no calendar cell —
+    # can't count as a cell here while the oracle's COUNT(DISTINCT)
+    # excludes it (the KLL NULL-key symmetry lesson; latent on current
+    # corpora, which have no NULL ts).
+    ncells = cells.groupBy("event_type").agg(
+        F.countDistinct("day").alias("n_cells")
+    )
+    # The truth pass: exact distinct is part of the contract, so the raw
+    # stream is read a second time at countDistinct grain; its output is
+    # also the per-type grid spine (no third scan — the 256-slot spine
+    # is an explode of a literal sequence, not a join).
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    ).localCheckpoint()
+
+    grid = exact.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(0), F.lit(_HLL_M - 1))).alias("reg_idx"),
+    )
+    filled = (
+        grid.join(
+            typeregs.withColumnRenamed("idx", "reg_idx"),
+            ["event_type", "reg_idx"],
+            "left",
+        )
+        .withColumn("reg_val", F.coalesce("reg_val", F.lit(0)))
+    )
+
+    summ = filled.groupBy("event_type").agg(
+        F.sum((F.col("reg_val") == 0).cast("int")).cast("long").alias("v_zero"),
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(_HLL_RHO_MAX) - F.col("reg_val")).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("sum_inv_scaled"),
+    )
+
+    sum_inv = F.col("sum_inv_scaled") / F.lit(float(2**_HLL_RHO_MAX))
+    raw = F.lit(_hll.ALPHA * _HLL_M * _HLL_M) / sum_inv
+    est = F.when(
+        (raw <= F.lit(2.5 * _HLL_M)) & (F.col("v_zero") > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("v_zero")),
+    ).otherwise(raw)
+    band = F.greatest(
+        F.lit(_HLL_REL) * F.col("exact_distinct"), F.lit(_HLL_ABS)
+    )
+    s = (
+        summ.join(ncells, "event_type")
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "v_zero",
+            "sum_inv_scaled",
+            "n_cells",
+            "exact_distinct",
+            (F.abs(est - F.col("exact_distinct")) <= band)
+            .cast("int")
+            .alias("hll_in_band"),
+        )
+    )
+    return filled.join(F.broadcast(s), "event_type").select(
+        "event_type",
+        "reg_idx",
+        "reg_val",
+        "v_zero",
+        "sum_inv_scaled",
+        "n_cells",
+        "exact_distinct",
+        "hll_in_band",
+    )

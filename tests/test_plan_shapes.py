@@ -1212,3 +1212,29 @@ def test_kll_rollup_merges_cells_never_rescans(spark):
     assert "BroadcastHashJoin" in plan
     assert "row_number" not in plan
     assert re.search(r"sum\(c#", plan)
+
+
+def test_hll_rollup_pure_codegen_no_python(spark):
+    """events_distinct_hll_rollup is the sketch family's all-JVM member:
+    register math is md5/conv/bin column expressions, so the WHOLE plan
+    must carry ZERO Python eval nodes (unlike the KLL pair, whose
+    kernels are pandas by necessity). Both raw passes (cell build,
+    exact-truth countDistinct) ran eagerly into register-sized
+    localCheckpoints — the CMS discipline — so the LIVE plan has zero
+    parquet scans; the 256-slot spine is an explode of a literal
+    sequence (no cartesian anywhere), and the per-type summary rides a
+    broadcast join onto the register table."""
+    df = QUERIES["events_distinct_hll_rollup"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    for node in (
+        "MapInPandas",
+        "FlatMapGroupsInPandas",
+        "ArrowEvalPython",
+        "BatchEvalPython",
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+    ):
+        assert node not in plan, node
+    assert plan.count("Scan parquet") == 0
+    assert "Generate" in plan  # the literal-sequence register spine
+    assert "BroadcastHashJoin" in plan

@@ -100,6 +100,8 @@ _SHOWCASE = [
     # round 9 continuation: perceptual image dedup + in-engine KLL sketch
     ("image_ahash_neardup", "image aHash near-dup: two fused mapInPandas stages into one checkpointed hash table, single equality pair join"),
     ("events_quantile_sketch_kll", "KLL sketch: one MapInPandas build into one grouped merge, broadcast grain ranks, no fact sort"),
+    ("events_quantile_rollup_kll", "KLL cube-cell rollup: cell merge then type merge consuming cell items only, raw scanned once per hierarchy"),
+    ("events_distinct_hll_rollup", "in-engine HLL: all-JVM register math (zero Python nodes), checkpointed raw passes, explode-spine + broadcast summary"),
 ]
 
 _MAX_LINES = 70
