@@ -566,22 +566,26 @@ _DRIVER_PRIORITY = [
     "image_ahash_neardup",
     "events_quantile_sketch_kll",
     "events_quantile_rollup_kll",
-    # r9 fourth wave (1 seat, funded by demoting
-    # events_attribution_last_touch — r8-driver-green on unchanged code,
-    # and its linear twin keeps the attribution family in-window): the
-    # in-engine register-exact HLL with cube-cell merge, new this round.
+    # r9 fourth wave (2 seats, funded by demoting
+    # events_attribution_last_touch and olap_grouping_sets_margins —
+    # both r8-driver-green on unchanged code; the attribution family
+    # stays in-window via the linear twin): the in-engine
+    # register-exact HLL with cube-cell merge, and its sliding-window
+    # application (day cells reused across overlapping windows), both
+    # new this round.
     "events_distinct_hll_rollup",
+    "events_distinct_hll_sliding",
     # r8 band remainder: still in-window from r8 (driver-green there);
     # graph_label_propagation and graph-gate siblings read
     # parquet_num_rows, whose contract hardened this round, so the LPA
     # seat doubles as fresh-evidence-on-changed-code again.
-    "olap_grouping_sets_margins",
     "graph_label_propagation",
     # --- 50-entry driver window ends here ---------------------------------
     # First below the cap: the r9 demotions — all r8-driver-green
     # (CORRECTNESS_r08.json) on code unchanged since, re-verified every
     # round by the FULL files.
     "events_attribution_last_touch",
+    "olap_grouping_sets_margins",
     "events_time_to_conversion",
     "search_hybrid_rrf",
     "search_mmr_rerank",

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .catalog import _t, query
+from .catalog import _fmt_doc, _t, query
 
 # Count-min geometry: w=64 deliberately small so the 150-user key space
 # collides measurably (the overcount column is non-zero evidence); d=4
@@ -963,3 +963,204 @@ def events_distinct_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_distinct",
         "hll_in_band",
     )
+
+
+_HLL_WIN_DAYS = 7
+
+
+@query(
+    "events_distinct_hll_sliding",
+    oracle=f"""
+    WITH du AS (
+        SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id
+        FROM events
+        WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+          AND ts IS NOT NULL
+    ), wins AS (
+        SELECT DISTINCT event_type, day AS win_end FROM du
+    ), wu AS (
+        SELECT DISTINCT w.event_type, w.win_end, d.user_id
+        FROM wins w
+        JOIN du d ON d.event_type = w.event_type
+                 AND d.day <= w.win_end
+                 AND d.day > w.win_end - {_HLL_WIN_DAYS}
+    ), h AS (
+        SELECT event_type, win_end,
+               CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+                   1, 2)) AS UBIGINT) AS INTEGER) AS idx,
+               CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+                   3, 10)) AS UBIGINT) AS BIGINT) AS w
+        FROM wu
+    ), regs AS (
+        SELECT event_type, win_end, idx,
+               MAX(CAST(CASE WHEN w = 0 THEN {_HLL_RHO_MAX}
+                    ELSE {_HLL_RHO_MAX} - length(bin(w)) END AS INTEGER))
+                   AS reg_val
+        FROM h GROUP BY 1, 2, 3
+    ), summ AS (
+        SELECT event_type, win_end,
+               CAST({_HLL_M} - COUNT(*) AS BIGINT) AS v_zero,
+               CAST(SUM(CAST(2 AS BIGINT) ** ({_HLL_RHO_MAX} - reg_val))
+                    + ({_HLL_M} - COUNT(*))
+                      * (CAST(2 AS BIGINT) ** {_HLL_RHO_MAX})
+                   AS BIGINT) AS sum_inv_scaled,
+               CAST(SUM((idx + 1) * reg_val) AS BIGINT) AS reg_checksum
+        FROM regs GROUP BY 1, 2
+    ), ex AS (
+        SELECT event_type, win_end,
+               COUNT(DISTINCT user_id) AS exact_distinct
+        FROM wu GROUP BY 1, 2
+    ), nd AS (
+        SELECT w.event_type, w.win_end,
+               CAST(COUNT(DISTINCT d.day) AS BIGINT) AS n_days_in_win
+        FROM wins w
+        JOIN du d ON d.event_type = w.event_type
+                 AND d.day <= w.win_end
+                 AND d.day > w.win_end - {_HLL_WIN_DAYS}
+        GROUP BY 1, 2
+    )
+    SELECT s.event_type, CAST(s.win_end AS VARCHAR) AS win_end,
+           nd.n_days_in_win, ex.exact_distinct,
+           s.v_zero, s.sum_inv_scaled, s.reg_checksum, 1 AS hll_in_band
+    FROM summ s
+    JOIN ex ON s.event_type = ex.event_type AND s.win_end = ex.win_end
+    JOIN nd ON s.event_type = nd.event_type AND s.win_end = nd.win_end
+    """,
+)
+def events_distinct_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct counts from REUSED day cells — the
+    cube-cell claim applied to the problem it exists for. 'Distinct
+    users per type over the trailing {w} days, for every observed day'
+    exactly is a {w}x rescan (every row belongs to {w} windows); with
+    mergeable registers each day cell is built ONCE from the single raw
+    pass and then FANS OUT register rows (not data rows) to the <= {w}
+    windows it serves — a per-window register-wise MAX finishes the
+    job. At 100 TB the fan-out ships <= {w} * 256 ints per live
+    (type, day) cell; yesterday's cells never rebuild when today's data
+    arrives, which is the incremental property no exact distinct-count
+    can have (distinct does not decompose over overlapping windows;
+    register max does).
+
+    Windows are anchored at each OBSERVED (type, day) — the window set
+    itself is data-derived, so both engines agree on it by
+    construction. Contract columns, all integer-exact cross-engine:
+    per-window v_zero ({m} - touched registers; rho >= 1 makes 'touched'
+    unambiguous, so no register grid is needed), the harmonic-sum
+    BIGINT, and reg_checksum = sum((idx + 1) * reg_val) — position
+    sensitive where the harmonic sum is value-multiset sensitive, the
+    two together fingerprinting the register table the oracle rebuilds
+    FLAT per window (different program, same registers: the
+    mergeability identity again). n_days_in_win pins the ramp-up edge
+    (windows near the corpus start see < {w} days), exact_distinct is
+    the truth pass the contract requires, and hll_in_band is the
+    one-sided estimate-band bit (same formula and band as the rollup
+    entry; in band at every window of all three test SFs).
+
+    Scale shape: ONE raw pass into checkpointed day cells; the window
+    fan-out, register max, and summary all run on register-table-sized
+    data; the only other raw pass is the exact-truth countDistinct
+    (drop it in production and the sliding answer costs one cell build
+    plus register-sized shuffles, regardless of window overlap)."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(
+            F.col("event_type").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+        )
+        .select("event_type", F.to_date("ts").alias("day"), "user_id")
+    )
+    idx = _hll.idx_col(F.col("user_id"))
+    rho = _hll.rho_col(F.col("user_id"))
+
+    cells = (
+        ev.select("event_type", "day", idx.alias("idx"), rho.alias("rho"))
+        .groupBy("event_type", "day", "idx")
+        .agg(F.max("rho").alias("reg_val"))
+        .localCheckpoint()  # ONE raw pass; feeds fan-out AND window set
+    )
+    # observed (type, day) = the window anchors; node-sized, consumed by
+    # three semi-joins below
+    days = cells.select("event_type", "day").distinct().localCheckpoint()
+    anchors = days.withColumnRenamed("day", "win_end")
+
+    off = F.explode(F.sequence(F.lit(0), F.lit(_HLL_WIN_DAYS - 1))).alias(
+        "off"
+    )
+    fan = (
+        cells.select("event_type", "day", "idx", "reg_val", off)
+        .withColumn("win_end", F.date_add(F.col("day"), F.col("off")))
+        .join(F.broadcast(anchors), ["event_type", "win_end"], "left_semi")
+    )
+    winregs = fan.groupBy("event_type", "win_end", "idx").agg(
+        F.max("reg_val").alias("reg_val")
+    )
+    summ = winregs.groupBy("event_type", "win_end").agg(
+        (F.lit(_HLL_M) - F.count("*")).cast("long").alias("v_zero"),
+        (
+            F.sum(
+                F.pow(
+                    F.lit(2.0), F.lit(_HLL_RHO_MAX) - F.col("reg_val")
+                ).cast("long")
+            )
+            + (F.lit(_HLL_M) - F.count("*"))
+            * F.lit(1 << _HLL_RHO_MAX).cast("long")
+        )
+        .cast("long")
+        .alias("sum_inv_scaled"),
+        F.sum((F.col("idx") + 1) * F.col("reg_val"))
+        .cast("long")
+        .alias("reg_checksum"),
+    )
+    ndays = (
+        days.select("event_type", "day", off)
+        .withColumn("win_end", F.date_add(F.col("day"), F.col("off")))
+        .join(F.broadcast(anchors), ["event_type", "win_end"], "left_semi")
+        .groupBy("event_type", "win_end")
+        .agg(F.countDistinct("day").alias("n_days_in_win"))
+    )
+    # the truth pass: the contract's exact distinct per window — the
+    # second (and in production, droppable) raw scan
+    exact = (
+        ev.select("event_type", "day", "user_id", off)
+        .withColumn("win_end", F.date_add(F.col("day"), F.col("off")))
+        .join(F.broadcast(anchors), ["event_type", "win_end"], "left_semi")
+        .groupBy("event_type", "win_end")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+
+    sum_inv = F.col("sum_inv_scaled") / F.lit(float(2**_HLL_RHO_MAX))
+    raw = F.lit(_hll.ALPHA * _HLL_M * _HLL_M) / sum_inv
+    est = F.when(
+        (raw <= F.lit(2.5 * _HLL_M)) & (F.col("v_zero") > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("v_zero")),
+    ).otherwise(raw)
+    band = F.greatest(
+        F.lit(_HLL_REL) * F.col("exact_distinct"), F.lit(_HLL_ABS)
+    )
+    return (
+        summ.join(ndays, ["event_type", "win_end"])
+        .join(exact, ["event_type", "win_end"])
+        .select(
+            "event_type",
+            # dates stringify differently across the two engines' pandas
+            # paths (datetime.date vs datetime64) — the repo's temporal
+            # convention: formatted strings cross the compare boundary
+            F.date_format("win_end", "yyyy-MM-dd").alias("win_end"),
+            "n_days_in_win",
+            "exact_distinct",
+            "v_zero",
+            "sum_inv_scaled",
+            "reg_checksum",
+            (F.abs(est - F.col("exact_distinct")) <= band)
+            .cast("int")
+            .alias("hll_in_band"),
+        )
+    )
+
+
+_fmt_doc(
+    events_distinct_hll_sliding,
+    w=_HLL_WIN_DAYS,
+    m=_HLL_M,
+)

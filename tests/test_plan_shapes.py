@@ -1238,3 +1238,28 @@ def test_hll_rollup_pure_codegen_no_python(spark):
     assert plan.count("Scan parquet") == 0
     assert "Generate" in plan  # the literal-sequence register spine
     assert "BroadcastHashJoin" in plan
+
+
+def test_hll_sliding_reuses_cells_one_live_scan(spark):
+    """events_distinct_hll_sliding must answer every overlapping window
+    from the checkpointed day cells: the ONLY live parquet scan is the
+    exact-truth pass the contract demands (drop it and the sliding
+    answer is register-sized end to end). Window fan-out is an explode
+    over the cell table (never a data-row multiplication in the live
+    plan), anchors ride broadcast semi-joins, zero Python nodes, no
+    cartesian."""
+    df = QUERIES["events_distinct_hll_sliding"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    for node in (
+        "MapInPandas",
+        "FlatMapGroupsInPandas",
+        "ArrowEvalPython",
+        "BatchEvalPython",
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+        "SortMergeJoin",
+    ):
+        assert node not in plan, node
+    assert plan.count("events.parquet") == 1  # the truth pass only
+    assert "BroadcastHashJoin" in plan
+    assert "Generate" in plan  # the window fan-out explode

@@ -149,3 +149,58 @@ def test_state_roundtrip_detects_corruption():
         _restore([-1] + regs[1:], 10)
     with pytest.raises(ValueError, match="touched"):
         _restore(regs, 1)
+
+
+def test_hll_sliding_window_boundaries_match_reference(spark):
+    """Deterministic window-semantics pin for events_distinct_hll_sliding
+    on a constructed corpus: users land on days 1, 7, 8, and 15, so the
+    trailing-7-day windows exercise exactly-at-boundary inclusion
+    (day 1 IS in the window ending day 7), just-past-boundary exclusion
+    (day 1 is NOT in the window ending day 8), and an isolated anchor
+    (day 15 sees only itself). Registers per window are recomputed with
+    the independent hashlib reference and compared through the emitted
+    integer fingerprints (v_zero, sum_inv_scaled, reg_checksum)."""
+    import datetime
+    import shutil
+    import tempfile
+
+    from mapreducer_pi_cs4433_spark.queries.catalog import QUERIES
+
+    day_users = {1: [1, 2], 7: [2, 3], 8: [4], 15: [5]}
+    data = [
+        (i, datetime.datetime(2024, 1, d, 9, 0), u, "a", 1.0, "{}")
+        for i, (d, us) in enumerate(sorted(day_users.items()))
+        for u in us
+    ]
+    data = [(i,) + row[1:] for i, row in enumerate(data)]
+    d = tempfile.mkdtemp(prefix="hsl_sf_")
+    try:
+        spark.createDataFrame(
+            data,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = {
+            int(r.win_end[-2:]): r
+            for r in QUERIES["events_distinct_hll_sliding"](spark, d).collect()
+        }
+        assert set(got) == {1, 7, 8, 15}  # anchors = observed days only
+        want_members = {
+            1: {1, 2},        # just day 1
+            7: {1, 2, 3},     # day 1 at the boundary: included
+            8: {2, 3, 4},     # day 1 just past: excluded; days 7+8 in
+            15: {5},          # isolated anchor
+        }
+        want_days = {1: 1, 7: 2, 8: 2, 15: 1}
+        for we, users in want_members.items():
+            row = got[we]
+            regs = _reference_registers(users)
+            assert row.n_days_in_win == want_days[we], we
+            assert row.exact_distinct == len(users), we
+            assert row.v_zero == sum(1 for r in regs if r == 0), we
+            assert row.sum_inv_scaled == hll.sum_inv_scaled(regs), we
+            assert row.reg_checksum == sum(
+                (i + 1) * r for i, r in enumerate(regs)
+            ), we
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
