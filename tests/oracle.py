@@ -12,7 +12,12 @@ import math
 from decimal import Decimal
 
 import duckdb
-from pyspark.sql.types import DecimalType
+from pyspark.sql.types import (
+    DateType,
+    DecimalType,
+    TimestampNTZType,
+    TimestampType,
+)
 
 from mapreducer_pi_cs4433_spark.schemas import DRIVER_TABLES
 
@@ -59,6 +64,19 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
         "hash canonicalizes DECIMAL inconsistently across fetch paths (round-1 "
         "failure). Keep decimal aggregation internal; final-cast to DOUBLE in "
         "both engines."
+    )
+    tmp_cols = [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (DateType, TimestampType, TimestampNTZType))
+    ]
+    assert not tmp_cols, (
+        f"oracle-checked query projects DATE/TIMESTAMP columns {tmp_cols}: "
+        "this collect()-based compare stringifies them identically in both "
+        "engines, but the driver-faithful pandas fetch does not (Spark dates "
+        "arrive as datetime.date, DuckDB dates as datetime64 Timestamps) — "
+        "the r9 events_distinct_hll_sliding lesson: suite green, gate red. "
+        "Emit temporal outputs as formatted strings in BOTH engines."
     )
     s_rows = [tuple(r) for r in spark_df.collect()]
     s_cols = spark_df.columns
