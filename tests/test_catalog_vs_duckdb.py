@@ -99,6 +99,9 @@ def test_driver_window_composition():
         "olap_quantity_median", "olap_status_pivot", "olap_segment_set_ops",
         "olap_pricing_summary", "olap_revenue_by_nation",
         "olap_priority_with_shipped_items", "olap_sales_cube",
+        # r9 second continuation: grouping-sets margins (driver-green r8,
+        # unchanged) funded the sliding-HLL seat per the zero-sum policy.
+        "olap_grouping_sets_margins",
     }
     # The final six classic shapes (Q2/Q6/Q8/Q10/Q12/Q20) registered after
     # the window filled; like the rest of the below-cap band they carry
