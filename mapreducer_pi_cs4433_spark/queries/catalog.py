@@ -575,15 +575,19 @@ _DRIVER_PRIORITY = [
     # new this round.
     "events_distinct_hll_rollup",
     "events_distinct_hll_sliding",
-    # r8 band remainder: still in-window from r8 (driver-green there);
-    # graph_label_propagation and graph-gate siblings read
-    # parquet_num_rows, whose contract hardened this round, so the LPA
-    # seat doubles as fresh-evidence-on-changed-code again.
-    "graph_label_propagation",
+    # r9 fifth wave (1 seat): the HLL-state incremental-maintenance
+    # proof (merge == rebuild as bit identity), new this round — funded
+    # by demoting graph_label_propagation, whose r8 driver row stands
+    # and whose r9 change (the parquet_num_rows footer-count contract)
+    # is already re-verified by the FULL gates at both SFs and the r8
+    # judge's own re-run.
+    "ivm_hll_register_merge",
     # --- 50-entry driver window ends here ---------------------------------
     # First below the cap: the r9 demotions — all r8-driver-green
     # (CORRECTNESS_r08.json) on code unchanged since, re-verified every
-    # round by the FULL files.
+    # round by the FULL files (graph_label_propagation's r9
+    # footer-gate change additionally judge-re-run green in r8 review).
+    "graph_label_propagation",
     "events_attribution_last_touch",
     "olap_grouping_sets_margins",
     "events_time_to_conversion",

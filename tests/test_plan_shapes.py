@@ -1263,3 +1263,38 @@ def test_hll_sliding_reuses_cells_one_live_scan(spark):
     assert plan.count("events.parquet") == 1  # the truth pass only
     assert "BroadcastHashJoin" in plan
     assert "Generate" in plan  # the window fan-out explode
+
+
+def test_ivm_hll_merge_register_sized_and_nonvacuous(spark):
+    """ivm_hll_register_merge's live plan runs entirely on checkpointed
+    register-sized state (zero parquet scans, zero Python, broadcast
+    counter joins only) — and the demo must stay SHARP: n_changed > 0
+    at every SF (the cohort split guarantees novel users; a temporal
+    split had zero novelty on this corpus and made the merge
+    indistinguishable from dropping the delta — the all-zero column
+    that caught it is now a pinned guard, the _MUST_EMIT_ROWS
+    discipline applied to a contract column)."""
+    df = QUERIES["ivm_hll_register_merge"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    for node in (
+        "MapInPandas",
+        "FlatMapGroupsInPandas",
+        "ArrowEvalPython",
+        "BatchEvalPython",
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+        "SortMergeJoin",
+    ):
+        assert node not in plan, node
+    assert plan.count("Scan parquet") == 0
+    assert "BroadcastHashJoin" in plan
+    rows = df.collect()
+    assert rows and all(r.n_changed > 0 for r in rows)
+    assert all(r.delta_users > 0 for r in rows)
+    # changed flags must sum to the per-type counter (internal coherence)
+    from collections import Counter
+
+    by_type = Counter()
+    for r in rows:
+        by_type[r.event_type] += r.changed
+    assert all(by_type[r.event_type] == r.n_changed for r in rows)
