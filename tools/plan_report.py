@@ -102,6 +102,7 @@ _SHOWCASE = [
     ("events_quantile_sketch_kll", "KLL sketch: one MapInPandas build into one grouped merge, broadcast grain ranks, no fact sort"),
     ("events_quantile_rollup_kll", "KLL cube-cell rollup: cell merge then type merge consuming cell items only, raw scanned once per hierarchy"),
     ("events_distinct_hll_rollup", "in-engine HLL: all-JVM register math (zero Python nodes), checkpointed raw passes, explode-spine + broadcast summary"),
+    ("ivm_hll_register_merge", "sketch-state IVM: merge == rebuild on register-sized checkpointed state, zero live scans, broadcast counters"),
 ]
 
 _MAX_LINES = 70
