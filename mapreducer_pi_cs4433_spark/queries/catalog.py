@@ -69,7 +69,16 @@ def _check_output_schema(name: str, df: DataFrame) -> DataFrame:
 #   driver's canonicalizer on NULL-bearing columns (object dtype "True"
 #   vs numpy "True" is fine, but NULLable bools become object/float mixes).
 #   The catalog rule is to CAST ... AS INT on BOTH sides.
-_FORBIDDEN_ORACLE_TYPES = frozenset({"HUGEINT", "UHUGEINT", "BOOLEAN"})
+# HUGEINT/BOOLEAN: the r6 hash-divergence class. DATE/TIMESTAMP: the r9
+# sliding-window lesson — DuckDB temporal cells fetch as datetime64
+# through the driver's pandas path while Spark emits datetime.date /
+# formatted strings, so temporal values must cross the compare boundary
+# as VARCHAR on BOTH sides (tests/oracle.py guards the Spark side; this
+# guards the oracle side).
+_FORBIDDEN_ORACLE_TYPES = frozenset(
+    {"HUGEINT", "UHUGEINT", "BOOLEAN", "DATE", "TIMESTAMP",
+     "TIMESTAMP WITH TIME ZONE", "TIMESTAMP_NS", "TIME"}
+)
 
 
 def validate_oracle_types(con) -> list[str]:

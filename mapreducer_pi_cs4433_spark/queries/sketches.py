@@ -767,6 +767,29 @@ from ..functions import hll as _hll  # noqa: E402
 
 _HLL_M = _hll.M
 _HLL_RHO_MAX = _hll.RHO_MAX
+
+
+def _hll_idx_sql(key_expr: str) -> str:
+    """DuckDB twin of functions/hll.idx_col — ONE definition for every
+    HLL oracle (the _slot/_slot_sql pattern): first 2 md5 hex chars as
+    the register index."""
+    return (
+        f"CAST(CAST(concat('0x', substr(md5(CAST({key_expr} AS VARCHAR)), "
+        f"1, 2)) AS UBIGINT) AS INTEGER)"
+    )
+
+
+def _hll_rho_sql(key_expr: str) -> str:
+    """DuckDB twin of functions/hll.rho_col: leading-zero rank of the
+    40-bit field (hex chars 3-12), all-zero capped at RHO_MAX."""
+    w = (
+        f"CAST(CAST(concat('0x', substr(md5(CAST({key_expr} AS VARCHAR)), "
+        f"3, 10)) AS UBIGINT) AS BIGINT)"
+    )
+    return (
+        f"CAST(CASE WHEN {w} = 0 THEN {_HLL_RHO_MAX} "
+        f"ELSE {_HLL_RHO_MAX} - length(bin({w})) END AS INTEGER)"
+    )
 # 20% relative band (>3 sigma at rsd 6.5%) with an absolute floor of 10
 # for tiny groups; measured rel err at the test SFs is 3.0-4.2%.
 _HLL_REL, _HLL_ABS = 0.20, 10.0
@@ -778,19 +801,11 @@ _HLL_REL, _HLL_ABS = 0.20, 10.0
     WITH du AS (
         SELECT DISTINCT event_type, user_id FROM events
         WHERE event_type IS NOT NULL AND user_id IS NOT NULL
-    ), h AS (
-        SELECT event_type,
-               CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
-                   1, 2)) AS UBIGINT) AS INTEGER) AS idx,
-               CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
-                   3, 10)) AS UBIGINT) AS BIGINT) AS w
-        FROM du
     ), rh AS (
-        SELECT event_type, idx,
-               CAST(CASE WHEN w = 0 THEN {_HLL_RHO_MAX}
-                    ELSE {_HLL_RHO_MAX} - length(bin(w)) END AS INTEGER)
-                   AS rho
-        FROM h
+        SELECT event_type,
+               {_hll_idx_sql("user_id")} AS idx,
+               {_hll_rho_sql("user_id")} AS rho
+        FROM du
     ), regs AS (
         SELECT event_type, idx, MAX(rho) AS reg_val FROM rh GROUP BY 1, 2
     ), grid AS (
@@ -984,19 +999,11 @@ _HLL_WIN_DAYS = 7
         JOIN du d ON d.event_type = w.event_type
                  AND d.day <= w.win_end
                  AND d.day > w.win_end - {_HLL_WIN_DAYS}
-    ), h AS (
-        SELECT event_type, win_end,
-               CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
-                   1, 2)) AS UBIGINT) AS INTEGER) AS idx,
-               CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
-                   3, 10)) AS UBIGINT) AS BIGINT) AS w
-        FROM wu
     ), regs AS (
-        SELECT event_type, win_end, idx,
-               MAX(CAST(CASE WHEN w = 0 THEN {_HLL_RHO_MAX}
-                    ELSE {_HLL_RHO_MAX} - length(bin(w)) END AS INTEGER))
-                   AS reg_val
-        FROM h GROUP BY 1, 2, 3
+        SELECT event_type, win_end,
+               {_hll_idx_sql("user_id")} AS idx,
+               MAX({_hll_rho_sql("user_id")}) AS reg_val
+        FROM wu GROUP BY 1, 2, 3
     ), summ AS (
         SELECT event_type, win_end,
                CAST({_HLL_M} - COUNT(*) AS BIGINT) AS v_zero,
@@ -1092,8 +1099,16 @@ def events_distinct_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("win_end", F.date_add(F.col("day"), F.col("off")))
         .join(F.broadcast(anchors), ["event_type", "win_end"], "left_semi")
     )
+    # fan (register-grain, recomputed cheaply from the checkpointed
+    # cells) serves BOTH the window registers and the day census — every
+    # observed (type, day) has at least one cell row, so countDistinct
+    # over fan's day column IS the per-window day count (no second
+    # explode pipeline; self-review r9).
     winregs = fan.groupBy("event_type", "win_end", "idx").agg(
         F.max("reg_val").alias("reg_val")
+    )
+    ndays = fan.groupBy("event_type", "win_end").agg(
+        F.countDistinct("day").alias("n_days_in_win")
     )
     summ = winregs.groupBy("event_type", "win_end").agg(
         (F.lit(_HLL_M) - F.count("*")).cast("long").alias("v_zero"),
@@ -1112,17 +1127,15 @@ def events_distinct_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("reg_checksum"),
     )
-    ndays = (
-        days.select("event_type", "day", off)
-        .withColumn("win_end", F.date_add(F.col("day"), F.col("off")))
-        .join(F.broadcast(anchors), ["event_type", "win_end"], "left_semi")
-        .groupBy("event_type", "win_end")
-        .agg(F.countDistinct("day").alias("n_days_in_win"))
-    )
     # the truth pass: the contract's exact distinct per window — the
-    # second (and in production, droppable) raw scan
+    # second (and in production, droppable) raw scan. Deduplicate to
+    # (type, day, user) grain BEFORE the window fan-out (the oracle's
+    # du/wu shape) so the 7x explode multiplies distinct user-days, not
+    # raw event rows (self-review r9: the un-deduped form was exactly
+    # the wx rescan the entry's own docstring rules out).
     exact = (
-        ev.select("event_type", "day", "user_id", off)
+        ev.distinct()
+        .select("event_type", "day", "user_id", off)
         .withColumn("win_end", F.date_add(F.col("day"), F.col("off")))
         .join(F.broadcast(anchors), ["event_type", "win_end"], "left_semi")
         .groupBy("event_type", "win_end")
@@ -1175,16 +1188,8 @@ _HLL_COHORTS = 8
     WITH du AS (
         SELECT DISTINCT event_type, user_id,
                {_slot_sql("'0'", "user_id", _HLL_COHORTS)} AS bucket,
-               CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
-                   1, 2)) AS UBIGINT) AS INTEGER) AS idx,
-               CAST(CASE
-                    WHEN CAST(CAST(concat('0x', substr(md5(CAST(user_id
-                        AS VARCHAR)), 3, 10)) AS UBIGINT) AS BIGINT) = 0
-                    THEN {_HLL_RHO_MAX}
-                    ELSE {_HLL_RHO_MAX} - length(bin(CAST(CAST(concat('0x',
-                        substr(md5(CAST(user_id AS VARCHAR)), 3, 10))
-                        AS UBIGINT) AS BIGINT)))
-                    END AS INTEGER) AS rho
+               {_hll_idx_sql("user_id")} AS idx,
+               {_hll_rho_sql("user_id")} AS rho
         FROM events
         WHERE event_type IS NOT NULL AND user_id IS NOT NULL
     ), full_regs AS (

@@ -1244,10 +1244,12 @@ def test_hll_sliding_reuses_cells_one_live_scan(spark):
     """events_distinct_hll_sliding must answer every overlapping window
     from the checkpointed day cells: the ONLY live parquet scan is the
     exact-truth pass the contract demands (drop it and the sliding
-    answer is register-sized end to end). Window fan-out is an explode
-    over the cell table (never a data-row multiplication in the live
-    plan), anchors ride broadcast semi-joins, zero Python nodes, no
-    cartesian."""
+    answer is register-sized end to end). The sketch path's window
+    fan-out explodes the REGISTER table; the truth pass deduplicates
+    to user-day grain before ITS explode (pinned below: the raw scan
+    feeds an aggregate before any Generate — raw event rows are never
+    multiplied 7x). Anchors ride broadcast semi-joins, zero Python
+    nodes, no cartesian."""
     df = QUERIES["events_distinct_hll_sliding"](spark, SF_SMOKE)
     plan = formatted_plan(df)
     for node in (
@@ -1263,6 +1265,17 @@ def test_hll_sliding_reuses_cells_one_live_scan(spark):
     assert plan.count("events.parquet") == 1  # the truth pass only
     assert "BroadcastHashJoin" in plan
     assert "Generate" in plan  # the window fan-out explode
+    # the truth pass dedups BEFORE its explode: walking up the tree from
+    # the one parquet scan, a HashAggregate (the distinct) must appear
+    # before the first Generate
+    tree = plan.split("\n\n")[0].splitlines()
+    scan_i = next(i for i, l in enumerate(tree) if "Scan parquet" in l)
+    gen_i = max(
+        i for i, l in enumerate(tree[:scan_i]) if "Generate" in l
+    )
+    assert any(
+        "HashAggregate" in l for l in tree[gen_i:scan_i]
+    ), "truth pass explodes raw rows (no distinct between scan and Generate)"
 
 
 def test_ivm_hll_merge_register_sized_and_nonvacuous(spark):

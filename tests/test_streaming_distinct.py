@@ -169,10 +169,10 @@ def test_hll_sliding_window_boundaries_match_reference(spark):
     day_users = {1: [1, 2], 7: [2, 3], 8: [4], 15: [5]}
     data = [
         (i, datetime.datetime(2024, 1, d, 9, 0), u, "a", 1.0, "{}")
-        for i, (d, us) in enumerate(sorted(day_users.items()))
-        for u in us
+        for i, (d, u) in enumerate(
+            (d, u) for d, us in sorted(day_users.items()) for u in us
+        )
     ]
-    data = [(i,) + row[1:] for i, row in enumerate(data)]
     d = tempfile.mkdtemp(prefix="hsl_sf_")
     try:
         spark.createDataFrame(
