@@ -552,11 +552,12 @@ _DRIVER_PRIORITY = [
     # entries (CORRECTNESS_r08.json, 50/50 green) whose code is
     # unchanged since, listed first below the cap per the committed
     # zero-sum policy.
-    "dedup_prefix_filter",
     "graph_kcore_census",
     "text_collocation_pmi",
     "skew_salted_segment_value",
-    "dedup_minhash_lsh",
+    # (dedup_minhash_lsh and dedup_prefix_filter sat here through r9;
+    # demoted below the cap in r10 — their r9 driver rows stand on
+    # unchanged code)
     # r9 second wave (2 more seats, funded by demoting
     # embedding_pc1_power_iter and item_similarity_topk — both
     # r8-driver-green on unchanged code): the DPP layout rollup and the
@@ -591,8 +592,24 @@ _DRIVER_PRIORITY = [
     # is already re-verified by the FULL gates at both SFs and the r8
     # judge's own re-run.
     "ivm_hll_register_merge",
+    # r10 wave (1 seat, funded by demoting dedup_minhash_lsh — r9
+    # driver-green, code unchanged since): HLL set algebra on genuinely
+    # partially-overlapping sets (customers ordering in 1995 vs 1996) —
+    # union-as-register-max proven against the oracle's flat build (the
+    # mergeability identity a third way), inclusion-exclusion
+    # intersection as a banded estimate, exact counts integer-exact.
+    "orders_hll_set_algebra",
+    # r10 second seat (funded by demoting dedup_prefix_filter — r9
+    # driver-green, code unchanged since): the schema-evolution source
+    # demo — two hive-laid artifact generations with differing columns,
+    # mergeSchema read, per-generation null census; the oracle
+    # regenerates the census analytically and never reads the artifacts.
+    "source_schema_evolution",
     # --- 50-entry driver window ends here ---------------------------------
-    # First below the cap: the r9 demotions — all r8-driver-green
+    # First below the cap: the r10 demotions (r9-driver-green, unchanged)
+    "dedup_minhash_lsh",
+    "dedup_prefix_filter",
+    # then the r9 demotions — all r8-driver-green
     # (CORRECTNESS_r08.json) on code unchanged since, re-verified every
     # round by the FULL files (graph_label_propagation's r9
     # footer-gate change additionally judge-re-run green in r8 review).

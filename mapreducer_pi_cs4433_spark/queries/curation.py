@@ -774,3 +774,91 @@ def layout_partition_pruned_rollup(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum("pc").cast("long").alias("rev_centi"),
         )
     )
+
+
+_EVO_KIND = "schema_evo"
+
+
+@query(
+    "source_schema_evolution",
+    oracle="""
+    SELECT 1 AS gen, lang,
+           COUNT(*) AS n_rows,
+           COUNT(*) AS n_quality_null,
+           CAST(0 AS BIGINT) AS sum_quality
+    FROM documents WHERE doc_id % 2 = 0 AND doc_id IS NOT NULL
+    GROUP BY lang
+    UNION ALL
+    SELECT 2 AS gen, lang,
+           COUNT(*) AS n_rows,
+           CAST(0 AS BIGINT) AS n_quality_null,
+           CAST(SUM(n_chars % 97) AS BIGINT) AS sum_quality
+    FROM documents WHERE doc_id % 2 = 1 AND doc_id IS NOT NULL
+    GROUP BY lang
+    """,
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION across artifact generations — the sources-axis
+    capability every long-lived pipeline hits: generation 1 of a derived
+    table was written before anyone thought of ``quality_score``;
+    generation 2 added it. A reader pinned to either schema is wrong
+    (v1-pinned silently drops the new signal; v2-pinned refuses the old
+    files) — the correct read is ``mergeSchema``, which unions the file
+    schemas and exposes the v2 column as NULL over v1 rows.
+
+    The two generations are hive-laid (``.../schema_evo/gen=N/``,
+    partition-discovered ``gen`` column) and deterministic functions of
+    ``documents`` (gen 1 = even doc_ids under the v1 schema; gen 2 =
+    odd doc_ids with ``quality_score = n_chars % 97``), so the oracle
+    regenerates the census analytically and NEVER reads the artifacts —
+    hash equality proves the evolved read path reconstructed exactly
+    what was written. Contract columns, all integer-exact: per
+    (gen, lang) row counts; ``n_quality_null``, which must equal the
+    FULL row count on gen 1 (the merged column is NULL exactly where
+    the writer's schema lacked it — the mergeSchema semantics, stated
+    as data) and 0 on gen 2; and the gen-2 quality sum.
+
+    Scale shape: schema merge is a FOOTER operation (one schema per
+    file, unioned at planning time — no data read, no shuffle); the
+    census then runs as one pass over the artifact with partition
+    pruning intact (``gen`` is a directory column, not a data column).
+    The LIVE plan reads ONLY the artifact — zero scans of
+    documents.parquet once the generations exist (pinned in
+    tests/test_plan_shapes.py). At 100 TB this is the difference
+    between "rewrite every historical file to the new schema before
+    the first query" (a full-corpus write) and "new files carry new
+    columns, old files serve NULLs" (zero rewrite)."""
+    from ..functions.artifacts import artifact_dir, ensure_table
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    ensure_table(
+        spark,
+        sf_dir,
+        f"{_EVO_KIND}/gen=1",
+        lambda: docs.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "lang", "n_chars"
+        ),
+    )
+    ensure_table(
+        spark,
+        sf_dir,
+        f"{_EVO_KIND}/gen=2",
+        lambda: docs.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            (F.col("n_chars") % 97).cast("int").alias("quality_score"),
+        ),
+    )
+    evo = spark.read.option("mergeSchema", "true").parquet(
+        artifact_dir(sf_dir, _EVO_KIND)
+    )
+    return evo.groupBy("gen", "lang").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.col("quality_score").isNull().cast("int"))
+        .cast("long")
+        .alias("n_quality_null"),
+        F.sum(F.coalesce(F.col("quality_score"), F.lit(0)))
+        .cast("long")
+        .alias("sum_quality"),
+    )

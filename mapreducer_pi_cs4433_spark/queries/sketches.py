@@ -623,6 +623,7 @@ def _kll_band_verdict(
         SELECT event_type, value, CAST(ts AS DATE) AS day
         FROM events
         WHERE value IS NOT NULL AND event_type IS NOT NULL
+          AND ts IS NOT NULL
     ), r AS (
         SELECT event_type, value,
                row_number() OVER (PARTITION BY event_type ORDER BY value)
@@ -680,7 +681,15 @@ def events_quantile_rollup_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = (
         _t(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isNotNull()
+            # NULL ts -> NULL day would be silently dropped by the build
+            # stage's pandas groupby (dropna default) while the oracle's
+            # rank CTE kept the row; filter symmetrically on BOTH sides
+            # (mirrors events_distinct_hll_sliding)
+            & F.col("ts").isNotNull()
+        )
         .select("event_type", F.to_date("ts").alias("day"), "value")
     )
 
@@ -1348,4 +1357,268 @@ _fmt_doc(
     c=_HLL_COHORTS,
     cm1=_HLL_COHORTS - 1,
     d01=23,
+)
+
+
+_HLL_SA_Y1, _HLL_SA_Y2 = 1995, 1996
+
+
+@query(
+    "orders_hll_set_algebra",
+    oracle=f"""
+    WITH o AS (
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS y, o_custkey AS c
+        FROM orders
+        WHERE year(o_orderdate) IN ({_HLL_SA_Y1}, {_HLL_SA_Y2})
+          AND o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+    ), dd AS (
+        SELECT DISTINCT y, c FROM o
+    ), rh AS (
+        SELECT y, {_hll_idx_sql("c")} AS idx,
+               MAX({_hll_rho_sql("c")}) AS reg
+        FROM dd GROUP BY 1, 2
+    ), uw AS (
+        SELECT DISTINCT c FROM o
+    ), ur AS (
+        SELECT {_hll_idx_sql("c")} AS idx,
+               MAX({_hll_rho_sql("c")}) AS reg
+        FROM uw GROUP BY 1
+    ), grid AS (
+        SELECT CAST(unnest(generate_series(0, {_HLL_M - 1})) AS INTEGER)
+            AS reg_idx
+    ), fa AS (
+        SELECT g.reg_idx, CAST(COALESCE(r.reg, 0) AS INTEGER) AS reg_a
+        FROM grid g LEFT JOIN (SELECT idx, reg FROM rh
+                               WHERE y = {_HLL_SA_Y1}) r
+            ON g.reg_idx = r.idx
+    ), fb AS (
+        SELECT g.reg_idx, CAST(COALESCE(r.reg, 0) AS INTEGER) AS reg_b
+        FROM grid g LEFT JOIN (SELECT idx, reg FROM rh
+                               WHERE y = {_HLL_SA_Y2}) r
+            ON g.reg_idx = r.idx
+    ), fu AS (
+        SELECT g.reg_idx, CAST(COALESCE(r.reg, 0) AS INTEGER) AS reg_u
+        FROM grid g LEFT JOIN ur r ON g.reg_idx = r.idx
+    ), counts AS (
+        SELECT
+            CAST((SELECT COUNT(*) FROM dd WHERE y = {_HLL_SA_Y1}) AS BIGINT)
+                AS n_side_a,
+            CAST((SELECT COUNT(*) FROM dd WHERE y = {_HLL_SA_Y2}) AS BIGINT)
+                AS n_side_b,
+            CAST((SELECT COUNT(*) FROM uw) AS BIGINT) AS n_union
+    ), summ AS (
+        SELECT
+            CAST(SUM(CASE WHEN reg_u = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS v_zero_union,
+            CAST(SUM(CAST(2 AS BIGINT) ** ({_HLL_RHO_MAX} - reg_u))
+                AS BIGINT) AS sum_inv_scaled_union
+        FROM fu
+    )
+    SELECT fa.reg_idx, fa.reg_a, fb.reg_b, fu.reg_u AS reg_union,
+           c.n_side_a, c.n_side_b, c.n_union,
+           c.n_side_a + c.n_side_b - c.n_union AS n_intersect,
+           s.v_zero_union, s.sum_inv_scaled_union,
+           1 AS union_in_band, 1 AS intersect_in_band
+    FROM fa JOIN fb USING (reg_idx) JOIN fu USING (reg_idx)
+    CROSS JOIN counts c CROSS JOIN summ s
+    """,
+)
+def orders_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL SET ALGEBRA — union as register max, intersection by
+    inclusion-exclusion — on a question a retention dashboard actually
+    asks: of the customers who ordered in {y1} and those who ordered in
+    {y2}, how many are there combined, and how many came back? The two
+    yearly sets genuinely differ (at sf0.01: 1174 vs 1168 customers,
+    union 1429, intersection 913), so the algebra is exercised on
+    partial overlap, not a degenerate identity.
+
+    The mergeability identity, a third way: the rollup entry proves
+    cell-merge == flat build, the IVM entry proves delta-merge ==
+    rebuild; here Spark computes the union registers by REGISTER-WISE
+    MAX of the two per-year register tables (never looking at the union
+    of raw keys), while the oracle builds the union registers FLAT from
+    ``SELECT DISTINCT c FROM both years``. Hash equality of all 256
+    (reg_a, reg_b, reg_union) rows IS the proof that max-merge computes
+    set union — different programs, same registers, per register.
+
+    Intersection has no register-level identity (HLL registers do not
+    intersect), which is exactly why the inclusion-exclusion estimate
+    |A∩B| ≈ est(A) + est(B) - est(A∪B) exists; its error is relative to
+    the UNION (each term carries ~1.04/sqrt(256) = 6.5% rsd), so the
+    contract bit asserts |ie_est - exact| <= max({rel} * n_union, {ab})
+    — measured worst case across the three test SFs is 10.0% of union
+    (sf0.1), inside the band with 2x margin. All bookkeeping that
+    crosses the engine boundary is integer-exact: registers, harmonic
+    sum as BIGINT, exact counts (n_intersect = |A| + |B| - |A∪B| from
+    exact distincts); the float estimates live and die Spark-side as
+    the two in-band bits the oracle states as literal 1.
+
+    Scale shape: the sketch path partial-aggregates map-side to at most
+    2 x {m} register rows regardless of order count — at 100 TB,
+    per-period register tables are persisted once and ANY pair's union/
+    retention answer is a {m}-row merge, never a re-scan (the reason
+    sketch set algebra exists). The exact counts are the contract's
+    truth pass (one distinct shuffle, droppable in production). Zero
+    Python in the plan — md5/conv/bin column math end to end
+    (pinned in tests/test_plan_shapes.py)."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_custkey").isNotNull()
+            & F.col("o_orderdate").isNotNull()
+            & F.year("o_orderdate").isin(_HLL_SA_Y1, _HLL_SA_Y2)
+        )
+        .select(F.year("o_orderdate").alias("y"), F.col("o_custkey").alias("c"))
+    )
+    idx = _hll.idx_col(F.col("c"))
+    rho = _hll.rho_col(F.col("c"))
+
+    # sketch path: ONE raw pass, partial-aggregated map-side to <= 2*M
+    # rows; checkpointed because it feeds the per-side fill, the union
+    # merge, and both estimate summaries
+    regs = (
+        o.select("y", idx.alias("idx"), rho.alias("rho"))
+        .groupBy("y", "idx")
+        .agg(F.max("rho").alias("reg"))
+        .localCheckpoint()
+    )
+    # THE MERGE PROGRAM: union registers from per-side registers only —
+    # the raw key union is never formed on this path
+    uregs = regs.groupBy("idx").agg(F.max("reg").alias("reg"))
+
+    # truth pass: exact distincts (one distinct shuffle; the contract's
+    # cost, droppable in production)
+    dd = o.distinct().localCheckpoint()
+    n_a = dd.filter(F.col("y") == _HLL_SA_Y1).agg(
+        F.count("*").cast("long").alias("n_side_a")
+    )
+    n_b = dd.filter(F.col("y") == _HLL_SA_Y2).agg(
+        F.count("*").cast("long").alias("n_side_b")
+    )
+    n_u = dd.select("c").distinct().agg(
+        F.count("*").cast("long").alias("n_union")
+    )
+
+    def _summ(regdf):
+        """(v_zero, sum_inv_scaled) single-row summary from a sparse
+        register table — empty registers contribute 2^RHO_MAX each."""
+        return regdf.agg(
+            (F.lit(_HLL_M) - F.count("*")).cast("long").alias("vz"),
+            (
+                F.sum(
+                    F.pow(
+                        F.lit(2.0), F.lit(_HLL_RHO_MAX) - F.col("reg")
+                    ).cast("long")
+                )
+                + (F.lit(_HLL_M) - F.count("*"))
+                * F.lit(1 << _HLL_RHO_MAX).cast("long")
+            )
+            .cast("long")
+            .alias("sis"),
+        )
+
+    def _est(vz, sis):
+        sum_inv = sis / F.lit(float(2**_HLL_RHO_MAX))
+        raw = F.lit(_hll.ALPHA * _HLL_M * _HLL_M) / sum_inv
+        return F.when(
+            (raw <= F.lit(2.5 * _HLL_M)) & (vz > 0),
+            F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / vz),
+        ).otherwise(raw)
+
+    sa = _summ(regs.filter(F.col("y") == _HLL_SA_Y1)).select(
+        F.col("vz").alias("vz_a"), F.col("sis").alias("sis_a")
+    )
+    sb = _summ(regs.filter(F.col("y") == _HLL_SA_Y2)).select(
+        F.col("vz").alias("vz_b"), F.col("sis").alias("sis_b")
+    )
+    su = _summ(uregs).select(
+        F.col("vz").alias("v_zero_union"),
+        F.col("sis").alias("sum_inv_scaled_union"),
+    )
+
+    est_a = _est(F.col("vz_a"), F.col("sis_a"))
+    est_b = _est(F.col("vz_b"), F.col("sis_b"))
+    est_u = _est(F.col("v_zero_union"), F.col("sum_inv_scaled_union"))
+    ie_est = est_a + est_b - est_u
+    n_int = F.col("n_side_a") + F.col("n_side_b") - F.col("n_union")
+    band = F.greatest(F.lit(_HLL_REL) * F.col("n_union"), F.lit(_HLL_ABS))
+    # all six summaries are single-row: the crossJoin chain is the
+    # 1-row-aggregate broadcast pattern (task_g/h), never a data join
+    summary = (
+        n_a.crossJoin(n_b)
+        .crossJoin(n_u)
+        .crossJoin(sa)
+        .crossJoin(sb)
+        .crossJoin(su)
+        .select(
+            "n_side_a",
+            "n_side_b",
+            "n_union",
+            n_int.alias("n_intersect"),
+            "v_zero_union",
+            "sum_inv_scaled_union",
+            (F.abs(est_u - F.col("n_union")) <= band)
+            .cast("int")
+            .alias("union_in_band"),
+            (F.abs(ie_est - n_int) <= band)
+            .cast("int")
+            .alias("intersect_in_band"),
+        )
+    )
+
+    grid = spark.range(1).select(
+        F.explode(F.sequence(F.lit(0), F.lit(_HLL_M - 1))).alias("reg_idx")
+    )
+    fill = (
+        grid.join(
+            regs.filter(F.col("y") == _HLL_SA_Y1).select(
+                F.col("idx").alias("reg_idx"), F.col("reg").alias("reg_a")
+            ),
+            "reg_idx",
+            "left",
+        )
+        .join(
+            regs.filter(F.col("y") == _HLL_SA_Y2).select(
+                F.col("idx").alias("reg_idx"), F.col("reg").alias("reg_b")
+            ),
+            "reg_idx",
+            "left",
+        )
+        .join(
+            uregs.select(
+                F.col("idx").alias("reg_idx"), F.col("reg").alias("reg_union")
+            ),
+            "reg_idx",
+            "left",
+        )
+        .select(
+            "reg_idx",
+            F.coalesce("reg_a", F.lit(0)).alias("reg_a"),
+            F.coalesce("reg_b", F.lit(0)).alias("reg_b"),
+            F.coalesce("reg_union", F.lit(0)).alias("reg_union"),
+        )
+    )
+    return fill.crossJoin(F.broadcast(summary)).select(
+        "reg_idx",
+        "reg_a",
+        "reg_b",
+        "reg_union",
+        "n_side_a",
+        "n_side_b",
+        "n_union",
+        "n_intersect",
+        "v_zero_union",
+        "sum_inv_scaled_union",
+        "union_in_band",
+        "intersect_in_band",
+    )
+
+
+_fmt_doc(
+    orders_hll_set_algebra,
+    y1=_HLL_SA_Y1,
+    y2=_HLL_SA_Y2,
+    m=_HLL_M,
+    rel=_HLL_REL,
+    ab=int(_HLL_ABS),
 )

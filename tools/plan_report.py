@@ -103,6 +103,12 @@ _SHOWCASE = [
     ("events_quantile_rollup_kll", "KLL cube-cell rollup: cell merge then type merge consuming cell items only, raw scanned once per hierarchy"),
     ("events_distinct_hll_rollup", "in-engine HLL: all-JVM register math (zero Python nodes), checkpointed raw passes, explode-spine + broadcast summary"),
     ("ivm_hll_register_merge", "sketch-state IVM: merge == rebuild on register-sized checkpointed state, zero live scans, broadcast counters"),
+    # round 10: the sliding-window fan-out (r9 verdict: the one r9 query
+    # missing from the showcase) + the set-algebra and schema-evolution
+    # additions
+    ("events_distinct_hll_sliding", "HLL sliding windows: day cells fan out REGISTER rows to <=7 anchors, per-window register max; only the truth pass scans raw"),
+    ("orders_hll_set_algebra", "HLL set algebra: union as register-wise max of per-year register tables, zero live scans, literal-sequence spine + broadcast summary"),
+    ("source_schema_evolution", "schema evolution: mergeSchema read over two hive-laid artifact generations, evolved column NULL-filled over v1 files, zero base-table scans"),
 ]
 
 _MAX_LINES = 70
