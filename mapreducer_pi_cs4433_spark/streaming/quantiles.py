@@ -156,7 +156,13 @@ def kll_quantile_stream(
             }
         )
 
-    pre = stream.filter(F.col(value_col).isNotNull()).select(
+    # NULL keys would form their own state group and emit a snapshot row
+    # violating SNAPSHOT_SCHEMA's non-nullable event_type — filter both
+    # key and value, matching the batch twin (events_quantile_sketch_kll
+    # filters event_type IS NOT NULL) and sibling hll_distinct_stream
+    pre = stream.filter(
+        F.col(value_col).isNotNull() & F.col(key_col).isNotNull()
+    ).select(
         F.col(key_col).alias("event_type"),
         F.col(value_col).cast("double").alias(value_col),
     )

@@ -1,0 +1,232 @@
+"""Streaming sliding-window distinct counts with WATERMARK-DRIVEN STATE
+EVICTION — the ingest-time twin of the batch cube-cell entry
+(queries/sketches.py::events_distinct_hll_sliding), and the one scale
+property the other sketch monitors deliberately do not demonstrate:
+their state is "per-key forever" (a running total needs exactly that);
+a trailing-window answer instead needs per-(key, day) cells whose
+lifetime is BOUNDED, or an actually-unbounded stream eventually holds
+its whole history in the state store.
+
+Shape: operator state per key is a small table of (day -> M-register
+HLL cell). Every micro-batch max-folds its rows into the cells of the
+days it touches (idx/rho are computed BEFORE the stateful operator by
+the same JVM md5/conv/bin expressions the batch plan uses — the pandas
+update is one vectorized ``np.maximum.at`` per touched day), then
+re-emits the trailing-``win_days`` register merge for every anchor a
+touched day can influence. Anchors are observed days, exactly the batch
+entry's window set.
+
+The eviction invariant (provable, and emitted so tests can pin it):
+a cell for day D serves anchors D .. D+w-1 and nothing else; Spark's
+watermark filter guarantees no future row carries a day below the
+watermark; therefore once ``wm_day >= D + w`` neither a new anchor nor
+a re-emission can ever read cell D again — it is dropped, inline on
+data triggers and via an event-time timer on idle keys (a key whose
+cells ALL age out has its state row removed entirely, so dead keys
+don't pin the store either). State per key is thus at most
+``win_days + ceil(watermark_delay)`` cells of M integers, independent
+of stream length. Every emitted row carries (n_cells_in_state,
+oldest_cell_day) AFTER eviction, making the bound an output-visible
+contract instead of prose.
+
+Correctness contract (the batch entry's, kept live across batch
+boundaries and restarts): the LAST emission per (key, win_end) carries
+v_zero / sum_inv_scaled / reg_checksum equal to the batch operator's
+flat per-window build over the union of all chunks, bit-for-bit —
+register max-folding is associative/commutative and cells merge by
+register-wise max exactly as the batch fan-out does
+(tests/test_streaming_sliding_distinct.py replays chunked, restarted,
+under both state-store providers, against the hashlib reference).
+
+Reference note: the reference repo (MapReducer-PI-cs4433) has no
+streaming surface; this module extends the engine's streaming family
+(SURVEY.md §2.8 "engine ships them anyway").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions import hll
+
+_DAY_MS = 86_400_000
+
+SLIDING_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType(), False),
+        StructField("win_end_day", IntegerType(), False),
+        StructField("n_days_in_win", IntegerType(), False),
+        StructField("v_zero", IntegerType(), False),
+        StructField("sum_inv_scaled", LongType(), False),
+        StructField("reg_checksum", LongType(), False),
+        StructField("distinct_est", DoubleType(), False),
+        # state-bound observability: AFTER this trigger's eviction
+        StructField("n_cells_in_state", IntegerType(), False),
+        StructField("oldest_cell_day", IntegerType(), False),
+    ]
+)
+
+# cell table as parallel typed arrays: days (epoch days, sorted unique)
+# + register matrix flattened row-major (len == len(days) * hll.M) —
+# never a pickle, same discipline as the other sketch monitors
+_STATE_SCHEMA = StructType(
+    [
+        StructField("days", ArrayType(IntegerType()), False),
+        StructField("regs", ArrayType(IntegerType()), False),
+    ]
+)
+
+
+def _restore(days, regs):
+    """Validate a state round trip into {day: register row}. The cell
+    table is days sorted unique with exactly M registers each, values in
+    [0, RHO_MAX]; any other shape means the state row was corrupted in
+    the store — and HLL being lossy, nothing downstream would surface it
+    later, so raise here instead of silently degrading."""
+    import numpy as np
+
+    d = np.asarray(days, dtype=np.int64)
+    r = np.asarray(regs, dtype=np.int64)
+    if (
+        r.shape != (d.shape[0] * hll.M,)
+        or (np.diff(d) <= 0).any()
+        or (r < 0).any()
+        or (r > hll.RHO_MAX).any()
+    ):
+        raise ValueError(
+            f"HLL sliding state reconstructs {d.shape[0]} days with "
+            f"{r.shape[0]} register values (want days*{hll.M}, days "
+            "sorted unique, values in range): state row corrupted"
+        )
+    return {int(day): row for day, row in zip(d, r.reshape(-1, hll.M))}
+
+
+def hll_sliding_distinct_stream(
+    stream: DataFrame,
+    key_col: str = "event_type",
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    win_days: int = 7,
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Per-key trailing-``win_days`` distinct-count snapshots with
+    bounded state. Returns a streaming DataFrame (SLIDING_SCHEMA, update
+    mode): each trigger re-emits every window anchor a touched day can
+    influence, so late-but-in-watermark data revises exactly the
+    anchors it belongs to and the final emission per (key, win_end)
+    equals the batch sliding entry. NULL keys/ids/timestamps are dropped
+    before the stateful operator, mirroring the batch entry's filter."""
+    import numpy as np
+    import pandas as pd
+
+    w = int(win_days)
+
+    def update(key, pdf_iter, state: GroupState):
+        (ktype,) = key
+        wm_day = state.getCurrentWatermarkMs() // _DAY_MS
+        cells = _restore(*state.get) if state.exists else {}
+        touched: set[int] = set()
+        if not state.hasTimedOut:
+            for pdf in pdf_iter:
+                day_arr = pdf["day"].to_numpy(dtype=np.int64)
+                idx_arr = pdf["idx"].to_numpy(dtype=np.int64)
+                rho_arr = pdf["rho"].to_numpy(dtype=np.int64)
+                for day in np.unique(day_arr):
+                    day = int(day)
+                    cell = cells.get(day)
+                    if cell is None:
+                        cell = cells[day] = np.zeros(hll.M, dtype=np.int64)
+                    m = day_arr == day
+                    np.maximum.at(cell, idx_arr[m], rho_arr[m])
+                    touched.add(day)
+        # EVICT: cell D's last possible reader is anchor D+w-1, and no
+        # future row sits below the watermark — once wm_day >= D + w the
+        # cell is unreachable. Runs on every invocation (data or timer).
+        if wm_day > 0:
+            cells = {d: c for d, c in cells.items() if d + w > wm_day}
+        if not cells:
+            # every cell aged out (or a spurious timer on empty state):
+            # drop the whole state row — dead keys must not pin the store
+            state.remove()
+            return
+        days_sorted = sorted(cells)
+        state.update(
+            (
+                days_sorted,
+                [int(v) for d in days_sorted for v in cells[d]],
+            )
+        )
+        # re-arm at the moment the oldest live cell becomes evictable
+        # (must sit strictly above the current watermark)
+        state.setTimeoutTimestamp(
+            max((days_sorted[0] + w) * _DAY_MS, (wm_day + 1) * _DAY_MS)
+        )
+        if not touched:
+            return
+        oldest = days_sorted[0]
+        n_cells = len(days_sorted)
+        out = []
+        for anchor in days_sorted:
+            if not any(t <= anchor <= t + w - 1 for t in touched):
+                continue
+            win = [
+                cells[d] for d in days_sorted if anchor - w + 1 <= d <= anchor
+            ]
+            merged = np.maximum.reduce(win)
+            v_zero = int((merged == 0).sum())
+            sis = hll.sum_inv_scaled(merged)
+            out.append(
+                (
+                    ktype,
+                    anchor,
+                    len(win),
+                    v_zero,
+                    sis,
+                    int(((np.arange(hll.M) + 1) * merged).sum()),
+                    hll.estimate(sis, v_zero),
+                    n_cells,
+                    oldest,
+                )
+            )
+        if out:
+            yield pd.DataFrame(
+                out, columns=[f.name for f in SLIDING_SCHEMA.fields]
+            )
+
+    pre = (
+        stream.withWatermark(ts_col, watermark)
+        .filter(
+            F.col(key_col).isNotNull()
+            & F.col(id_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+        )
+        .select(
+            F.col(key_col).alias("event_type"),
+            F.datediff(
+                F.to_date(ts_col), F.to_date(F.lit("1970-01-01"))
+            ).alias("day"),
+            hll.idx_col(F.col(id_col)).alias("idx"),
+            hll.rho_col(F.col(id_col)).alias("rho"),
+            # the watermarked column must reach the stateful operator or
+            # Spark rejects EventTimeTimeout; update() never reads it
+            F.col(ts_col).alias("__ts"),
+        )
+    )
+    return pre.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=SLIDING_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
