@@ -351,6 +351,35 @@ def _run(sf_dir: str) -> None:
             "min": min(samples),
             "max": max(samples),
         }
+    # Host-band probe (r9 verdict #7): the r9 bench samples spanned
+    # 107-139 s total on IDENTICAL code with zero per-query drifts —
+    # "the residual is host band" was an inference. This records the
+    # distribution: 3 isolated runs of 5 sentinels spanning the engine's
+    # bands (parity join, TPC-H join tree, window, text, artifact-backed
+    # sketch), min + median per sentinel per round. Round-over-round,
+    # compare MINs (the least-contended sample); the median-min gap IS
+    # the host band, measured.
+    sentinels = [
+        "task_b_page_counts",
+        "olap_profit_by_nation_year",
+        "window_trailing_7d_spend",
+        "text_repetition",
+        "events_distinct_hll_rollup",
+    ]
+    extra["host_band"] = {}
+    for probe in sentinels:
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            QUERIES[probe](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            samples.append(round(time.perf_counter() - t0, 3))
+        extra["host_band"][probe] = {
+            "samples": samples,
+            "min": min(samples),
+            "median": sorted(samples)[1],
+        }
     from mapreducer_pi_cs4433_spark.functions.artifacts import BUILD_TIMES
 
     extra["artifact_builds"] = dict(sorted(BUILD_TIMES.items()))

@@ -22,9 +22,12 @@ Accuracy: each compaction at level l perturbs any rank by at most 2^l;
 at most ceil(m_l / cap) compactions happen per level, giving the
 standard deterministic bound rank_err <= n * H / cap with
 H ~ log2(n / cap) levels. The catalog entry checks a +/-2% rank band at
-cap=512 — ~3x margin over the worst case at the test scale factors (the
-alternating parity cancels most of it in practice); production sizing
-scales cap with the target n like any sketch parameter.
+cap=512; the MEASURED worst observed rank error at the test scale
+factors is 3.35 permille (sf0.1, cell-merged hierarchy; 1.01-3.16
+permille elsewhere — per-SF table in CORRECTNESS_NOTES.md "Round 10"),
+a ~6x margin inside the band (the alternating parity cancels most of
+the theoretical bound in practice); production sizing scales cap with
+the target n like any sketch parameter.
 
 Input-order note: a sketch's ITEMS depend on how rows were batched and
 partitioned (like every practical sketch, including Spark's own GK

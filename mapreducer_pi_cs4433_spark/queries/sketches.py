@@ -803,6 +803,48 @@ def _hll_rho_sql(key_expr: str) -> str:
 # for tiny groups; measured rel err at the test SFs is 3.0-4.2%.
 _HLL_REL, _HLL_ABS = 0.20, 10.0
 
+_HLL_CELLS_KIND = "hll_day_cells"
+
+
+def _hll_day_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted per-(event_type, day, idx) HLL register cells — the ONE
+    raw pass the batch HLL family shares, moved behind ensure_table so
+    the rollup and sliding entries stop rebuilding yesterday's cells on
+    every run (the amortization the LSH family's signature tables
+    already have; r9 verdict ask #3 / ROADMAP #4). Day cells are the
+    natural artifact grain: at 100 TB a new day appends <= types x 256
+    register rows while every historical cell is read-only forever —
+    exactly what a build-once table wants. NULL-ts rows are KEPT as
+    day-NULL cell rows: the rollup's registers must include them (a
+    user is distinct regardless of a broken timestamp) while every
+    calendar-anchored consumer — the rollup's n_cells via countDistinct,
+    the sliding windows via an explicit filter — must not see them.
+    Cold-build cost lands in BUILD_TIMES -> bench extra.artifact_builds;
+    staleness is handled by the artifact key hashing the corpus
+    directory listing (functions/artifacts.py)."""
+    from ..functions.artifacts import ensure_table
+
+    def build():
+        ev = (
+            _t(spark, sf_dir, "events")
+            .filter(
+                F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+            )
+            .select("event_type", F.to_date("ts").alias("day"), "user_id")
+        )
+        return (
+            ev.select(
+                "event_type",
+                "day",
+                _hll.idx_col(F.col("user_id")).alias("idx"),
+                _hll.rho_col(F.col("user_id")).alias("rho"),
+            )
+            .groupBy("event_type", "day", "idx")
+            .agg(F.max("rho").alias("reg_val"))
+        )
+
+    return ensure_table(spark, sf_dir, _HLL_CELLS_KIND, build)
+
 
 @query(
     "events_distinct_hll_rollup",
@@ -883,14 +925,16 @@ def events_distinct_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     branches (linear at sf0.001/0.01, raw HLL at sf0.1). The oracle
     emits literal 1, so an out-of-band estimate is a driver hash red.
 
-    Scale shape: registers are FIXED-SIZE state — the raw pass partial
-    aggregates to (type, day, idx) grain map-side (<= cells x 256 rows
-    regardless of corpus size), every later stage is register-table
-    sized, and the only other raw pass is the exact-truth countDistinct
-    the contract itself requires (drop it and the sketch path scans
-    once). At 100 TB 'how many distinct X per group' ships ~256 bytes
-    per live cell to one coordinator-sized merge instead of shuffling
-    the distinct-value stream — and the day grain means yesterday's
+    Scale shape: registers are FIXED-SIZE state — the cell build
+    partial-aggregates to (type, day, idx) grain map-side (<= cells x
+    256 rows regardless of corpus size) and since r10 is a PERSISTED
+    ARTIFACT (_hll_day_cells, shared with the sliding entry), so the
+    live plan reads register-sized parquet and the only raw pass left
+    is the exact-truth countDistinct the contract itself requires
+    (drop it and the sketch path never touches events at all). At
+    100 TB 'how many distinct X per group' ships ~256 bytes per live
+    cell to one coordinator-sized merge instead of shuffling the
+    distinct-value stream — and the day grain means yesterday's
     registers never rebuild (the incremental property the cube-cell
     layout exists for)."""
     ev = (
@@ -898,19 +942,13 @@ def events_distinct_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type").isNotNull() & F.col("user_id").isNotNull())
         .select("event_type", F.to_date("ts").alias("day"), "user_id")
     )
-    idx = _hll.idx_col(F.col("user_id"))
-    rho = _hll.rho_col(F.col("user_id"))
-
-    # Both raw passes land in register-sized localCheckpoints (the
-    # dual-consumer rule, the CMS discipline): cells feeds the type
-    # merge AND n_cells; exact feeds the grid spine AND the summary
-    # join. The LIVE plan therefore carries zero parquet scans.
-    cells = (
-        ev.select("event_type", "day", idx.alias("idx"), rho.alias("rho"))
-        .groupBy("event_type", "day", "idx")
-        .agg(F.max("rho").alias("reg_val"))
-        .localCheckpoint()
-    )
+    # The cell build is a PERSISTED ARTIFACT shared with the sliding
+    # entry (r10 migration): the live plan reads register-sized parquet
+    # instead of rebuilding the cells from raw events every run. The
+    # truth pass still lands in a localCheckpoint (dual consumer: grid
+    # spine + summary join), so the only live scans are of the cell
+    # table — never of events.parquet.
+    cells = _hll_day_cells(spark, sf_dir)
     typeregs = cells.groupBy("event_type", "idx").agg(
         F.max("reg_val").alias("reg_val")
     )
@@ -1072,11 +1110,14 @@ def events_distinct_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-sided estimate-band bit (same formula and band as the rollup
     entry; in band at every window of all three test SFs).
 
-    Scale shape: ONE raw pass into checkpointed day cells; the window
+    Scale shape: day cells come from the PERSISTED shared artifact
+    (_hll_day_cells — built once per corpus, r10 migration), so the
+    live sketch path reads register-sized parquet and the window
     fan-out, register max, and summary all run on register-table-sized
-    data; the only other raw pass is the exact-truth countDistinct
-    (drop it in production and the sliding answer costs one cell build
-    plus register-sized shuffles, regardless of window overlap)."""
+    data; the ONLY raw pass left is the exact-truth countDistinct
+    (drop it in production and the sliding answer costs register-sized
+    reads and shuffles, regardless of window overlap — yesterday's
+    cells are bytes on disk, not recomputation)."""
     ev = (
         _t(spark, sf_dir, "events")
         .filter(
@@ -1086,15 +1127,13 @@ def events_distinct_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", F.to_date("ts").alias("day"), "user_id")
     )
-    idx = _hll.idx_col(F.col("user_id"))
-    rho = _hll.rho_col(F.col("user_id"))
 
-    cells = (
-        ev.select("event_type", "day", idx.alias("idx"), rho.alias("rho"))
-        .groupBy("event_type", "day", "idx")
-        .agg(F.max("rho").alias("reg_val"))
-        .localCheckpoint()  # ONE raw pass; feeds fan-out AND window set
-    )
+    # Day cells come from the PERSISTED shared artifact (r10 migration —
+    # the same table the rollup merges): the live sketch path reads
+    # register-sized parquet and never touches events. The artifact
+    # keeps NULL-day cells for the rollup's register semantics; the
+    # calendar-anchored window set must exclude them here.
+    cells = _hll_day_cells(spark, sf_dir).filter(F.col("day").isNotNull())
     # observed (type, day) = the window anchors; node-sized, consumed by
     # three semi-joins below
     days = cells.select("event_type", "day").distinct().localCheckpoint()

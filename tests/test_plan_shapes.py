@@ -1218,10 +1218,11 @@ def test_hll_rollup_pure_codegen_no_python(spark):
     """events_distinct_hll_rollup is the sketch family's all-JVM member:
     register math is md5/conv/bin column expressions, so the WHOLE plan
     must carry ZERO Python eval nodes (unlike the KLL pair, whose
-    kernels are pandas by necessity). Both raw passes (cell build,
-    exact-truth countDistinct) ran eagerly into register-sized
-    localCheckpoints — the CMS discipline — so the LIVE plan has zero
-    parquet scans; the 256-slot spine is an explode of a literal
+    kernels are pandas by necessity). Since the r10 artifact migration
+    the cell build is PERSISTED (_hll_day_cells, shared with the
+    sliding entry): the live plan reads the register-sized cell table —
+    never events.parquet (the exact-truth pass still runs eagerly into
+    a localCheckpoint); the 256-slot spine is an explode of a literal
     sequence (no cartesian anywhere), and the per-type summary rides a
     broadcast join onto the register table."""
     df = QUERIES["events_distinct_hll_rollup"](spark, SF_SMOKE)
@@ -1235,21 +1236,23 @@ def test_hll_rollup_pure_codegen_no_python(spark):
         "BroadcastNestedLoopJoin",
     ):
         assert node not in plan, node
-    assert plan.count("Scan parquet") == 0
+    assert "events.parquet" not in plan  # raw facts never rescanned live
+    assert "hll_day_cells" in plan  # the persisted cell artifact
     assert "Generate" in plan  # the literal-sequence register spine
     assert "BroadcastHashJoin" in plan
 
 
 def test_hll_sliding_reuses_cells_one_live_scan(spark):
     """events_distinct_hll_sliding must answer every overlapping window
-    from the checkpointed day cells: the ONLY live parquet scan is the
-    exact-truth pass the contract demands (drop it and the sliding
-    answer is register-sized end to end). The sketch path's window
-    fan-out explodes the REGISTER table; the truth pass deduplicates
-    to user-day grain before ITS explode (pinned below: the raw scan
-    feeds an aggregate before any Generate — raw event rows are never
-    multiplied 7x). Anchors ride broadcast semi-joins, zero Python
-    nodes, no cartesian."""
+    from the PERSISTED day cells (_hll_day_cells, r10 migration): the
+    ONLY live scan of events.parquet is the exact-truth pass the
+    contract demands (drop it and the sliding answer is register-sized
+    end to end). The sketch path's window fan-out explodes the REGISTER
+    table read from the artifact; the truth pass deduplicates to
+    user-day grain before ITS explode (pinned below: the raw events
+    scan feeds an aggregate before any Generate above it — raw event
+    rows are never multiplied 7x). Anchors ride broadcast semi-joins,
+    zero Python nodes, no cartesian."""
     df = QUERIES["events_distinct_hll_sliding"](spark, SF_SMOKE)
     plan = formatted_plan(df)
     for node in (
@@ -1262,17 +1265,29 @@ def test_hll_sliding_reuses_cells_one_live_scan(spark):
         "SortMergeJoin",
     ):
         assert node not in plan, node
-    assert plan.count("events.parquet") == 1  # the truth pass only
+    assert "hll_day_cells" in plan  # sketch path reads the artifact
     assert "BroadcastHashJoin" in plan
     assert "Generate" in plan  # the window fan-out explode
+    # exactly ONE scan node reads events.parquet (the truth pass): map
+    # detail-section node ids whose OWN block's Location is
+    # events.parquet (blocks are blank-line delimited — a spanning
+    # regex would attribute a later block's Location to an earlier
+    # artifact scan)
+    import re
+
+    detail_ids = set()
+    for block in plan.split("\n\n"):
+        m = re.match(r"\((\d+)\) Scan parquet", block)
+        if m and "events.parquet" in block:
+            detail_ids.add(m.group(1))
+    assert len(detail_ids) == 1, detail_ids
     # the truth pass dedups BEFORE its explode: walking up the tree from
-    # the one parquet scan, a HashAggregate (the distinct) must appear
-    # before the first Generate
+    # the events scan, a HashAggregate (the distinct) must appear
+    # between it and the Generate above it
     tree = plan.split("\n\n")[0].splitlines()
-    scan_i = next(i for i, l in enumerate(tree) if "Scan parquet" in l)
-    gen_i = max(
-        i for i, l in enumerate(tree[:scan_i]) if "Generate" in l
-    )
+    (ev_id,) = detail_ids
+    scan_i = next(i for i, l in enumerate(tree) if f"({ev_id})" in l)
+    gen_i = max(i for i, l in enumerate(tree[:scan_i]) if "Generate" in l)
     assert any(
         "HashAggregate" in l for l in tree[gen_i:scan_i]
     ), "truth pass explodes raw rows (no distinct between scan and Generate)"
