@@ -552,12 +552,11 @@ _DRIVER_PRIORITY = [
     # entries (CORRECTNESS_r08.json, 50/50 green) whose code is
     # unchanged since, listed first below the cap per the committed
     # zero-sum policy.
-    "graph_kcore_census",
     "text_collocation_pmi",
     "skew_salted_segment_value",
-    # (dedup_minhash_lsh and dedup_prefix_filter sat here through r9;
-    # demoted below the cap in r10 — their r9 driver rows stand on
-    # unchanged code)
+    # (dedup_minhash_lsh, dedup_prefix_filter, and graph_kcore_census
+    # sat here through r9; demoted below the cap in r10 — their r9
+    # driver rows stand on unchanged code)
     # r9 second wave (2 more seats, funded by demoting
     # embedding_pc1_power_iter and item_similarity_topk — both
     # r8-driver-green on unchanged code): the DPP layout rollup and the
@@ -605,10 +604,17 @@ _DRIVER_PRIORITY = [
     # mergeSchema read, per-generation null census; the oracle
     # regenerates the census analytically and never reads the artifacts.
     "source_schema_evolution",
+    # r10 third seat (funded by demoting graph_kcore_census — r9
+    # driver-green, code unchanged since): theta-sketch set DIFFERENCE —
+    # the estimate HLL structurally cannot produce — on the same
+    # 1995/1996 customer pair as the set-algebra entry (churn +
+    # acquisition), bit-exact int64 estimates beside the exact truth.
+    "orders_kmv_set_difference",
     # --- 50-entry driver window ends here ---------------------------------
     # First below the cap: the r10 demotions (r9-driver-green, unchanged)
     "dedup_minhash_lsh",
     "dedup_prefix_filter",
+    "graph_kcore_census",
     # then the r9 demotions — all r8-driver-green
     # (CORRECTNESS_r08.json) on code unchanged since, re-verified every
     # round by the FULL files (graph_label_propagation's r9

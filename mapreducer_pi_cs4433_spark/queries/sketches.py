@@ -1661,3 +1661,172 @@ _fmt_doc(
     rel=_HLL_REL,
     ab=int(_HLL_ABS),
 )
+
+
+@query(
+    "orders_kmv_set_difference",
+    oracle=f"""
+    WITH a_keys AS (
+        SELECT DISTINCT o_custkey AS k FROM orders
+        WHERE year(o_orderdate) = {_HLL_SA_Y1} AND o_custkey IS NOT NULL
+    ), b_keys AS (
+        SELECT DISTINCT o_custkey AS k FROM orders
+        WHERE year(o_orderdate) = {_HLL_SA_Y2} AND o_custkey IS NOT NULL
+    ), a_h AS (
+        SELECT CAST(CAST(concat('0x', substr(md5(concat('kmv|',
+                   CAST(k AS VARCHAR))), 1, 8)) AS UBIGINT) AS BIGINT) AS h
+        FROM a_keys
+    ), b_h AS (
+        SELECT CAST(CAST(concat('0x', substr(md5(concat('kmv|',
+                   CAST(k AS VARCHAR))), 1, 8)) AS UBIGINT) AS BIGINT) AS h
+        FROM b_keys
+    ), sa AS (SELECT h FROM a_h ORDER BY h LIMIT {_KMV_K}),
+       sb AS (SELECT h FROM b_h ORDER BY h LIMIT {_KMV_K}),
+       theta AS (
+        SELECT least((SELECT max(h) FROM sa), (SELECT max(h) FROM sb)) AS t
+    ), dab AS (
+        SELECT count(*) AS n FROM sa CROSS JOIN theta
+        WHERE h <= theta.t AND h NOT IN (SELECT h FROM sb)
+    ), dba AS (
+        SELECT count(*) AS n FROM sb CROSS JOIN theta
+        WHERE h <= theta.t AND h NOT IN (SELECT h FROM sa)
+    ), ex AS (
+        SELECT (SELECT count(*) FROM (SELECT k FROM a_keys
+                                      EXCEPT SELECT k FROM b_keys))
+                   AS exact_ab,
+               (SELECT count(*) FROM (SELECT k FROM b_keys
+                                      EXCEPT SELECT k FROM a_keys))
+                   AS exact_ba
+    ), est AS (
+        SELECT ex.exact_ab, ex.exact_ba,
+               CASE WHEN t.t IS NULL THEN 0
+                    ELSE dab.n * {_KMV_SPACE} // t.t END AS est_ab,
+               CASE WHEN t.t IS NULL THEN 0
+                    ELSE dba.n * {_KMV_SPACE} // t.t END AS est_ba
+        FROM ex CROSS JOIN dab CROSS JOIN dba CROSS JOIN theta t
+    )
+    SELECT 'churned' AS measure, exact_ab AS exact_count,
+           est_ab AS kmv_estimate FROM est
+    UNION ALL SELECT 'new', exact_ba, est_ba FROM est
+    """,
+)
+def orders_kmv_set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET DIFFERENCE — the estimate HLL structurally
+    cannot produce (registers have no difference identity, and
+    inclusion-exclusion composes THREE estimators' errors), answered by
+    the KMV sample instead: below the common theta, a hash is in the
+    A-sketch's sample iff its key is in A, so
+    |A\\B| ~= |{{h in sa : h <= theta, h not in sb}}| * space / theta is
+    a direct sample estimate with single-estimator error. Same
+    1995/1996 customer pair as orders_hll_set_algebra, so the sketch
+    band tells one story: HLL answers union/retention, KMV answers
+    churn (ordered in {y1}, gone in {y2}) and acquisition (new in
+    {y2}) — the two directions emitted as (measure, exact_count,
+    kmv_estimate) rows with the exact truth beside the estimate.
+
+    Bit-exact cross-engine like its KMV sibling: the md5 'kmv|' hash
+    family, int64 floor-divide estimates, membership below theta
+    decided by an exact anti-join of <= k rows per side (below theta =
+    min(ta, tb), sample membership IS set membership — the anti-join
+    is not an approximation). Empty-side edge: theta NULL => both
+    estimates 0 (the sibling's hypothesis-found guard).
+
+    Scale shape: identical to join_cardinality_kmv — one distinct
+    shuffle per side is the only full-data pass, k-smallest rides
+    TakeOrdered (per-partition top-k + merge), everything downstream
+    is <= {k} rows per side. At 100 TB 'how many customers did we lose
+    between any two periods' is answered from two {k}-row persisted
+    samples, never a re-scan — and unlike the HLL path, the SAME
+    sketches answer union, intersection, AND both differences."""
+    orders = _t(spark, sf_dir, "orders")
+    h = lambda c: F.conv(  # noqa: E731
+        F.substring(F.md5(F.concat(F.lit("kmv|"), c.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+
+    def keys(year: int) -> DataFrame:
+        return (
+            orders.filter(
+                (F.year("o_orderdate") == year)
+                & F.col("o_custkey").isNotNull()
+            )
+            .select(F.col("o_custkey").alias("k"))
+            .distinct()
+        )
+
+    a_keys = keys(_HLL_SA_Y1).localCheckpoint()
+    b_keys = keys(_HLL_SA_Y2).localCheckpoint()
+    sa = (
+        a_keys.select(h(F.col("k")).alias("h"))
+        .orderBy("h")
+        .limit(_KMV_K)
+        .localCheckpoint()
+    )
+    sb = (
+        b_keys.select(h(F.col("k")).alias("h"))
+        .orderBy("h")
+        .limit(_KMV_K)
+        .localCheckpoint()
+    )
+
+    theta = (
+        sa.agg(F.max("h").alias("ta"))
+        .crossJoin(sb.agg(F.max("h").alias("tb")))
+        .select(F.least("ta", "tb").alias("t"))
+    )
+    # below theta, sample membership == set membership: exact anti-joins
+    # over <= k rows decide the difference samples
+    dab = (
+        sa.crossJoin(F.broadcast(theta))
+        .filter(F.col("h") <= F.col("t"))
+        .join(sb, "h", "left_anti")
+        .agg(F.count("*").alias("nab"))
+    )
+    dba = (
+        sb.crossJoin(F.broadcast(theta))
+        .filter(F.col("h") <= F.col("t"))
+        .join(sa, "h", "left_anti")
+        .agg(F.count("*").alias("nba"))
+    )
+    ex_ab = a_keys.join(b_keys, "k", "left_anti").agg(
+        F.count("*").alias("exact_ab")
+    )
+    ex_ba = b_keys.join(a_keys, "k", "left_anti").agg(
+        F.count("*").alias("exact_ba")
+    )
+    est = (
+        ex_ab.crossJoin(ex_ba)
+        .crossJoin(dab)
+        .crossJoin(dba)
+        .crossJoin(theta)
+        .select(
+            "exact_ab",
+            "exact_ba",
+            F.expr(
+                f"CASE WHEN t IS NULL THEN 0L "
+                f"ELSE nab * {_KMV_SPACE}L div t END"
+            ).alias("est_ab"),
+            F.expr(
+                f"CASE WHEN t IS NULL THEN 0L "
+                f"ELSE nba * {_KMV_SPACE}L div t END"
+            ).alias("est_ba"),
+        )
+        .localCheckpoint()  # two 1-row consumers below
+    )
+    row = lambda m, e, s: est.select(  # noqa: E731
+        F.lit(m).alias("measure"),
+        F.col(e).cast("long").alias("exact_count"),
+        F.col(s).cast("long").alias("kmv_estimate"),
+    )
+    return row("churned", "exact_ab", "est_ab").unionByName(
+        row("new", "exact_ba", "est_ba")
+    )
+
+
+_fmt_doc(
+    orders_kmv_set_difference,
+    y1=_HLL_SA_Y1,
+    y2=_HLL_SA_Y2,
+    k=_KMV_K,
+)

@@ -119,6 +119,7 @@ def hll_sliding_distinct_stream(
     ts_col: str = "ts",
     win_days: int = 7,
     watermark: str = "2 days",
+    max_future_skew: str | None = None,
 ) -> DataFrame:
     """Per-key trailing-``win_days`` distinct-count snapshots with
     bounded state. Returns a streaming DataFrame (SLIDING_SCHEMA, update
@@ -126,7 +127,20 @@ def hll_sliding_distinct_stream(
     influence, so late-but-in-watermark data revises exactly the
     anchors it belongs to and the final emission per (key, win_end)
     equals the batch sliding entry. NULL keys/ids/timestamps are dropped
-    before the stateful operator, mirroring the batch entry's filter."""
+    before the stateful operator, mirroring the batch entry's filter.
+
+    ``max_future_skew`` (e.g. ``"2 days"``) is the clock-skew defense:
+    Spark's watermark is EVENT-time driven, so one producer with a
+    broken clock emitting a far-future timestamp silently advances the
+    watermark past the entire live corpus — every real cell evicts,
+    every real row late-filters, and the query keeps 'running'
+    healthily over nothing. Eviction alone cannot defend against this
+    (the poisoned row looks like the newest data); the defense is an
+    ingest-side sanity clamp BEFORE the watermark node: rows with
+    ``ts > current_timestamp() + max_future_skew`` are dropped, so a
+    future-dated row can never move the watermark further than the
+    bound. Off (None) by default — enable it on any stream whose
+    producers' clocks you do not control."""
     import numpy as np
     import pandas as pd
 
@@ -204,6 +218,13 @@ def hll_sliding_distinct_stream(
                 out, columns=[f.name for f in SLIDING_SCHEMA.fields]
             )
 
+    if max_future_skew is not None:
+        # BEFORE withWatermark: a dropped row must never have advanced
+        # the watermark it is being judged against
+        stream = stream.filter(
+            F.col(ts_col)
+            <= F.expr(f"current_timestamp() + interval {max_future_skew}")
+        )
     pre = (
         stream.withWatermark(ts_col, watermark)
         .filter(

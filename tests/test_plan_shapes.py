@@ -1385,3 +1385,25 @@ def test_schema_evolution_reads_artifact_only(spark):
     assert "quality_score" in plan  # the evolved column reached the scan
     # gen rides partition metadata, not file bytes
     assert "PartitionFilters" in plan or "gen#" in plan
+
+
+def test_kmv_set_difference_sample_sized_live_plan(spark):
+    """orders_kmv_set_difference: every stage from the distinct key
+    tables through the 1-row estimate assembly ran eagerly into
+    localCheckpoints (the anti-joins over <= k sample rows execute
+    there, all broadcast — asserted on the pre-checkpoint estimate
+    subtree), so the LIVE plan is two 1-row projections unioned — zero
+    parquet scans, zero Python nodes, nothing data-sized left."""
+    df = QUERIES["orders_kmv_set_difference"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    for node in (
+        "MapInPandas",
+        "FlatMapGroupsInPandas",
+        "ArrowEvalPython",
+        "BatchEvalPython",
+        "CartesianProduct",
+        "SortMergeJoin",
+        "Scan parquet",
+        "Exchange",  # not even a shuffle survives to the live plan
+    ):
+        assert node not in plan, node

@@ -207,3 +207,76 @@ def test_restore_rejects_corrupted_state():
     bad[3] = hll.RHO_MAX + 1
     with pytest.raises(ValueError, match="corrupted"):
         _restore(days, bad)  # out of range
+
+
+def test_future_skew_clamp_blocks_watermark_poisoning(spark):
+    """One producer with a broken clock (a year-3000 timestamp) advances
+    the EVENT-time watermark past the whole live corpus: real cells
+    evict, subsequent real rows late-filter, and the query keeps running
+    over nothing. With max_future_skew set, the poisoned row is dropped
+    BEFORE the watermark node, so the replay's emissions equal the
+    clean flat build; without it, the post-poison chunk is swallowed
+    (no emission for its anchor) — both directions asserted."""
+    day_users = {1: [1, 2], 2: [3], 3: [4, 5]}
+    # year 2100: ~76 years of skew (kept inside pandas' datetime64[ns]
+    # range — the operator's Arrow input conversion overflows beyond
+    # 2262, a crash rather than the silent poisoning under test here)
+    poison = [("a", 99, datetime.datetime(2100, 1, 1, 0, 0))]
+
+    def run(guarded: bool):
+        src = tempfile.mkdtemp(prefix="hsp_src_")
+        ckpt = tempfile.mkdtemp(prefix="hsp_ck_")
+        acc: list = []
+        try:
+            chunks = [
+                [("a", u, _ts(d)) for d in (1, 2) for u in day_users[d]],
+                [("a", u, _ts(2)) for u in ()]  # placeholder, replaced below
+                + poison,
+                [("a", u, _ts(3)) for u in day_users[3]],
+            ]
+            for chunk in chunks:
+                spark.createDataFrame(
+                    chunk,
+                    "event_type string, user_id long, ts timestamp",
+                ).coalesce(1).write.mode("append").parquet(src)
+                stream = spark.readStream.schema(
+                    "event_type string, user_id long, ts timestamp"
+                ).option("maxFilesPerTrigger", 1).parquet(src)
+                q = (
+                    hll_sliding_distinct_stream(
+                        stream,
+                        win_days=_W,
+                        watermark="1 day",
+                        max_future_skew="2 days" if guarded else None,
+                    )
+                    .writeStream.foreachBatch(
+                        lambda df, bid: acc.extend(df.collect())
+                    )
+                    .outputMode("update")
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination(300)
+            return acc
+        finally:
+            for d in (src, ckpt):
+                shutil.rmtree(d, ignore_errors=True)
+
+    guarded = run(True)
+    # poisoned row dropped: emissions equal the clean flat build and the
+    # day-3 anchor still arrives with its full window
+    want = _expected(day_users, sorted(day_users))
+    final = {}
+    for r in guarded:
+        final[r.win_end_day] = r
+    assert set(final) == set(want)
+    for we, row in final.items():
+        n_days, v_zero, sis, checksum = want[we]
+        assert (row.n_days_in_win, row.v_zero, row.sum_inv_scaled,
+                row.reg_checksum) == (n_days, v_zero, sis, checksum), we
+
+    unguarded = run(False)
+    # the poison advanced the watermark ~976 years: the real day-3 chunk
+    # is late-filtered, so its anchor never emits
+    assert _day(3) not in {r.win_end_day for r in unguarded}

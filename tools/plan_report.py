@@ -109,6 +109,7 @@ _SHOWCASE = [
     ("events_distinct_hll_sliding", "HLL sliding windows: day cells fan out REGISTER rows to <=7 anchors, per-window register max; only the truth pass scans raw"),
     ("orders_hll_set_algebra", "HLL set algebra: union as register-wise max of per-year register tables, zero live scans, literal-sequence spine + broadcast summary"),
     ("source_schema_evolution", "schema evolution: mergeSchema read over two hive-laid artifact generations, evolved column NULL-filled over v1 files, zero base-table scans"),
+    ("orders_kmv_set_difference", "theta-sketch set difference: below-theta sample anti-joins, everything checkpointed sample-sized — the live plan is two 1-row projections"),
 ]
 
 _MAX_LINES = 70
