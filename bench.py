@@ -64,6 +64,25 @@ def _prev_round_timings(here: str) -> dict[str, float]:
     return best
 
 
+def _prev_local_host_band(here: str) -> dict[str, dict]:
+    """extra.host_band from the latest committed BENCH_LOCAL_r{N}.json
+    (the builder's own clean-run twin — BENCH_r files are the driver's
+    and may be truncated). Empty dict until a local file carries one."""
+    best_n, best = -1, {}
+    for f in os.listdir(here):
+        m = re.fullmatch(r"BENCH_LOCAL_r(\d+)\.json", f)
+        if not m or int(m.group(1)) <= best_n:
+            continue
+        try:
+            with open(os.path.join(here, f)) as fh:
+                hb = json.load(fh).get("extra", {}).get("host_band")
+        except (OSError, json.JSONDecodeError):
+            continue
+        if isinstance(hb, dict):
+            best_n, best = int(m.group(1)), hb
+    return best
+
+
 def _regressions(
     prev: dict[str, float], now: dict[str, float], ratio: float = 1.5,
     min_prev_sec: float = 0.5,
@@ -379,6 +398,26 @@ def _run(sf_dir: str) -> None:
             "samples": samples,
             "min": min(samples),
             "median": sorted(samples)[1],
+        }
+    # Trend line (ROADMAP r11 #5): compare this round's sentinel minima
+    # against the latest committed BENCH_LOCAL file that carries a
+    # host_band — min-vs-min is the least-contended comparison, so a
+    # ratio drift here is a real change, not scheduler noise. Activates
+    # automatically from the first round after host_band ships.
+    prev_hb = _prev_local_host_band(
+        os.path.dirname(os.path.abspath(__file__))
+    )
+    if prev_hb:
+        extra["host_band_trend"] = {
+            p: {
+                "prev_min": prev_hb[p]["min"],
+                "min": extra["host_band"][p]["min"],
+                "ratio": round(
+                    extra["host_band"][p]["min"] / prev_hb[p]["min"], 2
+                ),
+            }
+            for p in extra["host_band"]
+            if p in prev_hb and prev_hb[p].get("min")
         }
     from mapreducer_pi_cs4433_spark.functions.artifacts import BUILD_TIMES
 

@@ -1683,7 +1683,12 @@ _fmt_doc(
     ), sa AS (SELECT h FROM a_h ORDER BY h LIMIT {_KMV_K}),
        sb AS (SELECT h FROM b_h ORDER BY h LIMIT {_KMV_K}),
        theta AS (
-        SELECT least((SELECT max(h) FROM sa), (SELECT max(h) FROM sb)) AS t
+        SELECT least(
+            CASE WHEN (SELECT count(*) FROM sa) < {_KMV_K}
+                 THEN {_KMV_SPACE} ELSE (SELECT max(h) FROM sa) END,
+            CASE WHEN (SELECT count(*) FROM sb) < {_KMV_K}
+                 THEN {_KMV_SPACE} ELSE (SELECT max(h) FROM sb) END
+        ) AS t
     ), dab AS (
         SELECT count(*) AS n FROM sa CROSS JOIN theta
         WHERE h <= theta.t AND h NOT IN (SELECT h FROM sb)
@@ -1699,10 +1704,8 @@ _fmt_doc(
                    AS exact_ba
     ), est AS (
         SELECT ex.exact_ab, ex.exact_ba,
-               CASE WHEN t.t IS NULL THEN 0
-                    ELSE dab.n * {_KMV_SPACE} // t.t END AS est_ab,
-               CASE WHEN t.t IS NULL THEN 0
-                    ELSE dba.n * {_KMV_SPACE} // t.t END AS est_ba
+               dab.n * {_KMV_SPACE} // t.t AS est_ab,
+               dba.n * {_KMV_SPACE} // t.t AS est_ba
         FROM ex CROSS JOIN dab CROSS JOIN dba CROSS JOIN theta t
     )
     SELECT 'churned' AS measure, exact_ab AS exact_count,
@@ -1726,10 +1729,16 @@ def orders_kmv_set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Bit-exact cross-engine like its KMV sibling: the md5 'kmv|' hash
     family, int64 floor-divide estimates, membership below theta
-    decided by an exact anti-join of <= k rows per side (below theta =
-    min(ta, tb), sample membership IS set membership — the anti-join
-    is not an approximation). Empty-side edge: theta NULL => both
-    estimates 0 (the sibling's hypothesis-found guard).
+    decided by an exact anti-join of <= k rows per side (below theta,
+    sample membership IS set membership — the anti-join is not an
+    approximation). Theta uses EXACT-MODE semantics: a sketch holding
+    fewer than k samples is a complete sketch of its set, so its theta
+    is the whole hash space, not its max sample — a degenerate side
+    (empty year, tiny subset) must not shrink the other side's sampling
+    region, and sub-k pairs become exactly correct (property-pinned in
+    tests/test_properties.py; the sibling's intersection keeps
+    sample-max theta, where the degradation is graceful because shared
+    samples are shared keys).
 
     Scale shape: identical to join_cardinality_kmv — one distinct
     shuffle per side is the only full-data pass, k-smallest rides
@@ -1770,10 +1779,24 @@ def orders_kmv_set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
 
+    # exact-mode theta: a sketch holding fewer than k samples is a
+    # COMPLETE sketch of its set — its theta is the whole hash space,
+    # not its max sample (otherwise a degenerate side silently shrinks
+    # the other side's sampling region; sub-k pairs become EXACT under
+    # this rule, the property tests/test_properties.py pins)
     theta = (
-        sa.agg(F.max("h").alias("ta"))
-        .crossJoin(sb.agg(F.max("h").alias("tb")))
-        .select(F.least("ta", "tb").alias("t"))
+        sa.agg(F.count("*").alias("na"), F.max("h").alias("ta"))
+        .crossJoin(sb.agg(F.count("*").alias("nb"), F.max("h").alias("tb")))
+        .select(
+            F.least(
+                F.when(F.col("na") < _KMV_K, F.lit(_KMV_SPACE)).otherwise(
+                    F.col("ta")
+                ),
+                F.when(F.col("nb") < _KMV_K, F.lit(_KMV_SPACE)).otherwise(
+                    F.col("tb")
+                ),
+            ).alias("t")
+        )
     )
     # below theta, sample membership == set membership: exact anti-joins
     # over <= k rows decide the difference samples
@@ -1803,14 +1826,8 @@ def orders_kmv_set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "exact_ab",
             "exact_ba",
-            F.expr(
-                f"CASE WHEN t IS NULL THEN 0L "
-                f"ELSE nab * {_KMV_SPACE}L div t END"
-            ).alias("est_ab"),
-            F.expr(
-                f"CASE WHEN t IS NULL THEN 0L "
-                f"ELSE nba * {_KMV_SPACE}L div t END"
-            ).alias("est_ba"),
+            F.expr(f"nab * {_KMV_SPACE}L div t").alias("est_ab"),
+            F.expr(f"nba * {_KMV_SPACE}L div t").alias("est_ba"),
         )
         .localCheckpoint()  # two 1-row consumers below
     )

@@ -2048,3 +2048,57 @@ def test_hll_raw_branch_in_band_above_linear_range(spark):
         assert r0.v_zero < 64
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+_kmv_diff_orders = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5000),  # o_orderkey unique
+        st.integers(min_value=0, max_value=1),     # 0 -> 1995, 1 -> 1996
+        st.integers(min_value=1, max_value=40),    # o_custkey: small domain
+    ),
+    min_size=1,
+    max_size=80,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(deadline=None, max_examples=8, suppress_health_check=list(HealthCheck))
+@given(rows=_kmv_diff_orders)
+def test_prop_kmv_difference_exact_for_subk_sets(spark, rows):
+    """Exact-mode theta's load-bearing property: when BOTH yearly sets
+    hold fewer than k=64 keys (guaranteed by the 40-key domain), each
+    sketch is a COMPLETE sketch of its set, theta is the whole hash
+    space, and the difference estimates must EQUAL the exact set
+    differences — on arbitrary corpora including empty years, identical
+    years, and disjoint years. (Under the sibling's sample-max theta a
+    degenerate side would shrink the other side's sampling region and
+    break this — the reason the difference entry derives theta
+    differently, documented in its docstring.)"""
+    import datetime
+    import shutil
+
+    from mapreducer_pi_cs4433_spark.queries.catalog import QUERIES
+
+    data = [
+        (k, "F", datetime.datetime(1995 + y, 2, 1), 1.0, "3-MEDIUM", c)
+        for k, y, c in rows
+    ]
+    d = _tmp_sf_dir(
+        spark,
+        orders=(
+            data,
+            "o_orderkey long, o_orderstatus string, o_orderdate timestamp,"
+            " o_totalprice double, o_orderpriority string, o_custkey long",
+        ),
+    )
+    try:
+        got = {
+            r.measure: (r.exact_count, r.kmv_estimate)
+            for r in QUERIES["orders_kmv_set_difference"](spark, d).collect()
+        }
+        a = {c for k, y, c in rows if y == 0}
+        b = {c for k, y, c in rows if y == 1}
+        assert got["churned"] == (len(a - b), len(a - b))
+        assert got["new"] == (len(b - a), len(b - a))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
