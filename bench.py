@@ -417,7 +417,11 @@ def _run(sf_dir: str) -> None:
                 ),
             }
             for p in extra["host_band"]
-            if p in prev_hb and prev_hb[p].get("min")
+            # a committed file may carry truncated/null sentinel entries
+            # (the driver's stdout clipping this file format is designed
+            # around): a malformed value must not crash the whole bench
+            # AFTER the timed passes completed
+            if isinstance(prev_hb.get(p), dict) and prev_hb[p].get("min")
         }
     from mapreducer_pi_cs4433_spark.functions.artifacts import BUILD_TIMES
 

@@ -86,6 +86,8 @@ def _build_index(spark, sf_dir: str, kinds_csv: str) -> int:
             "graph",
             "cooccur",
             "decontam",
+            "hll_cells",
+            "layout",
         }
         if kinds_csv == "all"
         else {k.strip() for k in kinds_csv.split(",") if k.strip()}
@@ -193,6 +195,25 @@ def _build_index(spark, sf_dir: str, kinds_csv: str) -> int:
                 "decontam",
                 decontaminate_training_set(spark, sf_dir).count(),
             )
+        )
+    if "hll_cells" in kinds:
+        # the shared HLL day-cell register table (r10 migration) read by
+        # events_distinct_hll_rollup and events_distinct_hll_sliding
+        from .queries.sketches import _hll_day_cells
+
+        built.append(("hll_cells", _hll_day_cells(spark, sf_dir).count()))
+    if "layout" in kinds:
+        # the partitioned/evolved layout artifacts: running the query
+        # functions triggers their ensure_table builds (the returned
+        # plans are readers; count() forces materialization) — the DPP
+        # year-partitioned fact and the two schema_evo generations
+        from .queries.catalog import QUERIES as _Q
+
+        built.append(
+            ("layout_dpp", _Q["layout_partition_pruned_rollup"](spark, sf_dir).count())
+        )
+        built.append(
+            ("schema_evo", _Q["source_schema_evolution"](spark, sf_dir).count())
         )
     for kind, n in built:
         print(f"build-index: {kind} ready ({n} rows)")

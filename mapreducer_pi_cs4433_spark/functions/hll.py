@@ -71,3 +71,37 @@ def estimate(sis: int, v_zero: int) -> float:
     if raw <= 2.5 * M and v_zero > 0:
         return M * math.log(M / v_zero)
     return raw
+
+
+def summ_cols(reg_col: str = "reg_val"):
+    """(v_zero, sum_inv_scaled) single-row aggregate columns over a
+    SPARSE register table (one row per touched register): empty
+    registers contribute 2^RHO_MAX each, and the touched-register sum
+    is coalesced to 0 so a register table with ZERO rows (an empty set
+    side) yields the exact empty-sketch bookkeeping (v_zero = M,
+    sis = M * 2^RHO_MAX) instead of NULL — the r10 self-review finding
+    on orders_hll_set_algebra, fixed once here for every consumer.
+    Returns (v_zero_col, sis_col) to use inside one .agg()."""
+    r = F.col(reg_col)
+    v_zero = (F.lit(M) - F.count("*")).cast("long")
+    sis = (
+        F.coalesce(
+            F.sum(F.pow(F.lit(2.0), F.lit(RHO_MAX) - r).cast("long")),
+            F.lit(0).cast("long"),
+        )
+        + (F.lit(M) - F.count("*")) * F.lit(1 << RHO_MAX).cast("long")
+    ).cast("long")
+    return v_zero, sis
+
+
+def estimate_col(v_zero: Column, sis: Column) -> Column:
+    """Column twin of ``estimate``: the standard HLL estimator with the
+    linear-counting branch, as whole-stage-codegen column math. ONE
+    definition for every batch entry (was inlined three times before
+    r10's self-review)."""
+    sum_inv = sis / F.lit(float(2**RHO_MAX))
+    raw = F.lit(ALPHA * M * M) / sum_inv
+    return F.when(
+        (raw <= F.lit(2.5 * M)) & (v_zero > 0),
+        F.lit(float(M)) * F.log(F.lit(float(M)) / v_zero),
+    ).otherwise(raw)

@@ -290,6 +290,26 @@ _KMV_K = 64
 _KMV_SPACE = 1 << 32  # md5-derived 8-hex-digit hash space
 
 
+def _kmv_h(key: Column) -> Column:
+    """KMV hash: first 8 md5 hex chars of 'kmv|' + key, as int64 in
+    [0, 2^32). ONE definition for both KMV entries (r10 self-review:
+    the lambda was duplicated; the hash family is the bit-exact
+    cross-engine contract, so every call site must move in lockstep)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit("kmv|"), key.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+
+
+def _kmv_h_sql(key_expr: str) -> str:
+    """DuckDB twin of _kmv_h (the _hll_idx_sql pattern)."""
+    return (
+        f"CAST(CAST(concat('0x', substr(md5(concat('kmv|', "
+        f"CAST({key_expr} AS VARCHAR))), 1, 8)) AS UBIGINT) AS BIGINT)"
+    )
+
+
 @query(
     "join_cardinality_kmv",
     oracle=f"""
@@ -300,12 +320,10 @@ _KMV_SPACE = 1 << 32  # md5-derived 8-hex-digit hash space
         SELECT DISTINCT o_custkey AS k FROM orders
         WHERE year(o_orderdate) = 1997
     ), a_h AS (
-        SELECT CAST(CAST(concat('0x', substr(md5(concat('kmv|',
-                   CAST(k AS VARCHAR))), 1, 8)) AS UBIGINT) AS BIGINT) AS h
+        SELECT {_kmv_h_sql("k")} AS h
         FROM a_keys
     ), b_h AS (
-        SELECT CAST(CAST(concat('0x', substr(md5(concat('kmv|',
-                   CAST(k AS VARCHAR))), 1, 8)) AS UBIGINT) AS BIGINT) AS h
+        SELECT {_kmv_h_sql("k")} AS h
         FROM b_keys
     ), sa AS (SELECT h FROM a_h ORDER BY h LIMIT {_KMV_K}),
        sb AS (SELECT h FROM b_h ORDER BY h LIMIT {_KMV_K}),
@@ -361,11 +379,7 @@ def join_cardinality_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     join's output before paying for the join.
     """
     orders = _t(spark, sf_dir, "orders")
-    h = lambda c: F.conv(  # noqa: E731
-        F.substring(F.md5(F.concat(F.lit("kmv|"), c.cast("string"))), 1, 8),
-        16,
-        10,
-    ).cast("long")
+    h = _kmv_h
 
     def keys(year: int) -> DataFrame:
         return (
@@ -992,12 +1006,9 @@ def events_distinct_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_inv_scaled"),
     )
 
-    sum_inv = F.col("sum_inv_scaled") / F.lit(float(2**_HLL_RHO_MAX))
-    raw = F.lit(_hll.ALPHA * _HLL_M * _HLL_M) / sum_inv
-    est = F.when(
-        (raw <= F.lit(2.5 * _HLL_M)) & (F.col("v_zero") > 0),
-        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("v_zero")),
-    ).otherwise(raw)
+    # ONE estimator definition for the whole batch family (r10
+    # self-review: this branch logic was inlined three times)
+    est = _hll.estimate_col(F.col("v_zero"), F.col("sum_inv_scaled"))
     band = F.greatest(
         F.lit(_HLL_REL) * F.col("exact_distinct"), F.lit(_HLL_ABS)
     )
@@ -1158,19 +1169,10 @@ def events_distinct_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ndays = fan.groupBy("event_type", "win_end").agg(
         F.countDistinct("day").alias("n_days_in_win")
     )
+    _sw_vz, _sw_sis = _hll.summ_cols("reg_val")
     summ = winregs.groupBy("event_type", "win_end").agg(
-        (F.lit(_HLL_M) - F.count("*")).cast("long").alias("v_zero"),
-        (
-            F.sum(
-                F.pow(
-                    F.lit(2.0), F.lit(_HLL_RHO_MAX) - F.col("reg_val")
-                ).cast("long")
-            )
-            + (F.lit(_HLL_M) - F.count("*"))
-            * F.lit(1 << _HLL_RHO_MAX).cast("long")
-        )
-        .cast("long")
-        .alias("sum_inv_scaled"),
+        _sw_vz.alias("v_zero"),
+        _sw_sis.alias("sum_inv_scaled"),
         F.sum((F.col("idx") + 1) * F.col("reg_val"))
         .cast("long")
         .alias("reg_checksum"),
@@ -1190,12 +1192,9 @@ def events_distinct_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("exact_distinct"))
     )
 
-    sum_inv = F.col("sum_inv_scaled") / F.lit(float(2**_HLL_RHO_MAX))
-    raw = F.lit(_hll.ALPHA * _HLL_M * _HLL_M) / sum_inv
-    est = F.when(
-        (raw <= F.lit(2.5 * _HLL_M)) & (F.col("v_zero") > 0),
-        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("v_zero")),
-    ).otherwise(raw)
+    # ONE estimator definition for the whole batch family (r10
+    # self-review: this branch logic was inlined three times)
+    est = _hll.estimate_col(F.col("v_zero"), F.col("sum_inv_scaled"))
     band = F.greatest(
         F.lit(_HLL_REL) * F.col("exact_distinct"), F.lit(_HLL_ABS)
     )
@@ -1538,31 +1537,16 @@ def orders_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_union")
     )
 
-    def _summ(regdf):
-        """(v_zero, sum_inv_scaled) single-row summary from a sparse
-        register table — empty registers contribute 2^RHO_MAX each."""
-        return regdf.agg(
-            (F.lit(_HLL_M) - F.count("*")).cast("long").alias("vz"),
-            (
-                F.sum(
-                    F.pow(
-                        F.lit(2.0), F.lit(_HLL_RHO_MAX) - F.col("reg")
-                    ).cast("long")
-                )
-                + (F.lit(_HLL_M) - F.count("*"))
-                * F.lit(1 << _HLL_RHO_MAX).cast("long")
-            )
-            .cast("long")
-            .alias("sis"),
-        )
+    # shared column helpers (functions/hll.py): summ_cols coalesces the
+    # touched-register sum to 0, so an EMPTY year side yields the exact
+    # empty-sketch bookkeeping (v_zero = M, sis = M * 2^RHO_MAX) instead
+    # of NULL-ing every estimate and band bit (r10 self-review finding)
+    _sc_vz, _sc_sis = _hll.summ_cols("reg")
 
-    def _est(vz, sis):
-        sum_inv = sis / F.lit(float(2**_HLL_RHO_MAX))
-        raw = F.lit(_hll.ALPHA * _HLL_M * _HLL_M) / sum_inv
-        return F.when(
-            (raw <= F.lit(2.5 * _HLL_M)) & (vz > 0),
-            F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / vz),
-        ).otherwise(raw)
+    def _summ(regdf):
+        return regdf.agg(_sc_vz.alias("vz"), _sc_sis.alias("sis"))
+
+    _est = _hll.estimate_col
 
     sa = _summ(regs.filter(F.col("y") == _HLL_SA_Y1)).select(
         F.col("vz").alias("vz_a"), F.col("sis").alias("sis_a")
@@ -1673,12 +1657,10 @@ _fmt_doc(
         SELECT DISTINCT o_custkey AS k FROM orders
         WHERE year(o_orderdate) = {_HLL_SA_Y2} AND o_custkey IS NOT NULL
     ), a_h AS (
-        SELECT CAST(CAST(concat('0x', substr(md5(concat('kmv|',
-                   CAST(k AS VARCHAR))), 1, 8)) AS UBIGINT) AS BIGINT) AS h
+        SELECT {_kmv_h_sql("k")} AS h
         FROM a_keys
     ), b_h AS (
-        SELECT CAST(CAST(concat('0x', substr(md5(concat('kmv|',
-                   CAST(k AS VARCHAR))), 1, 8)) AS UBIGINT) AS BIGINT) AS h
+        SELECT {_kmv_h_sql("k")} AS h
         FROM b_keys
     ), sa AS (SELECT h FROM a_h ORDER BY h LIMIT {_KMV_K}),
        sb AS (SELECT h FROM b_h ORDER BY h LIMIT {_KMV_K}),
@@ -1748,11 +1730,7 @@ def orders_kmv_set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
     samples, never a re-scan — and unlike the HLL path, the SAME
     sketches answer union, intersection, AND both differences."""
     orders = _t(spark, sf_dir, "orders")
-    h = lambda c: F.conv(  # noqa: E731
-        F.substring(F.md5(F.concat(F.lit("kmv|"), c.cast("string"))), 1, 8),
-        16,
-        10,
-    ).cast("long")
+    h = _kmv_h
 
     def keys(year: int) -> DataFrame:
         return (

@@ -234,9 +234,15 @@ def hll_sliding_distinct_stream(
         )
         .select(
             F.col(key_col).alias("event_type"),
-            F.datediff(
-                F.to_date(ts_col), F.to_date(F.lit("1970-01-01"))
-            ).alias("day"),
+            # day MUST share the watermark's clock: getCurrentWatermarkMs
+            # is UTC epoch ms, so the cell day is the UTC epoch day
+            # (unix_timestamp of an instant is session-tz-independent).
+            # A to_date()-derived day drifts one day off in non-UTC
+            # sessions and breaks the eviction invariant exactly at the
+            # window edge (r10 self-review finding).
+            F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400))
+            .cast("int")
+            .alias("day"),
             hll.idx_col(F.col(id_col)).alias("idx"),
             hll.rho_col(F.col(id_col)).alias("rho"),
             # the watermarked column must reach the stateful operator or

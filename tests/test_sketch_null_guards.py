@@ -120,3 +120,42 @@ def test_stream_kll_drops_null_keys(spark):
     finally:
         for d in (src, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_set_algebra_empty_year_side_yields_exact_empty_sketch(spark):
+    """r10 self-review: with no 1995 orders at all, the per-side
+    register table is EMPTY and a bare F.sum would return NULL,
+    NULL-ing the estimates and both in-band bits while the oracle
+    emits literal 1 — hash red on a legitimate corpus. The shared
+    hll.summ_cols coalesces the touched-register sum, so an empty side
+    is the exact empty sketch (v_zero = M, est = 0 via the linear
+    branch) and the whole result still hash-matches the oracle."""
+    import datetime
+
+    rows = [
+        (i, "F", datetime.datetime(1996, 2, 1 + (i % 25)), 1.0, "3-M", c)
+        for i, c in enumerate(range(1, 120))
+    ]
+    d = tempfile.mkdtemp(prefix="hllsa_sf_")
+    try:
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_orderstatus string, o_orderdate timestamp,"
+            " o_totalprice double, o_orderpriority string, o_custkey long",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+        sdf = QUERIES["orders_hll_set_algebra"](spark, d)
+        row = sdf.limit(1).collect()[0]
+        assert row.n_side_a == 0
+        assert row.n_side_b == 119
+        assert row.n_intersect == 0
+        # NULL-free: every contract column materialized
+        assert None not in tuple(row)
+        assert row.union_in_band == 1 and row.intersect_in_band == 1
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW orders AS SELECT * FROM "
+            f"read_parquet('{d}/orders.parquet/*.parquet')"
+        )
+        compare(sdf, con, ORACLE["orders_hll_set_algebra"])
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

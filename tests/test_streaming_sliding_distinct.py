@@ -280,3 +280,39 @@ def test_future_skew_clamp_blocks_watermark_poisoning(spark):
     # the poison advanced the watermark ~976 years: the real day-3 chunk
     # is late-filtered, so its anchor never emits
     assert _day(3) not in {r.win_end_day for r in unguarded}
+
+
+def test_sliding_stream_correct_in_non_utc_session(spark):
+    """r10 self-review: the cell day must share the WATERMARK's clock
+    (UTC epoch) — a to_date()-derived day is session-timezone-local and
+    drifts one day off in non-UTC sessions, breaking the eviction
+    invariant exactly at the window edge. Replay the basic corpus under
+    America/New_York and assert the final emissions still equal the
+    flat build (days computed as UTC epoch days on both sides)."""
+    day_users = {1: [1, 2], 2: [3, 4], 3: [5]}
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    src = tempfile.mkdtemp(prefix="hstz_src_")
+    ckpt = tempfile.mkdtemp(prefix="hstz_ck_")
+    acc: list = []
+    try:
+        chunks = [
+            [("a", u, d) for d in (1, 2) for u in day_users[d]],
+            [("a", u, 3) for u in day_users[3]],
+        ]
+        _run_chunks(spark, chunks, src, ckpt, acc)
+        # the corpus timestamps are 2024-01-d 12:00 SESSION time (NY);
+        # their UTC epoch day is still 2024-01-d (17:00 UTC), so the
+        # expected fingerprints are unchanged — what matters is that
+        # the stream's day and the watermark agreed on a single clock
+        want = _expected(day_users, sorted(day_users))
+        final = {r.win_end_day: r for r in acc if r.event_type == "a"}
+        assert set(final) == set(want)
+        for we, row in final.items():
+            n_days, v_zero, sis, checksum = want[we]
+            assert (row.n_days_in_win, row.v_zero, row.sum_inv_scaled,
+                    row.reg_checksum) == (n_days, v_zero, sis, checksum), we
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+        for d in (src, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
