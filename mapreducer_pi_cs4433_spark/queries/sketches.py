@@ -286,28 +286,16 @@ def join_bloom_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # k minimum values per set. 64 keeps BOTH estimator branches live at every
 # SF: the yearly custkey sets exceed 64 even at sf0.001 (sketch path), while
 # degenerate subsets would fall back to the exact small-set branch.
-_KMV_K = 64
-_KMV_SPACE = 1 << 32  # md5-derived 8-hex-digit hash space
+# ONE definition per engine for the KMV hash family (r10 self-review:
+# the hash is the bit-exact cross-engine contract, so every call site —
+# both batch entries, both oracles, and the streaming monitor — resolves
+# to functions/kmv.py)
+from ..functions import kmv as _kmv  # noqa: E402
 
-
-def _kmv_h(key: Column) -> Column:
-    """KMV hash: first 8 md5 hex chars of 'kmv|' + key, as int64 in
-    [0, 2^32). ONE definition for both KMV entries (r10 self-review:
-    the lambda was duplicated; the hash family is the bit-exact
-    cross-engine contract, so every call site must move in lockstep)."""
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit("kmv|"), key.cast("string"))), 1, 8),
-        16,
-        10,
-    ).cast("long")
-
-
-def _kmv_h_sql(key_expr: str) -> str:
-    """DuckDB twin of _kmv_h (the _hll_idx_sql pattern)."""
-    return (
-        f"CAST(CAST(concat('0x', substr(md5(concat('kmv|', "
-        f"CAST({key_expr} AS VARCHAR))), 1, 8)) AS UBIGINT) AS BIGINT)"
-    )
+_KMV_K = _kmv.K
+_KMV_SPACE = _kmv.SPACE
+_kmv_h = _kmv.h_col
+_kmv_h_sql = _kmv.h_sql
 
 
 @query(
