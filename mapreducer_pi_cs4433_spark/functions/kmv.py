@@ -57,3 +57,24 @@ def estimate(sample_size: int, theta: int, k: int = K) -> int:
     if sample_size < k:
         return sample_size
     return (k - 1) * SPACE // theta
+
+
+def difference_estimate(
+    sample_a, theta_a: int, sample_b, theta_b: int, k: int = K
+) -> int:
+    """|A \\ B| estimate from two k-min samples — the live-churn
+    consumption pattern: ``sample_a`` is a persisted reference period's
+    sample, ``sample_b`` a streaming monitor's latest snapshot (or any
+    two sketches of the same hash family). Below the common exact-mode
+    theta, sample membership IS set membership, so the difference sample
+    is an exact set difference of <= k hashes; the estimate is the same
+    int64 floor-divide the batch entry (orders_kmv_set_difference)
+    states in SQL. Exact-mode theta: a sub-k sample is complete, its
+    theta is the whole space — so two sub-k samples give the exact
+    difference."""
+    ta = theta_a if len(sample_a) >= k else SPACE
+    tb = theta_b if len(sample_b) >= k else SPACE
+    t = min(ta, tb)
+    sb = set(sample_b)
+    n = sum(1 for h in sample_a if h <= t and h not in sb)
+    return n * SPACE // t

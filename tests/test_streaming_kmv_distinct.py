@@ -174,3 +174,73 @@ def test_restore_rejects_corrupted_state():
         _restore([1, kmv.SPACE], 10, 16)  # out of range
     with pytest.raises(ValueError, match="corrupted"):
         _restore([1, 5, 9], 2, 16)  # more samples than rows
+
+
+def test_live_churn_against_persisted_reference_sample(spark):
+    """The consumption pattern the monitor exists for: yesterday's
+    persisted k-min sample vs the stream's latest snapshot gives a LIVE
+    churn estimate (reference users not seen yet today) through
+    kmv.difference_estimate. As today's chunks arrive, the estimate
+    must (a) equal the same arithmetic applied to pure-Python hashlib
+    sketches of the same data at every trigger, and (b) end exactly at
+    the true churn when both sides are sub-k (exact-mode theta makes
+    sub-k pairs exact)."""
+    yesterday = list(range(100, 112))  # 12 reference users
+    today_chunks = [[104, 105, 200], [106, 201, 202], [107, 108, 109]]
+    ref = _ref_sample(yesterday, k=_K)
+    ref_theta = ref[-1] if len(ref) == _K else kmv.SPACE
+
+    src = tempfile.mkdtemp(prefix="kmvc_src_")
+    ckpt = tempfile.mkdtemp(prefix="kmvc_ck_")
+    acc: list = []
+    try:
+        for chunk in today_chunks:
+            spark.createDataFrame(
+                [("a", u) for u in chunk], "event_type string, user_id long"
+            ).coalesce(1).write.mode("append").parquet(src)
+            stream = spark.readStream.schema(
+                "event_type string, user_id long"
+            ).option("maxFilesPerTrigger", 1).parquet(src)
+            q = (
+                kmv_distinct_stream(stream, k=_K)
+                .writeStream.foreachBatch(
+                    lambda df, bid: acc.extend(df.collect())
+                )
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+        assert len(acc) == len(today_chunks)
+        seen: set = set()
+        for row, chunk in zip(sorted(acc, key=lambda r: r.n_rows_seen),
+                              today_chunks):
+            seen |= set(chunk)
+            churn = kmv.difference_estimate(
+                ref, ref_theta, list(row.sample), row.theta, k=_K
+            )
+            # (a) same arithmetic over independently-built sketches
+            stream_ref = _ref_sample(seen, k=_K)
+            st_theta = (
+                stream_ref[-1] if len(stream_ref) == _K else kmv.SPACE
+            )
+            want = kmv.difference_estimate(
+                ref, ref_theta, stream_ref, st_theta, k=_K
+            )
+            assert churn == want
+        # (b) exact-mode theta: SUB-K pairs give the exact difference —
+        # a small reference period vs a small stream prefix, both below
+        # k=8, must yield the true churn with no estimation error
+        small_ref = [100, 104, 105, 300]          # 4 users yesterday
+        small_seen = {104, 105, 200}              # 3 users so far today
+        exact = kmv.difference_estimate(
+            _ref_sample(small_ref, k=_K), kmv.SPACE,
+            _ref_sample(small_seen, k=_K), kmv.SPACE, k=_K,
+        )
+        assert exact == len(set(small_ref) - small_seen) == 2
+        # and the full-scenario truth is pinned so the data stays honest
+        assert len(set(yesterday) - seen) == 6
+    finally:
+        for d in (src, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
