@@ -64,10 +64,15 @@ def _prev_round_timings(here: str) -> dict[str, float]:
     return best
 
 
-def _prev_local_host_band(here: str) -> dict[str, dict]:
-    """extra.host_band from the latest committed BENCH_LOCAL_r{N}.json
-    (the builder's own clean-run twin — BENCH_r files are the driver's
-    and may be truncated). Empty dict until a local file carries one."""
+def _prev_local_host_band(here: str) -> tuple[int, dict[str, dict]]:
+    """(round, extra.host_band) from the latest committed
+    BENCH_LOCAL_r{N}.json (the builder's own clean-run twin — BENCH_r
+    files are the driver's and may be truncated). (-1, {}) until a
+    local file carries one. The ROUND is returned — and recorded in
+    extra.host_band_trend.prev_round — because the scan skips files
+    that parse but lack a band (ADVICE r10 #4): without the stamp, a
+    malformed newest file would silently baseline the trend against an
+    older round and the evidence file would not show it."""
     best_n, best = -1, {}
     for f in os.listdir(here):
         m = re.fullmatch(r"BENCH_LOCAL_r(\d+)\.json", f)
@@ -75,12 +80,14 @@ def _prev_local_host_band(here: str) -> dict[str, dict]:
             continue
         try:
             with open(os.path.join(here, f)) as fh:
-                hb = json.load(fh).get("extra", {}).get("host_band")
+                data = json.load(fh)
+                hb = data.get("extra", {}).get("host_band")
+                prev_sf = data.get("sf")
         except (OSError, json.JSONDecodeError):
             continue
         if isinstance(hb, dict):
-            best_n, best = int(m.group(1)), hb
-    return best
+            best_n, best = int(m.group(1)), dict(hb, __sf=prev_sf)
+    return best_n, best
 
 
 def _regressions(
@@ -404,9 +411,15 @@ def _run(sf_dir: str) -> None:
     # host_band — min-vs-min is the least-contended comparison, so a
     # ratio drift here is a real change, not scheduler noise. Activates
     # automatically from the first round after host_band ships.
-    prev_hb = _prev_local_host_band(
+    prev_round, prev_hb = _prev_local_host_band(
         os.path.dirname(os.path.abspath(__file__))
     )
+    # min-vs-min is only a HOST comparison when both rounds ran the same
+    # scale: an ad-hoc small-SF run must not "trend" against the
+    # committed sf0.1 band (observed: sf0.001 vs sf0.1 reads as a bogus
+    # 0.48x host speedup and poisons host_normalized_total)
+    if prev_hb and prev_hb.pop("__sf", None) != _sf_from_dir(sf_dir):
+        prev_hb = {}
     if prev_hb:
         extra["host_band_trend"] = {
             p: {
@@ -423,12 +436,35 @@ def _run(sf_dir: str) -> None:
             # AFTER the timed passes completed
             if isinstance(prev_hb.get(p), dict) and prev_hb[p].get("min")
         }
+        # which committed round the baseline minima came from (ADVICE
+        # r10 #4: a skipped malformed newest file must be visible)
+        extra["host_band_trend"]["prev_round"] = prev_round
     from mapreducer_pi_cs4433_spark.functions.artifacts import BUILD_TIMES
 
     extra["artifact_builds"] = dict(sorted(BUILD_TIMES.items()))
     extra["artifact_builds_total_sec"] = round(sum(BUILD_TIMES.values()), 2)
 
     total = round(sum(timings.values()), 2)
+    # Host-normalized headline (r10 verdict ask #5): scale the total by
+    # the median sentinel min-vs-min ratio against the previous round's
+    # committed band, so the round-over-round comparison the judge did
+    # by hand (raw +12.7% -> common-set +4% -> "inside the host band")
+    # becomes a recorded number. The RAW total stays authoritative —
+    # this is a lens, not a replacement; sentinel plans are stable
+    # across rounds by design, so their min ratio isolates host speed.
+    trend = extra.get("host_band_trend")
+    if trend:
+        ratios = sorted(
+            v["ratio"] for v in trend.values() if isinstance(v, dict)
+        )
+        if ratios:
+            med = ratios[len(ratios) // 2]
+            if med > 0:
+                extra["host_normalized_total"] = {
+                    "sentinel_median_ratio": med,
+                    "prev_round": trend.get("prev_round"),
+                    "value": round(total / med, 2),
+                }
     # One compact line; per-query timings FIRST and summary keys LAST —
     # the round driver records only the tail of captured stdout, and in r2
     # that window clipped the line's beginning, losing entries. Key order

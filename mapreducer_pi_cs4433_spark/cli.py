@@ -87,6 +87,9 @@ def _build_index(spark, sf_dir: str, kinds_csv: str) -> int:
             "cooccur",
             "decontam",
             "hll_cells",
+            "kll_cells",
+            "kmv_years",
+            "hll_years",
             "layout",
         }
         if kinds_csv == "all"
@@ -202,6 +205,26 @@ def _build_index(spark, sf_dir: str, kinds_csv: str) -> int:
         from .queries.sketches import _hll_day_cells
 
         built.append(("hll_cells", _hll_day_cells(spark, sf_dir).count()))
+    if "kll_cells" in kinds:
+        # the per-(type, day) KLL cell item table (r11 migration) read
+        # by events_quantile_rollup_kll
+        from .queries.sketches import _kll_day_cells
+
+        built.append(("kll_cells", _kll_day_cells(spark, sf_dir).count()))
+    if "kmv_years" in kinds:
+        # the per-year KMV k-min samples (r11) read by the KMV
+        # set-difference pair (orders_kmv_set_difference /
+        # orders_kmv_diff_from_snapshots)
+        from .queries.sketches import _kmv_year_samples
+
+        built.append(("kmv_years", _kmv_year_samples(spark, sf_dir).count()))
+    if "hll_years" in kinds:
+        # the per-year HLL register snapshots (r11) read by the HLL
+        # set-algebra pair (orders_hll_set_algebra /
+        # orders_hll_union_from_snapshots)
+        from .queries.sketches import _hll_year_regs
+
+        built.append(("hll_years", _hll_year_regs(spark, sf_dir).count()))
     if "layout" in kinds:
         # the partitioned/evolved layout artifacts: running the query
         # functions triggers their ensure_table builds (the returned

@@ -71,7 +71,20 @@ def difference_estimate(
     int64 floor-divide the batch entry (orders_kmv_set_difference)
     states in SQL. Exact-mode theta: a sub-k sample is complete, its
     theta is the whole space — so two sub-k samples give the exact
-    difference."""
+    difference.
+
+    INCLUSIVE THETA, deliberately (ADVICE r10 #3): membership uses
+    ``h <= t``, retaining the theta-defining k-th minimum itself —
+    a hair of upward bias on full sketches relative to the strict
+    ``h < t`` theta-sketch discipline (the same reason ``estimate``
+    uses k-1). The convention is SHARED bit-for-bit by every consumer
+    — this function, the batch entries' Spark plans and DuckDB oracles
+    (orders_kmv_set_difference / orders_kmv_diff_from_snapshots /
+    join_cardinality_kmv), the streaming monitor, and the hashlib
+    reference in the tests — and sub-k mode is exact regardless, so
+    cross-engine hash equality holds everywhere; changing to strict
+    inequality would be a coordinated five-site hash-family migration
+    for a bias far below the k=64 sampling error."""
     ta = theta_a if len(sample_a) >= k else SPACE
     tb = theta_b if len(sample_b) >= k else SPACE
     t = min(ta, tb)

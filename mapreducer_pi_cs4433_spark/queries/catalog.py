@@ -541,22 +541,17 @@ _DRIVER_PRIORITY = [
     "asof_last_purchase_per_click",
     "range_join_click_error_pairs",
     "window_running_spend",
-    # r9 band (5 seats): the three r8 mining-band queries
-    # (dedup_prefix_filter, graph_kcore_census, text_collocation_pmi),
-    # seated for FIRST driver evidence per the r8 verdict's ask #1; the
-    # new skew_salted_segment_value (ask #5: operators/skew.py gets an
-    # oracle-backed registered demonstration); and dedup_minhash_lsh,
-    # whose verification tail changed this round (refactor onto the
-    # shared verify_exact_jaccard helper) — fresh driver evidence on
-    # changed code. Seats funded by demoting five r8-driver-green
-    # entries (CORRECTNESS_r08.json, 50/50 green) whose code is
-    # unchanged since, listed first below the cap per the committed
-    # zero-sum policy.
-    "text_collocation_pmi",
-    "skew_salted_segment_value",
-    # (dedup_minhash_lsh, dedup_prefix_filter, and graph_kcore_census
-    # sat here through r9; demoted below the cap in r10 — their r9
-    # driver rows stand on unchanged code)
+    # (text_collocation_pmi and skew_salted_segment_value sat here
+    # r9-r10; demoted below the cap in r11 — their r10 driver rows
+    # stand on unchanged code — to fund the two from-snapshots seats.)
+    # r11 wave (2 seats): the persisted-sketch consumption pair — the
+    # KMV churn/acquisition estimates and the HLL union registers for
+    # the 1995/1996 pair answered ENTIRELY from the per-year snapshot
+    # artifacts (kmv_year_samples / hll_year_regs), live plans pinned
+    # to zero scans of orders.parquet; the oracles rebuild the sketches
+    # flat, so the driver hash proves snapshot-path == from-scratch.
+    "orders_kmv_diff_from_snapshots",
+    "orders_hll_union_from_snapshots",
     # r9 second wave (2 more seats, funded by demoting
     # embedding_pc1_power_iter and item_similarity_topk — both
     # r8-driver-green on unchanged code): the DPP layout rollup and the
@@ -611,7 +606,11 @@ _DRIVER_PRIORITY = [
     # acquisition), bit-exact int64 estimates beside the exact truth.
     "orders_kmv_set_difference",
     # --- 50-entry driver window ends here ---------------------------------
-    # First below the cap: the r10 demotions (r9-driver-green, unchanged)
+    # First below the cap: the r11 demotions (r10-driver-green, code
+    # unchanged since r9 when both first seated)
+    "text_collocation_pmi",
+    "skew_salted_segment_value",
+    # then the r10 demotions (r9-driver-green, unchanged)
     "dedup_minhash_lsh",
     "dedup_prefix_filter",
     "graph_kcore_census",

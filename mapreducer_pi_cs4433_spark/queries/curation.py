@@ -791,7 +791,7 @@ _EVO_KIND = "schema_evo"
     UNION ALL
     SELECT 2 AS gen, lang,
            COUNT(*) AS n_rows,
-           CAST(0 AS BIGINT) AS n_quality_null,
+           CAST(COUNT(*) - COUNT(n_chars) AS BIGINT) AS n_quality_null,
            CAST(SUM(n_chars % 97) AS BIGINT) AS sum_quality
     FROM documents WHERE doc_id % 2 = 1 AND doc_id IS NOT NULL
     GROUP BY lang
@@ -816,7 +816,12 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     (gen, lang) row counts; ``n_quality_null``, which must equal the
     FULL row count on gen 1 (the merged column is NULL exactly where
     the writer's schema lacked it — the mergeSchema semantics, stated
-    as data) and 0 on gen 2; and the gen-2 quality sum.
+    as data) and the count of NULL-``n_chars`` rows on gen 2 (the
+    writer's ``n_chars % 97`` propagates NULL, so the oracle censuses
+    it as COUNT(*) - COUNT(n_chars) rather than a hardcoded 0 — ADVICE
+    r10 #1: symmetric on nullable inputs, identical on the generated
+    corpora where n_chars derives from length(text)); and the gen-2
+    quality sum.
 
     Scale shape: schema merge is a FOOTER operation (one schema per
     file, unioned at planning time — no data read, no shuffle); the

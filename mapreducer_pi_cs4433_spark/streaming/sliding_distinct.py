@@ -140,7 +140,27 @@ def hll_sliding_distinct_stream(
     ``ts > current_timestamp() + max_future_skew`` are dropped, so a
     future-dated row can never move the watermark further than the
     bound. Off (None) by default — enable it on any stream whose
-    producers' clocks you do not control."""
+    producers' clocks you do not control.
+
+    REPLAY CAVEAT (ADVICE r10 #2): the clamp compares against
+    ``current_timestamp()``, a wall-clock predicate evaluated at
+    PROCESSING time — deliberately, because event-time state is
+    exactly what a poisoned producer controls, so the only trustworthy
+    reference is the consumer's own clock. The cost is that the
+    predicate is nondeterministic across checkpoint recovery: a
+    micro-batch replayed later re-evaluates the clamp at the NEW wall
+    clock, so a row that sat within the bound on first processing can
+    be admitted (never newly dropped — the bound only moves forward)
+    on replay, and the 'last emission equals the batch build' contract
+    weakens to 'equals the batch build over the admitted rows'. This
+    is the standard trade of every ingest-time guard (Kafka broker
+    timestamp validation makes the same one); deployments that need
+    bit-identical replay should clamp at the PRODUCER/ingest layer and
+    leave this option off. A deterministic in-query alternative —
+    clamping against the max event time seen so far — is NOT offered:
+    it reintroduces the vulnerability (the poisoned row itself defines
+    'seen so far') and state-couples the filter to the operator it
+    protects."""
     import numpy as np
     import pandas as pd
 

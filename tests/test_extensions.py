@@ -394,6 +394,14 @@ def test_build_index_prebuilds_exactly_what_queries_consume(
         "basket_brand_pairs",
         "decontaminate_training_set",
         "pipeline_clean_corpus",
+        # the sketch-artifact consumers (hll_cells r10; kll_cells /
+        # kmv_years / hll_years r11): zero cold builds at query time
+        "events_distinct_hll_rollup",
+        "events_quantile_rollup_kll",
+        "orders_kmv_set_difference",
+        "orders_kmv_diff_from_snapshots",
+        "orders_hll_set_algebra",
+        "orders_hll_union_from_snapshots",
     ]:
         QUERIES[name](spark, SF_SMOKE).write.format("noop").mode(
             "overwrite"

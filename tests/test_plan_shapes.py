@@ -1196,19 +1196,30 @@ def test_kll_two_phase_build_merge_no_fact_sort(spark):
 
 
 def test_kll_rollup_merges_cells_never_rescans(spark):
-    """events_quantile_rollup_kll pins the cube-cell hierarchy: one
-    MapInPandas partial build, then exactly TWO FlatMapGroupsInPandas —
-    the (type, day) cell merge and the per-type merge that consumes
-    CELL ITEMS only — so the coarser grain is answered without a second
-    pass over raw values (the property that makes mergeable sketches
-    matter at 100 TB). Exact ranks still ride the grain: no row_number
-    over facts, rank table broadcast."""
+    """events_quantile_rollup_kll pins the cube-cell hierarchy, which
+    since r11 consumes the PERSISTED day-cell artifact (_kll_day_cells,
+    the KLL mirror of the HLL family's r10 migration): the live plan
+    carries ZERO MapInPandas (the partial build ran once, at artifact
+    build time) and exactly ONE FlatMapGroupsInPandas — the per-type
+    merge consuming CELL ITEMS read from parquet — so the coarser grain
+    is answered without ANY pass over raw values on the sketch path;
+    the only events.parquet scan left is the exact-rank truth pass the
+    contract itself requires. Exact ranks still ride the grain: no
+    row_number over facts, rank table broadcast."""
     import re
 
     df = QUERIES["events_quantile_rollup_kll"](spark, SF_SMOKE)
     plan = formatted_plan(df)
-    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
-    assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", plan)) == 2
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 0
+    assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", plan)) == 1
+    assert "kll_day_cells" in plan  # sketch path reads the artifact
+    # exactly ONE scan node reads events.parquet (the rank truth pass)
+    ev_scans = [
+        b
+        for b in plan.split("\n\n")
+        if re.match(r"\(\d+\) Scan parquet", b) and "events.parquet" in b
+    ]
+    assert len(ev_scans) == 1, len(ev_scans)
     assert "BroadcastHashJoin" in plan
     assert "row_number" not in plan
     assert re.search(r"sum\(c#", plan)
@@ -1407,3 +1418,62 @@ def test_kmv_set_difference_sample_sized_live_plan(spark):
         "Exchange",  # not even a shuffle survives to the live plan
     ):
         assert node not in plan, node
+
+
+def test_kmv_snapshots_zero_fact_scan(spark):
+    """orders_kmv_diff_from_snapshots is the 100 TB consumption claim
+    as a plan fact: the LIVE plan (no checkpoints anywhere in this
+    entry) reads ONLY the persisted per-year kmv_year_samples artifact
+    — orders.parquet appears nowhere — with zero Python nodes and no
+    cartesian on any data-sized path (the 1-row theta/estimate
+    assemblies ride broadcasts of single-row aggregates, the task_g/h
+    scalar pattern)."""
+    df = QUERIES["orders_kmv_diff_from_snapshots"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    for node in (
+        "MapInPandas",
+        "FlatMapGroupsInPandas",
+        "ArrowEvalPython",
+        "BatchEvalPython",
+        "CartesianProduct",
+        "SortMergeJoin",
+    ):
+        assert node not in plan, node
+    assert "orders.parquet" not in plan  # the fact table is never read
+    assert "kmv_year_samples" in plan  # every scan is the snapshot table
+    # every parquet scan node in the tree reads the artifact
+    import re
+
+    for block in plan.split("\n\n"):
+        if re.match(r"\(\d+\) Scan parquet", block):
+            assert "kmv_year_samples" in block, block.splitlines()[0]
+
+
+def test_hll_snapshots_zero_fact_scan(spark):
+    """orders_hll_union_from_snapshots: registers in, registers out —
+    the LIVE plan reads ONLY the persisted hll_year_regs artifact
+    (orders.parquet appears nowhere), the union is a HashAggregate
+    (register-wise max) over the snapshot slices, the 256-slot spine is
+    a literal-sequence explode, and the single-row summary reaches the
+    grid via broadcast. Zero Python, no cartesian on the data path."""
+    df = QUERIES["orders_hll_union_from_snapshots"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    for node in (
+        "MapInPandas",
+        "FlatMapGroupsInPandas",
+        "ArrowEvalPython",
+        "BatchEvalPython",
+        "CartesianProduct",
+        "SortMergeJoin",
+    ):
+        assert node not in plan, node
+    assert "orders.parquet" not in plan
+    assert "hll_year_regs" in plan
+    assert "Generate" in plan  # the literal-sequence register spine
+    assert "HashAggregate" in plan  # the register-wise max merge
+    assert "BroadcastHashJoin" in plan
+    import re
+
+    for block in plan.split("\n\n"):
+        if re.match(r"\(\d+\) Scan parquet", block):
+            assert "hll_year_regs" in block, block.splitlines()[0]
