@@ -552,6 +552,12 @@ _DRIVER_PRIORITY = [
     # flat, so the driver hash proves snapshot-path == from-scratch.
     "orders_kmv_diff_from_snapshots",
     "orders_hll_union_from_snapshots",
+    # r11 third seat (funded by demoting image_ahash_neardup —
+    # r10-driver-green, code unchanged since r9): the RANGE extension
+    # of the snapshot band — cumulative distinct customers per year as
+    # a running register max over hll_year_regs, zero fact scans, the
+    # oracle re-building every prefix range flat from raw orders.
+    "orders_hll_cumulative_from_snapshots",
     # r9 second wave (2 more seats, funded by demoting
     # embedding_pc1_power_iter and item_similarity_topk — both
     # r8-driver-green on unchanged code): the DPP layout rollup and the
@@ -566,8 +572,10 @@ _DRIVER_PRIORITY = [
     # quantile sketch (rank-band + exact-weight contracts), and the
     # hierarchical KLL cube-cell rollup (per-(type, day) cell sketches
     # merged per type without rescanning raw data; + exact n_cells
-    # contract), all new this round.
-    "image_ahash_neardup",
+    # contract), all new this round. (image_ahash_neardup sat here
+    # r9-r10; demoted below the cap in r11 to fund the third
+    # from-snapshots seat — its r10 driver row stands on unchanged
+    # code.)
     "events_quantile_sketch_kll",
     "events_quantile_rollup_kll",
     # r9 fourth wave (2 seats, funded by demoting
@@ -607,9 +615,10 @@ _DRIVER_PRIORITY = [
     "orders_kmv_set_difference",
     # --- 50-entry driver window ends here ---------------------------------
     # First below the cap: the r11 demotions (r10-driver-green, code
-    # unchanged since r9 when both first seated)
+    # unchanged since r9 when all three first seated)
     "text_collocation_pmi",
     "skew_salted_segment_value",
+    "image_ahash_neardup",
     # then the r10 demotions (r9-driver-green, unchanged)
     "dedup_minhash_lsh",
     "dedup_prefix_filter",

@@ -2264,3 +2264,119 @@ _fmt_doc(
     m=_HLL_M,
     rho_max=_HLL_RHO_MAX,
 )
+
+
+@query(
+    "orders_hll_cumulative_from_snapshots",
+    oracle=f"""
+    WITH o AS (
+        SELECT year(o_orderdate) AS y, o_custkey AS c FROM orders
+        WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+    ), years AS (
+        SELECT DISTINCT y FROM o
+    ), cum AS (
+        SELECT DISTINCT yr.y AS y, o.c
+        FROM years yr JOIN o ON o.y <= yr.y
+    ), rh AS (
+        SELECT y, {_hll_idx_sql("c")} AS idx,
+               MAX({_hll_rho_sql("c")}) AS reg
+        FROM cum GROUP BY 1, 2
+    ), grid AS (
+        SELECT yr.y, CAST(g.i AS INTEGER) AS reg_idx
+        FROM years yr
+        CROSS JOIN (SELECT unnest(generate_series(0, {_HLL_M - 1})) AS i) g
+    ), filled AS (
+        SELECT g.y, g.reg_idx,
+               CAST(COALESCE(r.reg, 0) AS INTEGER) AS reg_cum
+        FROM grid g
+        LEFT JOIN rh r ON g.y = r.y AND g.reg_idx = r.idx
+    ), summ AS (
+        SELECT y,
+               CAST(SUM(CASE WHEN reg_cum = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS v_zero_cum,
+               CAST(SUM(CAST(2 AS BIGINT) ** ({_HLL_RHO_MAX} - reg_cum))
+                   AS BIGINT) AS sum_inv_scaled_cum
+        FROM filled GROUP BY 1
+    )
+    SELECT f.y, f.reg_idx, f.reg_cum, s.v_zero_cum, s.sum_inv_scaled_cum
+    FROM filled f JOIN summ s USING (y)
+    """,
+)
+def orders_hll_cumulative_from_snapshots(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RANGE rollup from snapshots — the shape the per-period artifact
+    exists for, beyond the point pair: cumulative distinct customers
+    per year ('how many unique customers have we EVER had, by year' —
+    the standard lifetime-reach dashboard line), computed as a RUNNING
+    REGISTER MAX over the persisted per-year register table. One dense
+    (year x {m}) fill of the snapshot slices, one unbounded-preceding
+    window max per register lane — years x {m} rows end to end, zero
+    scans of orders.parquet (pinned in tests/test_plan_shapes.py::
+    test_hll_cumulative_snapshots_zero_fact_scan_window_merge).
+
+    The mergeability identity, extended from pairs to RANGES: the
+    oracle builds each cumulative register set FLAT (the raw-key union
+    of every year <= y — a triangle join it re-runs from raw orders),
+    while Spark never sees a raw key; hash equality of all years x {m}
+    (y, reg_idx, reg_cum) rows proves running-max-over-snapshots ==
+    flat-build for every prefix range at once. Per-year harmonic-sum
+    bookkeeping crosses the engine boundary as exact BIGINTs, as
+    always.
+
+    Scale shape: at 100 TB the cumulative-reach line is years x {m}
+    register rows read from the snapshot table and ONE window pass —
+    no re-scan of any closed period, and appending a new period
+    extends the line by merging one more {m}-row slice (the same
+    incremental property the day-cell artifacts give the event
+    family). The window partitions by register lane ({m} concurrent
+    lanes), so no single reducer ever holds more than years rows."""
+    from pyspark.sql import Window
+
+    regs = _hll_year_regs(spark, sf_dir)
+    # (year x M) spine by exploding a literal sequence per year row —
+    # the rollup entry's grid pattern, no join in the spine
+    grid = (
+        regs.select("y")
+        .distinct()
+        .select(
+            "y",
+            F.explode(F.sequence(F.lit(0), F.lit(_HLL_M - 1))).alias(
+                "reg_idx"
+            ),
+        )
+    )
+    dense = grid.join(
+        regs.select("y", F.col("idx").alias("reg_idx"), "reg"),
+        ["y", "reg_idx"],
+        "left",
+    ).select("y", "reg_idx", F.coalesce("reg", F.lit(0)).alias("reg"))
+    w = (
+        Window.partitionBy("reg_idx")
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = dense.select(
+        "y", "reg_idx", F.max("reg").over(w).cast("int").alias("reg_cum")
+    )
+    summ = cum.groupBy("y").agg(
+        F.sum((F.col("reg_cum") == 0).cast("int"))
+        .cast("long")
+        .alias("v_zero_cum"),
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(_HLL_RHO_MAX) - F.col("reg_cum")).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("sum_inv_scaled_cum"),
+    )
+    return cum.join(F.broadcast(summ), "y").select(
+        "y", "reg_idx", "reg_cum", "v_zero_cum", "sum_inv_scaled_cum"
+    )
+
+
+_fmt_doc(
+    orders_hll_cumulative_from_snapshots,
+    m=_HLL_M,
+)

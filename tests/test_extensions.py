@@ -402,6 +402,7 @@ def test_build_index_prebuilds_exactly_what_queries_consume(
         "orders_kmv_diff_from_snapshots",
         "orders_hll_set_algebra",
         "orders_hll_union_from_snapshots",
+        "orders_hll_cumulative_from_snapshots",
     ]:
         QUERIES[name](spark, SF_SMOKE).write.format("noop").mode(
             "overwrite"

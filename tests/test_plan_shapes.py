@@ -1477,3 +1477,34 @@ def test_hll_snapshots_zero_fact_scan(spark):
     for block in plan.split("\n\n"):
         if re.match(r"\(\d+\) Scan parquet", block):
             assert "hll_year_regs" in block, block.splitlines()[0]
+
+
+def test_hll_cumulative_snapshots_zero_fact_scan_window_merge(spark):
+    """orders_hll_cumulative_from_snapshots: the RANGE consumption of
+    the per-year register snapshots — the LIVE plan reads ONLY
+    hll_year_regs (orders.parquet nowhere), the running union is a
+    window max partitioned by register lane (a Window node, no
+    self-join triangle — the oracle pays that; Spark must not), the
+    (year x 256) spine is a literal-sequence explode, and the per-year
+    summary rides a broadcast join. Zero Python, no cartesian."""
+    df = QUERIES["orders_hll_cumulative_from_snapshots"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    for node in (
+        "MapInPandas",
+        "FlatMapGroupsInPandas",
+        "ArrowEvalPython",
+        "BatchEvalPython",
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+    ):
+        assert node not in plan, node
+    assert "orders.parquet" not in plan
+    assert "hll_year_regs" in plan
+    assert "Window" in plan  # the running register max
+    assert "Generate" in plan  # the literal-sequence spine
+    assert "BroadcastHashJoin" in plan
+    import re
+
+    for block in plan.split("\n\n"):
+        if re.match(r"\(\d+\) Scan parquet", block):
+            assert "hll_year_regs" in block, block.splitlines()[0]

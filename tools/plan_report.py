@@ -100,7 +100,7 @@ _SHOWCASE = [
     # round 9 continuation: perceptual image dedup + in-engine KLL sketch
     ("image_ahash_neardup", "image aHash near-dup: two fused mapInPandas stages into one checkpointed hash table, single equality pair join"),
     ("events_quantile_sketch_kll", "KLL sketch: one MapInPandas build into one grouped merge, broadcast grain ranks, no fact sort"),
-    ("events_quantile_rollup_kll", "KLL cube-cell rollup: cell merge then type merge consuming cell items only, raw scanned once per hierarchy"),
+    ("events_quantile_rollup_kll", "KLL cube-cell rollup (r11: cells artifact-backed): ZERO MapInPandas live, one type merge over kll_day_cells items, events scanned only for exact ranks"),
     ("events_distinct_hll_rollup", "in-engine HLL: all-JVM register math (zero Python nodes), checkpointed raw passes, explode-spine + broadcast summary"),
     ("ivm_hll_register_merge", "sketch-state IVM: merge == rebuild on register-sized checkpointed state, zero live scans, broadcast counters"),
     # round 10: the sliding-window fan-out (r9 verdict: the one r9 query
@@ -110,6 +110,11 @@ _SHOWCASE = [
     ("orders_hll_set_algebra", "HLL set algebra: union as register-wise max of per-year register tables, zero live scans, literal-sequence spine + broadcast summary"),
     ("source_schema_evolution", "schema evolution: mergeSchema read over two hive-laid artifact generations, evolved column NULL-filled over v1 files, zero base-table scans"),
     ("orders_kmv_set_difference", "theta-sketch set difference: below-theta sample anti-joins, everything checkpointed sample-sized — the live plan is two 1-row projections"),
+    # round 11: the persisted-snapshot consumers (the 100 TB claim as
+    # plan facts), KLL cells artifact-backed
+    ("orders_kmv_diff_from_snapshots", "KMV churn/acquisition from the persisted per-year samples alone: every scan is kmv_year_samples, orders.parquet nowhere"),
+    ("orders_hll_union_from_snapshots", "HLL union from per-year register snapshots: register-wise max merge, zero fact scans, registers in/registers out"),
+    ("orders_hll_cumulative_from_snapshots", "cumulative reach per year: running register max (window over register lanes) over the snapshot table, zero fact scans"),
 ]
 
 _MAX_LINES = 70
