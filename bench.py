@@ -465,6 +465,22 @@ def _run(sf_dir: str) -> None:
                     "prev_round": trend.get("prev_round"),
                     "value": round(total / med, 2),
                 }
+    # Host-normalized regressions lens (ROADMAP r12 #3, pulled into r11):
+    # the raw `regressions` bar (1.5x vs last round) absorbs host drift —
+    # a 1.3x-slower host sample can hide a real 1.2x plan regression, and
+    # a 1.3x-faster one can flag phantom ones. This ADDITIVE key re-runs
+    # the same comparison with each current timing divided by the
+    # sentinel median ratio (sentinel plans are stable by design, so the
+    # ratio isolates host speed — same machine as the driver's prev
+    # run). Raw `regressions` stays authoritative and unchanged.
+    hn_ratio = extra.get("host_normalized_total", {}).get(
+        "sentinel_median_ratio"
+    )
+    prev_t = _prev_round_timings(os.path.dirname(os.path.abspath(__file__)))
+    if hn_ratio:
+        extra["regressions_host_normalized"] = _regressions(
+            prev_t, {k: round(v / hn_ratio, 3) for k, v in timings.items()}
+        )
     # One compact line; per-query timings FIRST and summary keys LAST —
     # the round driver records only the tail of captured stdout, and in r2
     # that window clipped the line's beginning, losing entries. Key order
@@ -476,10 +492,7 @@ def _run(sf_dir: str) -> None:
             {
                 "queries": timings,
                 "extra": extra,
-                "regressions": _regressions(
-                    _prev_round_timings(os.path.dirname(os.path.abspath(__file__))),
-                    timings,
-                ),
+                "regressions": _regressions(prev_t, timings),
                 "metric": "headline_queries_total_wall",
                 "unit": "sec",
                 "sf": _sf_from_dir(sf_dir),
