@@ -1,0 +1,222 @@
+"""Streaming INGEST half of the per-period sketch-snapshot lifecycle.
+
+The batch side (queries/sketches.py::_hll_year_regs and its consumers,
+r11) reads persisted per-year HLL register tables and answers any
+pair/range question without rescanning closed periods. This module is
+how those snapshots come to EXIST on a live system: a stateful operator
+accumulates each period's registers in typed-array state and emits the
+period's final register rows EXACTLY when the event-time watermark
+closes the period — then a partition-overwrite sink lands them under
+``.../y=<period>/``, the same hive layout the batch consumers read.
+
+Contract (the mergeability identity, streamed at the lifecycle level):
+because register max is associative/commutative/idempotent, the emitted
+rows for a closed period are bit-identical to a flat batch build over
+that period's rows, REGARDLESS of how the stream was chunked or how
+many restarts interrupted it (state recovers from the checkpoint) — the
+test asserts this against an independent hashlib reference.
+
+Delivery semantics: foreachBatch is at-least-once, so the sink must be
+idempotent. It is, in the strongest way available to plain parquet:
+each period's output is a DETERMINISTIC VALUE (the period's final
+registers), and the sink OVERWRITES that period's partition directory —
+re-delivery rewrites identical bytes-worth of rows, never appends a
+duplicate. (Contrast streaming/merge_sink.py, whose per-batch deltas
+are not re-derivable and therefore need the recorded-batch-id replay
+guard; snapshots are re-derivable, so value-idempotence suffices.)
+
+Late data: a row later than ``watermark`` past its period's end arrives
+after the period's state was emitted and dropped — Spark's watermark
+discards it before the operator (the standard trade; size the watermark
+to the pipeline's real lateness). Rows with NULL key/id/date are
+dropped before the operator, mirroring the batch builder's filters.
+
+Scale shape: state is one 256-int register array per OPEN period per
+key-range — closed periods hold zero state (the timer removes them),
+so state size is bounded by the number of concurrently-open periods
+(one, plus watermark slack), not by history length. The emitted rows
+are register-sized; the raw stream is touched exactly once, map-side,
+by JVM column math (md5/conv/bin — the hash runs BEFORE the Python
+operator, the house rule).
+
+Reference note: the reference repo (MapReducer-PI-cs4433) has no
+streaming or sketch surface; this module belongs to the engine's
+beyond-reference band (SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StructField,
+    StructType,
+)
+
+from ..functions import hll
+
+SNAPSHOT_ROWS_SCHEMA = StructType(
+    [
+        StructField("y", IntegerType(), False),
+        StructField("idx", IntegerType(), False),
+        StructField("reg", IntegerType(), False),
+    ]
+)
+
+# one flat register array per open period — typed, never a pickle
+_STATE_SCHEMA = StructType([StructField("regs", ArrayType(IntegerType()), False)])
+
+
+def _restore(registers):
+    """Validate the state round trip: exactly M registers in range."""
+    import numpy as np
+
+    r = np.asarray(registers, dtype=np.int64)
+    if r.shape != (hll.M,) or (r < 0).any() or (r > hll.RHO_MAX).any():
+        raise ValueError(
+            f"HLL snapshot state reconstructs {r.shape[0]} registers "
+            f"(want {hll.M}, values in [0, {hll.RHO_MAX}]): state row "
+            "corrupted"
+        )
+    return r
+
+
+def _year_end_ms(y: int) -> int:
+    """Epoch ms of (y+1)-01-01 00:00 UTC — the first instant AFTER year
+    y; the closure timer fires when the watermark reaches it."""
+    return int(
+        (
+            datetime.datetime(y + 1, 1, 1, tzinfo=datetime.timezone.utc)
+            - datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+        ).total_seconds()
+        * 1000
+    )
+
+
+def hll_year_snapshot_stream(
+    stream: DataFrame,
+    key_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    watermark: str = "30 days",
+) -> DataFrame:
+    """Per-year HLL register snapshots, emitted ONCE per year at
+    event-time closure. Returns a streaming DataFrame of (y, idx, reg)
+    rows — the touched registers of each CLOSED year, in the exact
+    schema the batch artifact (_hll_year_regs) persists — suitable for
+    ``foreachBatch(write_year_snapshots)``.
+
+    The operator is keyed by year: updates fold register maxima into
+    typed-array state (numpy maximum.at — one pass per batch); every
+    update (re-)arms an event-time timer at the year's end instant, and
+    the timeout path emits the final rows and REMOVES the state, so a
+    closed year holds no bytes anywhere except its emitted snapshot.
+    The date column is normalized to a UTC timestamp BEFORE the
+    watermark node so the year boundary and the watermark share a clock
+    (the r10 non-UTC eviction lesson, applied at period grain)."""
+    import numpy as np
+    import pandas as pd
+
+    def update(key, pdf_iter, state: GroupState):
+        (y,) = key
+        if state.hasTimedOut:
+            regs = _restore(state.get[0])
+            state.remove()
+            touched = np.flatnonzero(regs)
+            yield pd.DataFrame(
+                {
+                    "y": [int(y)] * len(touched),
+                    "idx": [int(i) for i in touched],
+                    "reg": [int(regs[i]) for i in touched],
+                }
+            )
+            return
+        regs = (
+            _restore(state.get[0])
+            if state.exists
+            else np.zeros(hll.M, dtype=np.int64)
+        )
+        for pdf in pdf_iter:
+            np.maximum.at(
+                regs,
+                pdf["idx"].to_numpy(dtype=np.int64),
+                pdf["rho"].to_numpy(dtype=np.int64),
+            )
+        state.update(([int(r) for r in regs],))
+        # closure = watermark reaching the year's end; Spark compares
+        # the timer against the event-time watermark (max seen ts minus
+        # the configured delay), so arming AT the boundary gives exactly
+        # "end of year + watermark" in wall order. The timer is always
+        # legal: a row for year y is only delivered while the watermark
+        # is below its (sub-year-end) timestamp, so year_end > watermark
+        # whenever this line runs.
+        state.setTimeoutTimestamp(_year_end_ms(int(y)))
+
+    pre = (
+        stream.filter(
+            F.col(key_col).isNotNull() & F.col(date_col).isNotNull()
+        )
+        .select(
+            F.col(date_col).cast("timestamp").alias("__ts"),
+            F.year(F.col(date_col)).alias("y"),
+            hll.idx_col(F.col(key_col)).alias("idx"),
+            hll.rho_col(F.col(key_col)).alias("rho"),
+        )
+        .withWatermark("__ts", watermark)
+    )
+    return pre.groupBy("y").applyInPandasWithState(
+        update,
+        outputStructType=SNAPSHOT_ROWS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def write_year_snapshots(batch_df: DataFrame, path: str) -> None:
+    """foreachBatch sink: land each closed year's register rows under
+    ``<path>/y=<year>/`` — the hive layout the batch consumers read.
+
+    Idempotent by VALUE under at-least-once delivery: a year's snapshot
+    is a deterministic function of the year's rows (register max), so
+    re-delivery overwrites the partition with identical rows instead of
+    appending duplicates (dynamic partition overwrite touches ONLY the
+    years present in the batch — earlier years' directories are never
+    rewritten). An empty batch (a trigger that closed nothing) is a
+    no-op rather than a table-erasing overwrite."""
+    if not batch_df.take(1):
+        return
+    spark = batch_df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            batch_df.repartition("y")
+            .write.mode("overwrite")
+            .partitionBy("y")
+            .parquet(path)
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+
+
+def read_year_snapshots(spark, path: str) -> DataFrame:
+    """Reader twin: the partition-discovered (y, idx, reg) table —
+    column-compatible with queries/sketches.py::_hll_year_regs, so every
+    batch consumer (union / cumulative / set algebra) can run on a
+    stream-built snapshot store unchanged."""
+    return spark.read.parquet(path).select(
+        F.col("y").cast("int").alias("y"),
+        F.col("idx").cast("int").alias("idx"),
+        F.col("reg").cast("int").alias("reg"),
+    )

@@ -1,0 +1,219 @@
+"""Streaming snapshot-ingest tests (streaming/snapshots.py): the
+lifecycle half that WRITES the per-year register snapshots the batch
+consumers (orders_hll_union/cumulative_from_snapshots) read.
+
+Contracts, replayed chunked with a full restart at every chunk boundary
+under both state-store providers:
+
+1. Closure-exactness: once the watermark passes a year's end, the store
+   holds that year's registers BIT-IDENTICAL to an independent
+   pure-Python hashlib flat build over every chunk's rows for the year
+   (register max is order/chunking/restart-invariant — the mergeability
+   identity at lifecycle grain).
+2. Only closed years are written: mid-stream, an open year has no
+   partition directory; closed state is removed (the timer path).
+3. Idempotent sink: re-delivering a closed year's rows (the
+   foreachBatch at-least-once case) overwrites its partition with
+   identical content — the store is unchanged, never duplicated.
+4. Reader compatibility: the store reads back in the exact (y, idx,
+   reg) shape the batch artifact (_hll_year_regs) exposes.
+"""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from mapreducer_pi_cs4433_spark.functions import hll
+from mapreducer_pi_cs4433_spark.streaming.snapshots import (
+    _restore,
+    hll_year_snapshot_stream,
+    read_year_snapshots,
+    write_year_snapshots,
+)
+
+
+def _reference_registers(keys) -> dict[int, int]:
+    """Independent flat build (raw digest bytes + int.bit_length —
+    shares no code with functions/hll.py): touched registers only,
+    as {idx: reg}."""
+    regs: dict[int, int] = {}
+    for k in set(keys):
+        dig = hashlib.md5(str(k).encode()).digest()
+        w = int.from_bytes(dig[1:6], "big")
+        rho = hll.RHO_MAX - w.bit_length() if w else hll.RHO_MAX
+        if rho > regs.get(dig[0], 0):
+            regs[dig[0]] = rho
+    return regs
+
+
+def _d(y: int, m: int, d: int) -> datetime.date:
+    return datetime.date(y, m, d)
+
+
+def _run_chunks(spark, chunks, src, ckpt, store):
+    """Each chunk is its own query run against the SAME checkpoint —
+    every boundary is a full restart with state + watermark recovery."""
+    for i, chunk in enumerate(chunks):
+        spark.createDataFrame(
+            chunk, "o_custkey long, o_orderdate date"
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            "o_custkey long, o_orderdate date"
+        ).option("maxFilesPerTrigger", 1).parquet(src)
+        q = (
+            hll_year_snapshot_stream(stream, watermark="30 days")
+            .writeStream.foreachBatch(
+                lambda df, bid: write_year_snapshots(df, store)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+
+def _store_years(store: str) -> set[int]:
+    if not os.path.isdir(store):
+        return set()
+    return {
+        int(e.split("=", 1)[1])
+        for e in os.listdir(store)
+        if e.startswith("y=")
+    }
+
+
+@pytest.mark.parametrize("provider", ["hdfs", "rocksdb"])
+def test_year_snapshots_close_exactly_and_idempotently(spark, provider):
+    from mapreducer_pi_cs4433_spark.session import enable_rocksdb_state
+
+    # three data years + a flush year; 1996 keys arrive SPLIT across two
+    # chunks (so its registers must fold across a restart), and one
+    # customer (777) orders in every year (cross-year keys must not
+    # leak between year states).
+    year_keys = {
+        1995: [1, 2, 3, 777],
+        1996: [2, 4, 5, 6, 777],
+        1997: [7, 8, 777],
+        1999: [999],  # flush: its arrival closes everything <= 1998
+    }
+    chunks = [
+        [(k, _d(1995, 6, 15)) for k in year_keys[1995]],
+        [(k, _d(1996, 3, 10)) for k in year_keys[1996][:2]],
+        [(k, _d(1996, 9, 20)) for k in year_keys[1996][2:]]
+        + [(k, _d(1997, 5, 5)) for k in year_keys[1997]],
+        [(k, _d(1999, 6, 1)) for k in year_keys[1999]],
+    ]
+    src = tempfile.mkdtemp(prefix="snap_src_")
+    ckpt = tempfile.mkdtemp(prefix="snap_ck_")
+    store = tempfile.mkdtemp(prefix="snap_store_") + "/hll_year_regs"
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    if provider == "rocksdb":
+        enable_rocksdb_state(spark)
+    try:
+        # chunk 1 alone: nothing is closed (watermark sits inside 1995)
+        _run_chunks(spark, chunks[:1], src, ckpt, store)
+        assert _store_years(store) == set()
+
+        _run_chunks(spark, chunks[1:], src, ckpt, store)
+        closed = _store_years(store)
+        # 1999 is still open (no later data advanced the watermark past
+        # its end); everything the flush row closed must be present
+        assert closed == {1995, 1996, 1997}
+
+        got = {
+            (r.y, r.idx): r.reg
+            for r in read_year_snapshots(spark, store).collect()
+        }
+        want = {
+            (y, idx): reg
+            for y in (1995, 1996, 1997)
+            for idx, reg in _reference_registers(year_keys[y]).items()
+        }
+        assert got == want  # bit-identical to the independent flat build
+
+        # ---- idempotent re-delivery: rebuild 1996's emitted rows and
+        # sink them again; the store must be UNCHANGED (overwritten with
+        # identical content, not appended)
+        redeliver = spark.createDataFrame(
+            [
+                (1996, idx, reg)
+                for idx, reg in _reference_registers(
+                    year_keys[1996]
+                ).items()
+            ],
+            "y int, idx int, reg int",
+        )
+        write_year_snapshots(redeliver, store)
+        again = {
+            (r.y, r.idx): r.reg
+            for r in read_year_snapshots(spark, store).collect()
+        }
+        assert again == want
+
+        # empty-batch no-op: must not erase the table
+        write_year_snapshots(redeliver.limit(0), store)
+        assert _store_years(store) == {1995, 1996, 1997}
+
+        # reader shape matches the batch artifact's (y, idx, reg)
+        assert read_year_snapshots(spark, store).columns == [
+            "y",
+            "idx",
+            "reg",
+        ]
+
+        # ---- composition: the batch consumers' MERGE PROGRAM
+        # (register-wise max, orders_hll_union_from_snapshots) run on
+        # the STREAM-built store equals a flat build over the union of
+        # raw keys — the full lifecycle round trip, bit for bit
+        from pyspark.sql import functions as F
+
+        union_got = {
+            (r.idx, r.reg)
+            for r in read_year_snapshots(spark, store)
+            .filter(F.col("y").isin(1995, 1996))
+            .groupBy("idx")
+            .agg(F.max("reg").alias("reg"))
+            .collect()
+        }
+        union_want = set(
+            _reference_registers(
+                year_keys[1995] + year_keys[1996]
+            ).items()
+        )
+        assert union_got == union_want
+    finally:
+        if provider == "rocksdb":
+            if prev is None:
+                spark.conf.unset(
+                    "spark.sql.streaming.stateStore.providerClass"
+                )
+            else:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev
+                )
+        for d in (src, ckpt, os.path.dirname(store)):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_snapshot_restore_rejects_corrupted_state():
+    import numpy as np
+
+    regs = list(np.zeros(hll.M, dtype=np.int64))
+    regs[3] = 7
+    r = _restore(regs)
+    assert r[3] == 7 and r.shape == (hll.M,)
+    with pytest.raises(ValueError, match="corrupted"):
+        _restore(regs[1:])  # truncated
+    bad = list(regs)
+    bad[0] = hll.RHO_MAX + 1
+    with pytest.raises(ValueError, match="corrupted"):
+        _restore(bad)  # out of range
