@@ -116,9 +116,19 @@ def hll_year_snapshot_stream(
     update (re-)arms an event-time timer at the year's end instant, and
     the timeout path emits the final rows and REMOVES the state, so a
     closed year holds no bytes anywhere except its emitted snapshot.
-    The date column is normalized to a UTC timestamp BEFORE the
-    watermark node so the year boundary and the watermark share a clock
-    (the r10 non-UTC eviction lesson, applied at period grain)."""
+
+    Session-timezone safety (the r10 non-UTC eviction lesson, applied
+    at period grain): the GROUP key is ``year(date)`` — a property of
+    the DATE, timezone-independent — while ``cast("timestamp")`` pins
+    each date to its SESSION-LOCAL midnight instant and the closure
+    timer sits at the UTC year-end instant. Those clocks differ by the
+    session offset, but the invariant that matters holds in EVERY
+    timezone (|offset| <= 14 h < 24 h): a year-y date's instant is
+    strictly BEFORE year_end_ms(y), so the timer can neither fire while
+    y-rows are still deliverable nor be armed below the watermark; the
+    only timezone effect is that closure lands up to one offset later
+    in far-east sessions (conservative, never lossy). Pinned by the
+    UTC+14 test in tests/test_streaming_snapshots.py."""
     import numpy as np
     import pandas as pd
 

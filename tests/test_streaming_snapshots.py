@@ -217,3 +217,40 @@ def test_snapshot_restore_rejects_corrupted_state():
     bad[0] = hll.RHO_MAX + 1
     with pytest.raises(ValueError, match="corrupted"):
         _restore(bad)  # out of range
+
+
+def test_year_snapshots_correct_in_far_east_session_tz(spark):
+    """Adversarial session timezone (UTC+14, the maximum offset): a
+    date's session-local midnight instant shifts 14 h EARLIER in UTC,
+    so every year-y instant sits even further below the UTC year-end
+    timer — closure must still be exact and complete (the docstring's
+    timezone invariant, proven rather than asserted). Same chunked
+    replay, single provider (the provider axis is covered above)."""
+    year_keys = {1995: [1, 2, 3], 1996: [4, 5], 1999: [999]}
+    chunks = [
+        [(k, _d(1995, 6, 15)) for k in year_keys[1995]],
+        [(k, _d(1996, 3, 10)) for k in year_keys[1996]],
+        [(k, _d(1999, 6, 1)) for k in year_keys[1999]],
+    ]
+    src = tempfile.mkdtemp(prefix="snaptz_src_")
+    ckpt = tempfile.mkdtemp(prefix="snaptz_ck_")
+    store = tempfile.mkdtemp(prefix="snaptz_store_") + "/hll_year_regs"
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")
+    try:
+        _run_chunks(spark, chunks, src, ckpt, store)
+        assert _store_years(store) == {1995, 1996}
+        got = {
+            (r.y, r.idx): r.reg
+            for r in read_year_snapshots(spark, store).collect()
+        }
+        want = {
+            (y, idx): reg
+            for y in (1995, 1996)
+            for idx, reg in _reference_registers(year_keys[y]).items()
+        }
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+        for d in (src, ckpt, os.path.dirname(store)):
+            shutil.rmtree(d, ignore_errors=True)
