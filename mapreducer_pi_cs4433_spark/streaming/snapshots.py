@@ -230,3 +230,114 @@ def read_year_snapshots(spark, path: str) -> DataFrame:
         F.col("idx").cast("int").alias("idx"),
         F.col("reg").cast("int").alias("reg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV year samples — the third sketch family's writer, same lifecycle.
+# k-min merge is associative/commutative/idempotent like register max,
+# so KMV snapshots share HLL's STRONG idempotence: a closed year's
+# sample is a bit-deterministic value regardless of chunking, restarts,
+# or fold order (contrast streaming/kll_cells.py, where compaction is
+# order-dependent and the guarantee weakens to effect-idempotence).
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.types import LongType  # noqa: E402
+
+from ..functions import kmv  # noqa: E402
+
+KMV_ROWS_SCHEMA = StructType(
+    [
+        StructField("y", IntegerType(), False),
+        StructField("h", LongType(), False),
+    ]
+)
+
+_KMV_STATE_SCHEMA = StructType(
+    [StructField("hs", ArrayType(LongType()), False)]
+)
+
+
+def _restore_kmv(hs, k: int):
+    """Validate the k-min sample round trip: sorted unique, in the hash
+    space, at most k entries."""
+    import numpy as np
+
+    a = np.asarray(hs, dtype=np.int64)
+    if (
+        a.shape[0] > k
+        or (np.diff(a) <= 0).any()
+        or (a < 0).any()
+        or (a >= kmv.SPACE).any()
+    ):
+        raise ValueError(
+            f"KMV snapshot state reconstructs {a.shape[0]} hashes "
+            f"(want <= {k}, sorted unique, in [0, 2^32)): state row "
+            "corrupted"
+        )
+    return a
+
+
+def kmv_year_snapshot_stream(
+    stream: DataFrame,
+    key_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    watermark: str = "30 days",
+    k: int = kmv.K,
+) -> DataFrame:
+    """Per-year KMV k-min samples, emitted ONCE at event-time closure
+    as (y, h) rows — the exact schema queries/sketches.py::
+    _kmv_year_samples persists, so the batch consumers
+    (orders_kmv_set_difference / orders_kmv_diff_from_snapshots) run on
+    a stream-built store unchanged. Hashing is JVM column math BEFORE
+    the Python operator (kmv.h_col — the house rule); the state is one
+    sorted <= k-long array per open year; each batch folds via
+    unique-merge-truncate (one vectorized pass). Timer math and
+    timezone reasoning are identical to hll_year_snapshot_stream."""
+    import numpy as np
+    import pandas as pd
+
+    def update(key, pdf_iter, state: GroupState):
+        (y,) = key
+        if state.hasTimedOut:
+            hs = _restore_kmv(state.get[0], k)
+            state.remove()
+            yield pd.DataFrame(
+                {"y": [int(y)] * len(hs), "h": [int(h) for h in hs]}
+            )
+            return
+        hs = (
+            _restore_kmv(state.get[0], k)
+            if state.exists
+            else np.empty(0, dtype=np.int64)
+        )
+        for pdf in pdf_iter:
+            batch = pdf["h"].to_numpy(dtype=np.int64)
+            hs = np.unique(np.concatenate([hs, batch]))[:k]
+        state.update(([int(h) for h in hs],))
+        state.setTimeoutTimestamp(_year_end_ms(int(y)))
+
+    pre = (
+        stream.filter(
+            F.col(key_col).isNotNull() & F.col(date_col).isNotNull()
+        )
+        .select(
+            F.col(date_col).cast("timestamp").alias("__ts"),
+            F.year(F.col(date_col)).alias("y"),
+            kmv.h_col(F.col(key_col)).alias("h"),
+        )
+        .withWatermark("__ts", watermark)
+    )
+    return pre.groupBy("y").applyInPandasWithState(
+        update,
+        outputStructType=KMV_ROWS_SCHEMA,
+        stateStructType=_KMV_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def read_kmv_year_samples(spark, path: str) -> DataFrame:
+    """Reader twin, column-compatible with _kmv_year_samples (y, h)."""
+    return spark.read.parquet(path).select(
+        F.col("y").cast("int").alias("y"), F.col("h").cast("long").alias("h")
+    )
