@@ -367,3 +367,18 @@ def test_kmv_year_samples_close_bit_exactly(spark, provider):
                 )
         for d in (src, ckpt, os.path.dirname(store)):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_kmv_restore_rejects_corrupted_state():
+    from mapreducer_pi_cs4433_spark.streaming.snapshots import _restore_kmv
+
+    good = [5, 9, 1000]
+    assert list(_restore_kmv(good, k=8)) == good
+    with pytest.raises(ValueError, match="corrupted"):
+        _restore_kmv([9, 5, 1000], k=8)  # unsorted
+    with pytest.raises(ValueError, match="corrupted"):
+        _restore_kmv([5, 5, 1000], k=8)  # duplicate
+    with pytest.raises(ValueError, match="corrupted"):
+        _restore_kmv(list(range(9)), k=8)  # more than k
+    with pytest.raises(ValueError, match="corrupted"):
+        _restore_kmv([5, 2**32], k=8)  # outside the hash space
