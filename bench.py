@@ -26,11 +26,15 @@ def _sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
-def _prev_round_timings(here: str) -> dict[str, float]:
-    """Per-query timings from the latest committed BENCH_r{N}.json, so a
-    round-over-round slowdown surfaces IN the bench output instead of
-    waiting for the next judge pass (r2 shipped a 7x pi regression nobody
-    saw until the verdict)."""
+def _prev_round_timings(here: str) -> tuple[int, dict[str, float]]:
+    """(round, per-query timings) from the latest committed
+    BENCH_r{N}.json, so a round-over-round slowdown surfaces IN the
+    bench output instead of waiting for the next judge pass (r2 shipped
+    a 7x pi regression nobody saw until the verdict). The ROUND is
+    returned so the host-normalized regression lens can refuse to mix a
+    timing baseline from round N with a host-band baseline from round
+    M != N (review finding r11: a band-less newest local file would
+    otherwise silently anchor the host ratio one round back)."""
     best_n, best = -1, {}
     for f in os.listdir(here):
         m = re.fullmatch(r"BENCH_r(\d+)\.json", f)
@@ -61,7 +65,7 @@ def _prev_round_timings(here: str) -> dict[str, float]:
             } or None
         if q and int(m.group(1)) > best_n:
             best_n, best = int(m.group(1)), q
-    return best
+    return best_n, best
 
 
 def _prev_local_host_band(here: str) -> tuple[int, dict[str, dict]]:
@@ -421,24 +425,29 @@ def _run(sf_dir: str) -> None:
     if prev_hb and prev_hb.pop("__sf", None) != _sf_from_dir(sf_dir):
         prev_hb = {}
     if prev_hb:
+        # prev_round records which committed round the baseline minima
+        # came from (ADVICE r10 #4: a skipped malformed newest file must
+        # be visible); probes nest under their own key so the trend dict
+        # stays homogeneous (review finding r11: a scalar mixed into the
+        # per-probe entries forced isinstance-filters on every consumer)
         extra["host_band_trend"] = {
-            p: {
-                "prev_min": prev_hb[p]["min"],
-                "min": extra["host_band"][p]["min"],
-                "ratio": round(
-                    extra["host_band"][p]["min"] / prev_hb[p]["min"], 2
-                ),
-            }
-            for p in extra["host_band"]
-            # a committed file may carry truncated/null sentinel entries
-            # (the driver's stdout clipping this file format is designed
-            # around): a malformed value must not crash the whole bench
-            # AFTER the timed passes completed
-            if isinstance(prev_hb.get(p), dict) and prev_hb[p].get("min")
+            "prev_round": prev_round,
+            "probes": {
+                p: {
+                    "prev_min": prev_hb[p]["min"],
+                    "min": extra["host_band"][p]["min"],
+                    "ratio": round(
+                        extra["host_band"][p]["min"] / prev_hb[p]["min"], 2
+                    ),
+                }
+                for p in extra["host_band"]
+                # a committed file may carry truncated/null sentinel
+                # entries (the driver's stdout clipping this file format
+                # is designed around): a malformed value must not crash
+                # the whole bench AFTER the timed passes completed
+                if isinstance(prev_hb.get(p), dict) and prev_hb[p].get("min")
+            },
         }
-        # which committed round the baseline minima came from (ADVICE
-        # r10 #4: a skipped malformed newest file must be visible)
-        extra["host_band_trend"]["prev_round"] = prev_round
     from mapreducer_pi_cs4433_spark.functions.artifacts import BUILD_TIMES
 
     extra["artifact_builds"] = dict(sorted(BUILD_TIMES.items()))
@@ -454,15 +463,13 @@ def _run(sf_dir: str) -> None:
     # across rounds by design, so their min ratio isolates host speed.
     trend = extra.get("host_band_trend")
     if trend:
-        ratios = sorted(
-            v["ratio"] for v in trend.values() if isinstance(v, dict)
-        )
+        ratios = sorted(v["ratio"] for v in trend["probes"].values())
         if ratios:
             med = ratios[len(ratios) // 2]
             if med > 0:
                 extra["host_normalized_total"] = {
                     "sentinel_median_ratio": med,
-                    "prev_round": trend.get("prev_round"),
+                    "prev_round": trend["prev_round"],
                     "value": round(total / med, 2),
                 }
     # Host-normalized regressions lens (ROADMAP r12 #3, pulled into r11):
@@ -473,14 +480,26 @@ def _run(sf_dir: str) -> None:
     # sentinel median ratio (sentinel plans are stable by design, so the
     # ratio isolates host speed — same machine as the driver's prev
     # run). Raw `regressions` stays authoritative and unchanged.
+    # BASELINE-ROUND GUARD (review finding r11): the timing baseline
+    # (BENCH_r{N}) and the host-band baseline (BENCH_LOCAL_r{M}) are
+    # scanned independently; dividing N-round timings by an M-round host
+    # ratio when M != N re-introduces exactly the cross-host confusion
+    # the key exists to remove — emit the lens only when both baselines
+    # came from the SAME round, and record that round in the key.
     hn_ratio = extra.get("host_normalized_total", {}).get(
         "sentinel_median_ratio"
     )
-    prev_t = _prev_round_timings(os.path.dirname(os.path.abspath(__file__)))
-    if hn_ratio:
-        extra["regressions_host_normalized"] = _regressions(
-            prev_t, {k: round(v / hn_ratio, 3) for k, v in timings.items()}
-        )
+    prev_t_round, prev_t = _prev_round_timings(
+        os.path.dirname(os.path.abspath(__file__))
+    )
+    if hn_ratio and prev_t_round == prev_round:
+        extra["regressions_host_normalized"] = {
+            "prev_round": prev_t_round,
+            "flagged": _regressions(
+                prev_t,
+                {k: round(v / hn_ratio, 3) for k, v in timings.items()},
+            ),
+        }
     # One compact line; per-query timings FIRST and summary keys LAST —
     # the round driver records only the tail of captured stdout, and in r2
     # that window clipped the line's beginning, losing entries. Key order
@@ -493,6 +512,7 @@ def _run(sf_dir: str) -> None:
                 "queries": timings,
                 "extra": extra,
                 "regressions": _regressions(prev_t, timings),
+                "regressions_prev_round": prev_t_round,
                 "metric": "headline_queries_total_wall",
                 "unit": "sec",
                 "sf": _sf_from_dir(sf_dir),

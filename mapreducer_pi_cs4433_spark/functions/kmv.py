@@ -3,12 +3,16 @@ the batch entries (queries/sketches.py::join_cardinality_kmv /
 orders_kmv_set_difference) and the streaming monitor
 (streaming/kmv_distinct.py).
 
-A KMV sketch is the K MINIMUM values of a uniform hash over a set's
-distinct keys. Folding is a k-min merge — associative, commutative,
-idempotent (like HLL's register max), so per-partition partials, day
-cells, and streaming state all merge into exactly the sketch a flat
-build would produce, BIT-FOR-BIT: the sample itself is checkable, not
-just claims about it. Unlike HLL, the sample supports the full set
+A KMV sketch is the K MINIMUM DISTINCT values of a uniform hash over a
+set's keys — a SET of hash values (two keys colliding to one hash count
+once; that bias belongs to the hash and is the standard theta-sketch
+trade; the convention is shared by every batch build, both DuckDB
+oracles, and the streaming writers, aligned family-wide in r11).
+Folding is a k-min merge — associative, commutative, idempotent (like
+HLL's register max), so per-partition partials, day cells, and
+streaming state all merge into exactly the sketch a flat build would
+produce, BIT-FOR-BIT: the sample itself is checkable, not just claims
+about it. Unlike HLL, the sample supports the full set
 algebra: below the common theta, sample membership IS set membership,
 so union/intersection/difference all reduce to exact set operations on
 <= k hashes (see the batch entries' oracles).

@@ -313,8 +313,8 @@ _kmv_h_sql = _kmv.h_sql
     ), b_h AS (
         SELECT {_kmv_h_sql("k")} AS h
         FROM b_keys
-    ), sa AS (SELECT h FROM a_h ORDER BY h LIMIT {_KMV_K}),
-       sb AS (SELECT h FROM b_h ORDER BY h LIMIT {_KMV_K}),
+    ), sa AS (SELECT DISTINCT h FROM a_h ORDER BY h LIMIT {_KMV_K}),
+       sb AS (SELECT DISTINCT h FROM b_h ORDER BY h LIMIT {_KMV_K}),
        stats AS (
         SELECT (SELECT count(*) FROM sa) AS na,
                (SELECT max(h) FROM sa) AS ta,
@@ -380,8 +380,21 @@ def join_cardinality_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct tables are key-cardinality-sized — checkpoint once.
     a_keys = keys(1996).localCheckpoint()
     b_keys = keys(1997).localCheckpoint()
-    sa = a_keys.select(h(F.col("k")).alias("h")).orderBy("h").limit(_KMV_K)
-    sb = b_keys.select(h(F.col("k")).alias("h")).orderBy("h").limit(_KMV_K)
+    # distinct HASH VALUES before the top-k (the theta-sketch set
+    # discipline, aligned family-wide in r11 — see _kmv_year_samples;
+    # value-neutral here: zero per-year collisions at any test SF)
+    sa = (
+        a_keys.select(h(F.col("k")).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(_KMV_K)
+    )
+    sb = (
+        b_keys.select(h(F.col("k")).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(_KMV_K)
+    )
     sa, sb = sa.localCheckpoint(), sb.localCheckpoint()
 
     stats = (
@@ -439,10 +452,18 @@ def _kmv_year_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     customers — the k-min snapshot artifact that makes 'how many
     customers did we lose between ANY two periods' a <= 2k-row read
     (r10 verdict ask #1; the KMV twin of _hll_year_regs). Schema
-    (y, h): each year's k smallest 'kmv|' md5 hashes of its distinct
-    customer keys. The sample is self-describing — a year holding fewer
-    than k rows IS its complete set (exact-mode theta), so consumers
-    derive fullness from count(h) alone.
+    (y, h): each year's k smallest DISTINCT 'kmv|' md5 hash VALUES over
+    its distinct customer keys — the standard theta-sketch SET
+    discipline (two keys colliding to one hash count once; the bias is
+    the hash's, and set semantics are what make k-min merge idempotent,
+    which in turn is what lets the streaming writer
+    (streaming/snapshots.py::kmv_year_snapshot_stream) produce a
+    BIT-IDENTICAL store; review finding r11 aligned the batch side and
+    both oracles on it — value-neutral on the test corpora: a probe
+    found zero hash collisions per year at any SF). The sample is
+    self-describing — a year holding fewer than k rows IS its complete
+    set (exact-mode theta), so consumers derive fullness from count(h)
+    alone.
 
     Build shape (the scale-polite per-group top-k): one distinct
     shuffle to (y, custkey) grain — the only full-data pass — then a
@@ -473,6 +494,8 @@ def _kmv_year_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .distinct()
             .select("y", _kmv_h(F.col("k")).alias("h"))
+            # set semantics: distinct HASH VALUES (colliding keys fold)
+            .distinct()
         )
         w1 = Window.partitionBy("y", F.pmod("h", F.lit(64))).orderBy("h")
         phase1 = (
@@ -1807,8 +1830,8 @@ _fmt_doc(
     ), b_h AS (
         SELECT {_kmv_h_sql("k")} AS h
         FROM b_keys
-    ), sa AS (SELECT h FROM a_h ORDER BY h LIMIT {_KMV_K}),
-       sb AS (SELECT h FROM b_h ORDER BY h LIMIT {_KMV_K}),
+    ), sa AS (SELECT DISTINCT h FROM a_h ORDER BY h LIMIT {_KMV_K}),
+       sb AS (SELECT DISTINCT h FROM b_h ORDER BY h LIMIT {_KMV_K}),
        theta AS (
         SELECT least(
             CASE WHEN (SELECT count(*) FROM sa) < {_KMV_K}
@@ -2018,8 +2041,8 @@ _fmt_doc(
     ), b_h AS (
         SELECT {_kmv_h_sql("k")} AS h
         FROM b_keys
-    ), sa AS (SELECT h FROM a_h ORDER BY h LIMIT {_KMV_K}),
-       sb AS (SELECT h FROM b_h ORDER BY h LIMIT {_KMV_K}),
+    ), sa AS (SELECT DISTINCT h FROM a_h ORDER BY h LIMIT {_KMV_K}),
+       sb AS (SELECT DISTINCT h FROM b_h ORDER BY h LIMIT {_KMV_K}),
        theta AS (
         SELECT CAST(least(
             CASE WHEN (SELECT count(*) FROM sa) < {_KMV_K}

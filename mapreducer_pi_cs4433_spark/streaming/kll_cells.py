@@ -99,7 +99,10 @@ def kll_day_cell_stream(
 
     def update(key, pdf_iter, state: GroupState):
         ktype, day = key
-        if state.hasTimedOut:
+
+        def load():
+            # ONE integrity path for both branches (review finding r11:
+            # the restore + weight cross-check was duplicated verbatim)
             levels, values, parity, n = state.get
             sk = _restore(levels, values, parity, cap)
             if kll.total_weight(sk) != n:
@@ -108,6 +111,10 @@ def kll_day_cell_stream(
                     f"reconstructs weight {kll.total_weight(sk)}, "
                     f"expected {n}: state item table corrupted"
                 )
+            return sk
+
+        if state.hasTimedOut:
+            sk = load()
             state.remove()
             items = kll.to_items(sk)
             d = epoch + _dt.timedelta(days=int(day))
@@ -120,17 +127,7 @@ def kll_day_cell_stream(
                 }
             )
             return
-        if state.exists:
-            levels, values, parity, n = state.get
-            sk = _restore(levels, values, parity, cap)
-            if kll.total_weight(sk) != n:
-                raise ValueError(
-                    f"KLL cell state for ({ktype!r}, day {day}) "
-                    f"reconstructs weight {kll.total_weight(sk)}, "
-                    f"expected {n}: state item table corrupted"
-                )
-        else:
-            sk = kll.new_sketch()
+        sk = load() if state.exists else kll.new_sketch()
         for pdf in pdf_iter:
             kll.add_many(sk, pdf[value_col].to_numpy(), cap=cap)
         items = kll.to_items(sk)
@@ -174,30 +171,15 @@ def kll_day_cell_stream(
 
 
 def write_day_cells(batch_df: DataFrame, path: str) -> None:
-    """foreachBatch sink: land closed cells under ``<path>/day=<d>/``.
-    Dynamic partition overwrite per day — at-least-once re-delivery
-    leaves exactly one valid cell per (key, day), never duplicates
-    (see the module docstring for the KLL-vs-HLL idempotence nuance).
-    Empty batches are no-ops."""
-    if not batch_df.take(1):
-        return
-    spark = batch_df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            batch_df.repartition("day")
-            .write.mode("overwrite")
-            .partitionBy("day")
-            .parquet(path)
-        )
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        else:
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prev
-            )
+    """foreachBatch sink: land closed cells under ``<path>/day=<d>/``
+    via the family's shared dynamic-partition-overwrite sink
+    (streaming/snapshots.py::overwrite_partitions) — at-least-once
+    re-delivery leaves exactly one valid cell per (key, day), never
+    duplicates (see the module docstring for the KLL-vs-HLL idempotence
+    nuance). Empty batches are no-ops."""
+    from .snapshots import overwrite_partitions
+
+    overwrite_partitions(batch_df, path, "day")
 
 
 def read_day_cells(spark, path: str) -> DataFrame:

@@ -188,17 +188,19 @@ def hll_year_snapshot_stream(
     )
 
 
-def write_year_snapshots(batch_df: DataFrame, path: str) -> None:
-    """foreachBatch sink: land each closed year's register rows under
-    ``<path>/y=<year>/`` — the hive layout the batch consumers read.
-
-    Idempotent by VALUE under at-least-once delivery: a year's snapshot
-    is a deterministic function of the year's rows (register max), so
-    re-delivery overwrites the partition with identical rows instead of
-    appending duplicates (dynamic partition overwrite touches ONLY the
-    years present in the batch — earlier years' directories are never
-    rewritten). An empty batch (a trigger that closed nothing) is a
-    no-op rather than a table-erasing overwrite."""
+def overwrite_partitions(
+    batch_df: DataFrame, path: str, part_col: str
+) -> None:
+    """The ONE foreachBatch snapshot sink (shared by every writer in
+    this family — the year writers here and the day-cell writer in
+    streaming/kll_cells.py; review finding r11 deduplicated the copies):
+    land the batch under ``<path>/<part_col>=<v>/`` with DYNAMIC
+    partition overwrite, so at-least-once re-delivery replaces only the
+    partitions present in the batch — never appends a duplicate, never
+    touches earlier periods' directories. An empty batch (a trigger
+    that closed nothing) is a no-op rather than a table-erasing
+    overwrite. The overwrite-mode conf is saved/restored so the sink
+    cannot leak a session-wide setting change."""
     if not batch_df.take(1):
         return
     spark = batch_df.sparkSession
@@ -206,9 +208,9 @@ def write_year_snapshots(batch_df: DataFrame, path: str) -> None:
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         (
-            batch_df.repartition("y")
+            batch_df.repartition(part_col)
             .write.mode("overwrite")
-            .partitionBy("y")
+            .partitionBy(part_col)
             .parquet(path)
         )
     finally:
@@ -218,6 +220,15 @@ def write_year_snapshots(batch_df: DataFrame, path: str) -> None:
             spark.conf.set(
                 "spark.sql.sources.partitionOverwriteMode", prev
             )
+
+
+def write_year_snapshots(batch_df: DataFrame, path: str) -> None:
+    """foreachBatch sink: land each closed year's register rows under
+    ``<path>/y=<year>/`` — the hive layout the batch consumers read.
+    Idempotent by VALUE under at-least-once delivery: a year's snapshot
+    is a deterministic function of the year's rows (register max), so
+    re-delivery overwrites the partition with identical rows."""
+    overwrite_partitions(batch_df, path, "y")
 
 
 def read_year_snapshots(spark, path: str) -> DataFrame:
