@@ -31,13 +31,24 @@ discards it before the operator (the standard trade; size the watermark
 to the pipeline's real lateness). Rows with NULL key/id/date are
 dropped before the operator, mirroring the batch builder's filters.
 
-Scale shape: state is one 256-int register array per OPEN period per
-key-range — closed periods hold zero state (the timer removes them),
-so state size is bounded by the number of concurrently-open periods
-(one, plus watermark slack), not by history length. The emitted rows
-are register-sized; the raw stream is touched exactly once, map-side,
-by JVM column math (md5/conv/bin — the hash runs BEFORE the Python
-operator, the house rule).
+Scale shape: the operators are keyed by (period, shard) where shard =
+pmod(hash-derived column, S) — the open period ingests S-ways parallel
+instead of funneling every row through ONE state key (the reference's
+``setNumReduceTasks(1)`` cliff, streamed — r11 verdict finding #1).
+The HLL shard axis is the REGISTER LANE (pmod(idx, S)): shards own
+disjoint register subsets, so the union of shard emissions IS the flat
+build's register set and no fold is needed anywhere. The KMV shard
+axis is the hash residue (pmod(h, S)): each shard keeps the k-min of
+its residue class, and the SINK folds the <= S*k emitted rows back to
+the global k-min (every global top-k hash is within its residue's
+top-k — the same partial-merge property the batch builder's salted
+two-phase k-min rests on). State per key is one bounded array (256
+registers / <= k hashes); closed periods hold zero state (the timer
+removes them), so total state is bounded by S x concurrently-open
+periods, never by history length. The emitted rows are sketch-sized;
+the raw stream is touched exactly once, map-side, by JVM column math
+(md5/conv/bin — the hash runs BEFORE the Python operator, the house
+rule).
 
 Reference note: the reference repo (MapReducer-PI-cs4433) has no
 streaming or sketch surface; this module belongs to the engine's
@@ -47,7 +58,6 @@ beyond-reference band (SURVEY.md §2.8).
 from __future__ import annotations
 
 import datetime
-import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -104,6 +114,7 @@ def hll_year_snapshot_stream(
     key_col: str = "o_custkey",
     date_col: str = "o_orderdate",
     watermark: str = "30 days",
+    shards: int = 8,
 ) -> DataFrame:
     """Per-year HLL register snapshots, emitted ONCE per year at
     event-time closure. Returns a streaming DataFrame of (y, idx, reg)
@@ -111,11 +122,18 @@ def hll_year_snapshot_stream(
     schema the batch artifact (_hll_year_regs) persists — suitable for
     ``foreachBatch(write_year_snapshots)``.
 
-    The operator is keyed by year: updates fold register maxima into
-    typed-array state (numpy maximum.at — one pass per batch); every
-    update (re-)arms an event-time timer at the year's end instant, and
-    the timeout path emits the final rows and REMOVES the state, so a
-    closed year holds no bytes anywhere except its emitted snapshot.
+    The operator is keyed by (year, register-lane shard): ``shard =
+    pmod(idx, shards)`` partitions the 256 register lanes into
+    ``shards`` DISJOINT subsets, so the open year's rows fan out to
+    ``shards`` parallel state tasks instead of one (the r11 verdict's
+    single-key-funnel fix) and — because no register lane is shared —
+    the union of the shards' emitted rows IS the year's register set,
+    bit-identical to a flat build with no fold step anywhere. Updates
+    fold register maxima into typed-array state (numpy maximum.at —
+    one pass per batch); every update (re-)arms an event-time timer at
+    the year's end instant, and the timeout path emits the shard's
+    touched lanes and REMOVES the state, so a closed year holds no
+    bytes anywhere except its emitted snapshot.
 
     Session-timezone safety (the r10 non-UTC eviction lesson, applied
     at period grain): the GROUP key is ``year(date)`` — a property of
@@ -133,7 +151,7 @@ def hll_year_snapshot_stream(
     import pandas as pd
 
     def update(key, pdf_iter, state: GroupState):
-        (y,) = key
+        y = key[0]
         if state.hasTimedOut:
             regs = _restore(state.get[0])
             state.remove()
@@ -177,9 +195,10 @@ def hll_year_snapshot_stream(
             hll.idx_col(F.col(key_col)).alias("idx"),
             hll.rho_col(F.col(key_col)).alias("rho"),
         )
+        .withColumn("shard", F.pmod(F.col("idx"), F.lit(int(shards))))
         .withWatermark("__ts", watermark)
     )
-    return pre.groupBy("y").applyInPandasWithState(
+    return pre.groupBy("y", "shard").applyInPandasWithState(
         update,
         outputStructType=SNAPSHOT_ROWS_SCHEMA,
         stateStructType=_STATE_SCHEMA,
@@ -197,29 +216,25 @@ def overwrite_partitions(
     land the batch under ``<path>/<part_col>=<v>/`` with DYNAMIC
     partition overwrite, so at-least-once re-delivery replaces only the
     partitions present in the batch — never appends a duplicate, never
-    touches earlier periods' directories. An empty batch (a trigger
-    that closed nothing) is a no-op rather than a table-erasing
-    overwrite. The overwrite-mode conf is saved/restored so the sink
-    cannot leak a session-wide setting change."""
-    if not batch_df.take(1):
-        return
-    spark = batch_df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            batch_df.repartition(part_col)
-            .write.mode("overwrite")
-            .partitionBy(part_col)
-            .parquet(path)
-        )
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        else:
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prev
-            )
+    touches earlier periods' directories. The overwrite mode is a
+    PER-WRITE DataFrameWriter option, not a session conf toggle: the
+    three snapshot writers share this sink and can run as concurrent
+    foreachBatch streams in one SparkSession, where a save/restore of
+    ``spark.sql.sources.partitionOverwriteMode`` could flip another
+    stream's in-flight overwrite back to static — a whole-table erase
+    (ADVICE r11 #1). Dynamic mode also makes an empty batch (a trigger
+    that closed nothing) a structural no-op — zero partitions in the
+    data means zero directories touched — so there is no pre-probe and
+    the batch plan executes EXACTLY ONCE per trigger (the r11
+    take(1)-double-execution fix; both properties are pinned in
+    tests/test_streaming_snapshots.py)."""
+    (
+        batch_df.repartition(part_col)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(part_col)
+        .parquet(path)
+    )
 
 
 def write_year_snapshots(batch_df: DataFrame, path: str) -> None:
@@ -264,15 +279,34 @@ KMV_ROWS_SCHEMA = StructType(
 )
 
 _KMV_STATE_SCHEMA = StructType(
-    [StructField("hs", ArrayType(LongType()), False)]
+    [
+        StructField("hs", ArrayType(LongType()), False),
+        # k is PERSISTED with the sample: a checkpoint restarted with a
+        # LARGER k than the state was built with would otherwise pass
+        # the <= k size check and emit the previously-truncated sample
+        # as sub-k — which every consumer treats as a COMPLETE set
+        # under exact-mode theta, silently wrecking estimates (ADVICE
+        # r11 #2; the KMV analog of the KLL cap-mismatch guard in
+        # streaming/quantiles.py).
+        StructField("k", IntegerType(), False),
+    ]
 )
 
 
-def _restore_kmv(hs, k: int):
+def _restore_kmv(hs, k: int, stored_k: int | None = None):
     """Validate the k-min sample round trip: sorted unique, in the hash
-    space, at most k entries."""
+    space, at most k entries — and, when the state carries its build-k,
+    that it matches the stream's configured k (resuming a truncated
+    sample under a larger k would masquerade as a complete set)."""
     import numpy as np
 
+    if stored_k is not None and int(stored_k) != int(k):
+        raise ValueError(
+            f"KMV snapshot state was built with k={int(stored_k)} but "
+            f"the stream is configured with k={int(k)}: refusing to "
+            "resume — a truncated sample would pass as a complete set "
+            "under exact-mode theta. Match k or rebuild the checkpoint."
+        )
     a = np.asarray(hs, dtype=np.int64)
     if (
         a.shape[0] > k
@@ -294,37 +328,47 @@ def kmv_year_snapshot_stream(
     date_col: str = "o_orderdate",
     watermark: str = "30 days",
     k: int = kmv.K,
+    shards: int = 8,
 ) -> DataFrame:
-    """Per-year KMV k-min samples, emitted ONCE at event-time closure
-    as (y, h) rows — the exact schema queries/sketches.py::
-    _kmv_year_samples persists, so the batch consumers
-    (orders_kmv_set_difference / orders_kmv_diff_from_snapshots) run on
-    a stream-built store unchanged. Hashing is JVM column math BEFORE
-    the Python operator (kmv.h_col — the house rule); the state is one
-    sorted <= k-long array per open year; each batch folds via
-    unique-merge-truncate (one vectorized pass). Timer math and
-    timezone reasoning are identical to hll_year_snapshot_stream."""
+    """Per-year KMV k-min samples, emitted at event-time closure as
+    (y, h) rows. The operator is keyed by (year, hash-residue shard):
+    ``shard = pmod(h, shards)`` spreads the open year's rows over
+    ``shards`` parallel state tasks (the r11 verdict's single-key-funnel
+    fix), each holding the k-min of ITS residue class; a closed year
+    therefore emits <= shards * k candidate rows, and the SINK
+    (write_kmv_year_samples) folds them to the global k-min — correct
+    because every global top-k hash is within its residue class's
+    top-k (the batch builder's salted two-phase argument). The folded
+    store is the exact schema queries/sketches.py::_kmv_year_samples
+    persists, so the batch consumers (orders_kmv_set_difference /
+    orders_kmv_diff_from_snapshots) run on a stream-built store
+    unchanged. Hashing is JVM column math BEFORE the Python operator
+    (kmv.h_col — the house rule); the state is one sorted <= k-long
+    array per (year, shard) plus its build-k (restart guard); each
+    batch folds via unique-merge-truncate (one vectorized pass). Timer
+    math and timezone reasoning are identical to
+    hll_year_snapshot_stream."""
     import numpy as np
     import pandas as pd
 
     def update(key, pdf_iter, state: GroupState):
-        (y,) = key
+        y = key[0]
         if state.hasTimedOut:
-            hs = _restore_kmv(state.get[0], k)
+            hs = _restore_kmv(state.get[0], k, state.get[1])
             state.remove()
             yield pd.DataFrame(
                 {"y": [int(y)] * len(hs), "h": [int(h) for h in hs]}
             )
             return
         hs = (
-            _restore_kmv(state.get[0], k)
+            _restore_kmv(state.get[0], k, state.get[1])
             if state.exists
             else np.empty(0, dtype=np.int64)
         )
         for pdf in pdf_iter:
             batch = pdf["h"].to_numpy(dtype=np.int64)
             hs = np.unique(np.concatenate([hs, batch]))[:k]
-        state.update(([int(h) for h in hs],))
+        state.update(([int(h) for h in hs], int(k)))
         state.setTimeoutTimestamp(_year_end_ms(int(y)))
 
     pre = (
@@ -336,15 +380,45 @@ def kmv_year_snapshot_stream(
             F.year(F.col(date_col)).alias("y"),
             kmv.h_col(F.col(key_col)).alias("h"),
         )
+        .withColumn("shard", F.pmod(F.col("h"), F.lit(int(shards))))
         .withWatermark("__ts", watermark)
     )
-    return pre.groupBy("y").applyInPandasWithState(
+    return pre.groupBy("y", "shard").applyInPandasWithState(
         update,
         outputStructType=KMV_ROWS_SCHEMA,
         stateStructType=_KMV_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def fold_kmv_samples(batch_df: DataFrame, k: int = kmv.K) -> DataFrame:
+    """Fold the year-writer's per-shard emissions (<= shards * k rows
+    per closed year) to each year's GLOBAL k-min sample — the k-min
+    merge that makes residue sharding lossless. Bounded work: the
+    per-year sort ranks sketch-sized candidate sets, never data."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("y").orderBy("h")
+    return (
+        batch_df.select("y", "h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(k))
+        .drop("rn")
+    )
+
+
+def write_kmv_year_samples(
+    batch_df: DataFrame, path: str, k: int = kmv.K
+) -> None:
+    """foreachBatch sink for the KMV year writer: global k-min fold,
+    then the shared idempotent partition-overwrite sink. All shards of
+    a year close in the SAME micro-batch (their timers share the year's
+    end instant and fire on one watermark advance), so the fold always
+    sees the year's complete candidate set, and re-delivery re-derives
+    the identical folded value (k-min merge is deterministic)."""
+    overwrite_partitions(fold_kmv_samples(batch_df, k), path, "y")
 
 
 def read_kmv_year_samples(spark, path: str) -> DataFrame:

@@ -281,6 +281,7 @@ def test_kmv_year_samples_close_bit_exactly(spark, provider):
     from mapreducer_pi_cs4433_spark.streaming.snapshots import (
         kmv_year_snapshot_stream,
         read_kmv_year_samples,
+        write_kmv_year_samples,
     )
 
     k = 8  # small k so 1995 (12 keys) is a FULL sketch, 1996 sub-k
@@ -312,9 +313,11 @@ def test_kmv_year_samples_close_bit_exactly(spark, provider):
                 "o_custkey long, o_orderdate date"
             ).option("maxFilesPerTrigger", 1).parquet(src)
             q = (
-                kmv_year_snapshot_stream(stream, watermark="30 days", k=k)
+                kmv_year_snapshot_stream(
+                    stream, watermark="30 days", k=k, shards=3
+                )
                 .writeStream.foreachBatch(
-                    lambda df, bid: write_year_snapshots(df, store)
+                    lambda df, bid: write_kmv_year_samples(df, store, k=k)
                 )
                 .outputMode("append")
                 .option("checkpointLocation", ckpt)
@@ -374,6 +377,7 @@ def test_kmv_restore_rejects_corrupted_state():
 
     good = [5, 9, 1000]
     assert list(_restore_kmv(good, k=8)) == good
+    assert list(_restore_kmv(good, k=8, stored_k=8)) == good
     with pytest.raises(ValueError, match="corrupted"):
         _restore_kmv([9, 5, 1000], k=8)  # unsorted
     with pytest.raises(ValueError, match="corrupted"):
@@ -382,3 +386,105 @@ def test_kmv_restore_rejects_corrupted_state():
         _restore_kmv(list(range(9)), k=8)  # more than k
     with pytest.raises(ValueError, match="corrupted"):
         _restore_kmv([5, 2**32], k=8)  # outside the hash space
+    # k-mismatch restart guard (ADVICE r11 #2): a sample truncated at
+    # k=8 must NOT resume under k=16 — it would read as sub-k, i.e. a
+    # COMPLETE set under exact-mode theta. Both directions refuse.
+    with pytest.raises(ValueError, match="built with k=8"):
+        _restore_kmv(good, k=16, stored_k=8)
+    with pytest.raises(ValueError, match="built with k=16"):
+        _restore_kmv(good, k=8, stored_k=16)
+
+
+def test_hll_state_shards_across_lanes(spark):
+    """The r11 verdict's single-key-funnel fix, pinned at the state
+    store: with shards=S the open year's state is S rows (one bounded
+    register array per lane shard), not one — the ingest path is
+    S-ways parallel. Expected shard count derived independently via
+    hashlib (idx = first md5 byte, shard = idx mod S)."""
+    shards = 4
+    keys = list(range(50))  # 50 keys -> all 4 lane shards hit (verified)
+    expect_shards = {
+        hashlib.md5(str(k).encode()).digest()[0] % shards for k in keys
+    }
+    assert expect_shards == set(range(shards))
+    src = tempfile.mkdtemp(prefix="shard_src_")
+    ckpt = tempfile.mkdtemp(prefix="shard_ck_")
+    store = tempfile.mkdtemp(prefix="shard_store_") + "/hll_year_regs"
+    try:
+        spark.createDataFrame(
+            [(k, _d(1995, 6, 15)) for k in keys],
+            "o_custkey long, o_orderdate date",
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            "o_custkey long, o_orderdate date"
+        ).parquet(src)
+        q = (
+            hll_year_snapshot_stream(
+                stream, watermark="30 days", shards=shards
+            )
+            .writeStream.foreachBatch(
+                lambda df, bid: write_year_snapshots(df, store)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        state_rows = max(
+            p["stateOperators"][0]["numRowsTotal"]
+            for p in q.recentProgress
+            if p["stateOperators"]
+        )
+        # one state row per (open year, touched shard) — S-way spread,
+        # each row a bounded register array; NOT one whole-year funnel
+        assert state_rows == len(expect_shards) == shards
+    finally:
+        for d in (src, ckpt, os.path.dirname(store)):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_overwrite_partitions_single_execution_and_conf_isolation(spark):
+    """The sink executes the batch plan EXACTLY ONCE per trigger (the
+    r11 take(1) pre-probe cost a second execution) and never mutates
+    the session's partitionOverwriteMode conf (ADVICE r11 #1 — the
+    concurrent-streams data-loss hazard). Execution count is observed
+    with an accumulator threaded through a Python UDF."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import IntegerType
+
+    from mapreducer_pi_cs4433_spark.streaming.snapshots import (
+        overwrite_partitions,
+    )
+
+    store = tempfile.mkdtemp(prefix="sink1x_") + "/t"
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(v):
+        acc.add(1)
+        return v
+
+    bump_udf = F.udf(bump, IntegerType())
+    df = spark.createDataFrame(
+        [(1995, i) for i in range(7)], "y int, v int"
+    ).withColumn("v", bump_udf("v"))
+    prev_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", None
+    )
+    try:
+        overwrite_partitions(df, store, "y")
+        assert acc.value == 7  # every row evaluated exactly once
+        assert (
+            spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+            == prev_mode
+        )
+        assert _store_years(store) == {1995}
+        # empty batch: structurally a no-op under dynamic overwrite —
+        # zero partitions in the data, zero directories touched
+        overwrite_partitions(
+            spark.createDataFrame([], "y int, v int"), store, "y"
+        )
+        assert _store_years(store) == {1995}
+        assert spark.read.parquet(store).count() == 7
+    finally:
+        shutil.rmtree(os.path.dirname(store), ignore_errors=True)
