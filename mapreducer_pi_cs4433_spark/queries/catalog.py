@@ -558,11 +558,19 @@ _DRIVER_PRIORITY = [
     # a running register max over hll_year_regs, zero fact scans, the
     # oracle re-building every prefix range flat from raw orders.
     "orders_hll_cumulative_from_snapshots",
+    # r12 wave (1 seat, funded by demoting layout_partition_pruned_rollup
+    # — r9-seated, driver-green r9-r11 on unchanged code): the KMV RANGE
+    # union from snapshots — cumulative distinct customers per year as a
+    # k-min fold over kmv_year_samples (the sample-algebra twin of the
+    # HLL cumulative entry), zero fact scans, the oracle rebuilding
+    # every prefix flat from raw orders.
+    "orders_kmv_cumulative_from_snapshots",
     # r9 second wave (2 more seats, funded by demoting
     # embedding_pc1_power_iter and item_similarity_topk — both
-    # r8-driver-green on unchanged code): the DPP layout rollup and the
-    # linear multi-touch attribution twin, both new this round.
-    "layout_partition_pruned_rollup",
+    # r8-driver-green on unchanged code): the linear multi-touch
+    # attribution twin. (layout_partition_pruned_rollup sat here
+    # r9-r11; demoted below the cap in r12 to fund the KMV cumulative
+    # seat — its r11 driver row stands on unchanged code.)
     "events_attribution_linear",
     # r9 third wave (3 seats, funded by demoting search_mmr_rerank,
     # search_hybrid_rrf, and events_time_to_conversion — all
@@ -614,8 +622,11 @@ _DRIVER_PRIORITY = [
     # acquisition), bit-exact int64 estimates beside the exact truth.
     "orders_kmv_set_difference",
     # --- 50-entry driver window ends here ---------------------------------
-    # First below the cap: the r11 demotions (r10-driver-green, code
-    # unchanged since r9 when all three first seated)
+    # First below the cap: the r12 demotion (r11-driver-green, code
+    # unchanged since r9)
+    "layout_partition_pruned_rollup",
+    # then the r11 demotions (r10-driver-green, code unchanged since r9
+    # when all three first seated)
     "text_collocation_pmi",
     "skew_salted_segment_value",
     "image_ahash_neardup",

@@ -2403,3 +2403,119 @@ _fmt_doc(
     orders_hll_cumulative_from_snapshots,
     m=_HLL_M,
 )
+
+
+@query(
+    "orders_kmv_cumulative_from_snapshots",
+    oracle=f"""
+    WITH o AS (
+        SELECT DISTINCT year(o_orderdate) AS y, o_custkey AS c FROM orders
+        WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+    ), years AS (
+        SELECT DISTINCT y FROM o
+    ), cum AS (
+        SELECT DISTINCT yr.y AS y, {_kmv_h_sql("o.c")} AS h
+        FROM years yr JOIN o ON o.y <= yr.y
+    ), ranked AS (
+        SELECT y, h,
+               row_number() OVER (PARTITION BY y ORDER BY h) AS rk
+        FROM cum
+    ), samp AS (
+        SELECT y, h FROM ranked WHERE rk <= {_KMV_K}
+    ), summ AS (
+        SELECT y, CAST(count(*) AS BIGINT) AS n_sample,
+               CAST(CASE WHEN count(*) < {_KMV_K} THEN {_KMV_SPACE}
+                    ELSE max(h) END AS BIGINT) AS theta
+        FROM samp GROUP BY y
+    )
+    SELECT s.y, s.h, m.n_sample, m.theta,
+           CAST(CASE WHEN m.n_sample < {_KMV_K} THEN m.n_sample
+                ELSE ({_KMV_K} - 1) * {_KMV_SPACE} // m.theta END
+               AS BIGINT) AS kmv_estimate
+    FROM samp s JOIN summ m USING (y)
+    """,
+)
+def orders_kmv_cumulative_from_snapshots(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """KMV RANGE union from snapshots (r11 verdict ask #4 — the
+    sample-algebra twin of orders_hll_cumulative_from_snapshots):
+    cumulative distinct customers per year, derived ENTIRELY from the
+    persisted per-year k-min samples. The prefix-union sample for year
+    y is the k smallest distinct hashes across the year samples <= y —
+    correct by k-min mergeability: a hash among the k smallest of the
+    prefix's TRUE union is necessarily within its own year's top-k
+    (were k smaller hashes present in that year, they would also
+    precede it in the union), so folding snapshot samples loses
+    nothing; and a sub-k fold means EVERY contributing year sample was
+    sub-k (each complete), so the prefix sample is its complete set
+    (exact-mode theta). The oracle rebuilds every prefix flat from raw
+    orders, so the driver hash proves sample-fold == from-scratch for
+    all ranges at once.
+
+    Plan shape (pinned in tests/test_plan_shapes.py::
+    test_kmv_cumulative_snapshots_zero_fact_scan): every scan is the
+    <= years x {k}-row kmv_year_samples artifact, orders.parquet is
+    never read, and the prefix expansion is a literal-sequence explode
+    from each hash's FIRST year to the corpus max year (a Generate +
+    broadcast equi-join with the real year set — no non-equi join, no
+    cartesian; the oracle pays the triangle join, Spark does not).
+    Rows: (y, h) sample rows with per-year summary columns (n_sample,
+    theta, kmv_estimate) — the estimate is the family's exact int64
+    arithmetic ((k-1) * space div theta on full sketches, n itself on
+    sub-k = complete sets). At 100x the fact table this query's cost
+    does not change: it reads <= years x {k} sample rows, expands to
+    <= years^2 x {k} candidates, and never touches a closed period's
+    raw data."""
+    samples = _kmv_year_samples(spark, sf_dir)
+    # each distinct hash enters the prefix union at its FIRST year...
+    first = samples.groupBy("h").agg(F.min("y").alias("fy"))
+    maxy = samples.agg(F.max("y").alias("maxy"))
+    years = samples.select("y").distinct()
+    # ...and stays a candidate for every later year that EXISTS in the
+    # corpus (explode to the integer range, equi-join the real years —
+    # missing years must not fabricate prefix rows)
+    cand = (
+        first.crossJoin(F.broadcast(maxy))
+        .select(
+            F.explode(
+                F.sequence(F.col("fy"), F.col("maxy"))
+            ).alias("y"),
+            "h",
+        )
+        .join(F.broadcast(years), "y")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("y").orderBy("h")
+    samp = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .drop("rn")
+    )
+    summ = samp.groupBy("y").agg(
+        F.count("*").cast("long").alias("n_sample"),
+        F.max("h").alias("mx"),
+    )
+    summ = summ.select(
+        "y",
+        "n_sample",
+        F.when(F.col("n_sample") < _KMV_K, F.lit(_KMV_SPACE))
+        .otherwise(F.col("mx"))
+        .cast("long")
+        .alias("theta"),
+    ).withColumn(
+        "kmv_estimate",
+        F.when(F.col("n_sample") < _KMV_K, F.col("n_sample"))
+        .otherwise(F.expr(f"{_KMV_K - 1}L * {_KMV_SPACE}L div theta"))
+        .cast("long"),
+    )
+    return samp.join(F.broadcast(summ), "y").select(
+        "y", "h", "n_sample", "theta", "kmv_estimate"
+    )
+
+
+_fmt_doc(
+    orders_kmv_cumulative_from_snapshots,
+    k=_KMV_K,
+)

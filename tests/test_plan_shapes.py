@@ -1479,6 +1479,40 @@ def test_hll_snapshots_zero_fact_scan(spark):
             assert "hll_year_regs" in block, block.splitlines()[0]
 
 
+def test_kmv_cumulative_snapshots_zero_fact_scan(spark):
+    """orders_kmv_cumulative_from_snapshots: the sample-algebra RANGE
+    consumer — the LIVE plan reads ONLY the kmv_year_samples artifact
+    (orders.parquet nowhere), the prefix expansion is a literal-
+    sequence Generate from each hash's first year plus a broadcast
+    EQUI-join with the real year set (no non-equi join — the oracle
+    pays the triangle, Spark must not), the per-year k-min cut is a
+    Window row_number, and the summary rides a broadcast. Zero Python,
+    no cartesian, no sort-merge join. (The one BroadcastNestedLoopJoin
+    is the 1-ROW max-year aggregate crossing onto the hash table — the
+    task_g/h scalar-broadcast pattern, same as the diff entry.)"""
+    df = QUERIES["orders_kmv_cumulative_from_snapshots"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    for node in (
+        "MapInPandas",
+        "FlatMapGroupsInPandas",
+        "ArrowEvalPython",
+        "BatchEvalPython",
+        "CartesianProduct",
+        "SortMergeJoin",
+    ):
+        assert node not in plan, node
+    assert "orders.parquet" not in plan
+    assert "kmv_year_samples" in plan
+    assert "Generate" in plan  # the fy..maxy literal-sequence explode
+    assert "Window" in plan  # the per-year k-min cut
+    assert "BroadcastHashJoin" in plan
+    import re
+
+    for block in plan.split("\n\n"):
+        if re.match(r"\(\d+\) Scan parquet", block):
+            assert "kmv_year_samples" in block, block.splitlines()[0]
+
+
 def test_hll_cumulative_snapshots_zero_fact_scan_window_merge(spark):
     """orders_hll_cumulative_from_snapshots: the RANGE consumption of
     the per-year register snapshots — the LIVE plan reads ONLY

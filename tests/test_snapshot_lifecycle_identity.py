@@ -151,10 +151,10 @@ def test_kmv_consumer_runs_unchanged_on_stream_built_store(
 
     con = duck_connection(SF_SMOKE)
     try:
-        compare(
-            QUERIES["orders_kmv_diff_from_snapshots"](spark, SF_SMOKE),
-            con,
-            ORACLE["orders_kmv_diff_from_snapshots"],
-        )
+        for name in (
+            "orders_kmv_diff_from_snapshots",
+            "orders_kmv_cumulative_from_snapshots",
+        ):
+            compare(QUERIES[name](spark, SF_SMOKE), con, ORACLE[name])
     finally:
         con.close()
