@@ -565,13 +565,18 @@ _DRIVER_PRIORITY = [
     # HLL cumulative entry), zero fact scans, the oracle rebuilding
     # every prefix flat from raw orders.
     "orders_kmv_cumulative_from_snapshots",
-    # r9 second wave (2 more seats, funded by demoting
-    # embedding_pc1_power_iter and item_similarity_topk — both
-    # r8-driver-green on unchanged code): the linear multi-touch
-    # attribution twin. (layout_partition_pruned_rollup sat here
-    # r9-r11; demoted below the cap in r12 to fund the KMV cumulative
-    # seat — its r11 driver row stands on unchanged code.)
-    "events_attribution_linear",
+    # r12 second seat (funded by demoting events_attribution_linear —
+    # r9-seated, driver-green r9-r11 on unchanged code): the
+    # sketch-store OPTIMIZE planner — per-month day-cell census over
+    # the persisted hll_day_cells artifact (zero raw-event scans in
+    # the live plan) with exact reclaimable-row bookkeeping; the
+    # executor twin lives in operators/sketch_compaction.py.
+    "hll_cells_compaction_plan",
+    # (events_attribution_linear and layout_partition_pruned_rollup —
+    # the r9 second wave, funded then by demoting
+    # embedding_pc1_power_iter and item_similarity_topk — sat here
+    # r9-r11; both demoted below the cap in r12, driver rows standing
+    # on unchanged code.)
     # r9 third wave (3 seats, funded by demoting search_mmr_rerank,
     # search_hybrid_rrf, and events_time_to_conversion — all
     # r8-driver-green on unchanged code): the perceptual image near-dup
@@ -622,9 +627,10 @@ _DRIVER_PRIORITY = [
     # acquisition), bit-exact int64 estimates beside the exact truth.
     "orders_kmv_set_difference",
     # --- 50-entry driver window ends here ---------------------------------
-    # First below the cap: the r12 demotion (r11-driver-green, code
+    # First below the cap: the r12 demotions (r11-driver-green, code
     # unchanged since r9)
     "layout_partition_pruned_rollup",
+    "events_attribution_linear",
     # then the r11 demotions (r10-driver-green, code unchanged since r9
     # when all three first seated)
     "text_collocation_pmi",

@@ -2519,3 +2519,69 @@ _fmt_doc(
     orders_kmv_cumulative_from_snapshots,
     k=_KMV_K,
 )
+
+
+@query(
+    "hll_cells_compaction_plan",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, user_id FROM events
+        WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+          AND ts IS NOT NULL
+    ), cells AS (
+        SELECT DISTINCT event_type, day,
+               {_hll_idx_sql("user_id")} AS idx
+        FROM ev
+    )
+    SELECT strftime(date_trunc('month', day), '%Y-%m') AS month,
+           CAST(COUNT(DISTINCT (event_type, day)) AS BIGINT)
+               AS n_day_cells,
+           CAST(COUNT(*) AS BIGINT) AS rows_before,
+           CAST(COUNT(DISTINCT (event_type, idx)) AS BIGINT)
+               AS rows_after,
+           CAST(COUNT(*) - COUNT(DISTINCT (event_type, idx)) AS BIGINT)
+               AS rows_saved
+    FROM cells GROUP BY 1
+    """,
+)
+def hll_cells_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-store OPTIMIZE planner (r11 verdict ask #5 — the
+    maintenance leg of the artifact lifecycle, mirroring
+    shards_compaction_plan's role for export shards): per calendar
+    month, how many (event_type, day) HLL cell groups the day-grain
+    store holds, how many register rows they occupy, and how many rows
+    a month-grain fold would keep — the exact bookkeeping
+    operators/sketch_compaction.py::compact_hll_day_cells acts on.
+    rows_after counts distinct (event_type, idx) pairs because register
+    max folds every day's row for one (type, lane) into ONE month row;
+    rows_saved is the reclaimable row count, exact by construction.
+
+    The live plan reads ONLY the persisted hll_day_cells artifact —
+    cell-sized parquet, zero scans of raw events (pinned in
+    tests/test_plan_shapes.py::test_hll_compaction_plan_zero_fact_scan)
+    — while the oracle rebuilds the census flat from raw events, so the
+    driver hash proves the artifact's cell inventory agrees with a
+    from-scratch build. Day-NULL cells (kept in the artifact for the
+    rollup's register truth) have no calendar month and are excluded
+    here, exactly as every calendar-anchored consumer excludes them.
+    Months cross the compare boundary as 'yyyy-MM' VARCHAR (the r9
+    temporal-compare rule)."""
+    cells = _hll_day_cells(spark, sf_dir).filter(F.col("day").isNotNull())
+    return (
+        cells.groupBy(
+            F.date_format(F.trunc("day", "month"), "yyyy-MM").alias("month")
+        )
+        .agg(
+            F.countDistinct("event_type", "day")
+            .cast("long")
+            .alias("n_day_cells"),
+            F.count("*").cast("long").alias("rows_before"),
+            F.countDistinct("event_type", "idx")
+            .cast("long")
+            .alias("rows_after"),
+        )
+        .withColumn(
+            "rows_saved",
+            (F.col("rows_before") - F.col("rows_after")).cast("long"),
+        )
+    )

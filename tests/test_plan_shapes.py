@@ -1513,6 +1513,34 @@ def test_kmv_cumulative_snapshots_zero_fact_scan(spark):
             assert "kmv_year_samples" in block, block.splitlines()[0]
 
 
+def test_hll_compaction_plan_zero_fact_scan(spark):
+    """hll_cells_compaction_plan: the maintenance planner reads ONLY
+    the persisted hll_day_cells artifact — raw events.parquet appears
+    nowhere, the census is one JVM hash-aggregate pass over cell-sized
+    parquet, zero Python nodes, no joins at all."""
+    df = QUERIES["hll_cells_compaction_plan"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    for node in (
+        "MapInPandas",
+        "FlatMapGroupsInPandas",
+        "ArrowEvalPython",
+        "BatchEvalPython",
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+    ):
+        assert node not in plan, node
+    assert "events.parquet" not in plan
+    assert "hll_day_cells" in plan
+    assert "HashAggregate" in plan
+    import re
+
+    for block in plan.split("\n\n"):
+        if re.match(r"\(\d+\) Scan parquet", block):
+            assert "hll_day_cells" in block, block.splitlines()[0]
+
+
 def test_hll_cumulative_snapshots_zero_fact_scan_window_merge(spark):
     """orders_hll_cumulative_from_snapshots: the RANGE consumption of
     the per-year register snapshots — the LIVE plan reads ONLY
