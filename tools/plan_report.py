@@ -115,6 +115,9 @@ _SHOWCASE = [
     ("orders_kmv_diff_from_snapshots", "KMV churn/acquisition from the persisted per-year samples alone: every scan is kmv_year_samples, orders.parquet nowhere"),
     ("orders_hll_union_from_snapshots", "HLL union from per-year register snapshots: register-wise max merge, zero fact scans, registers in/registers out"),
     ("orders_hll_cumulative_from_snapshots", "cumulative reach per year: running register max (window over register lanes) over the snapshot table, zero fact scans"),
+    # round 12: the KMV range consumer + the sketch-store maintenance planner
+    ("orders_kmv_cumulative_from_snapshots", "KMV cumulative reach: first-year + literal-sequence Generate + per-year window k-min over kmv_year_samples, zero fact scans"),
+    ("hll_cells_compaction_plan", "sketch-store OPTIMIZE planner: one hash-aggregate census over the hll_day_cells artifact, zero raw-event scans, no joins"),
 ]
 
 _MAX_LINES = 70
