@@ -131,6 +131,133 @@ def test_hll_consumers_run_unchanged_on_stream_built_store(
         con.close()
 
 
+def test_hll_day_cell_consumers_run_unchanged_then_compact(
+    spark, index_root
+):
+    """Day-family lifecycle identity (the year-family proof, at cell
+    grain): stream the REAL sf0.001 events through the HLL day-cell
+    writer into the _hll_day_cells `ensure_table` location, then
+
+    1. run the REGISTERED day-cell consumers (events_distinct_hll_
+       rollup AND events_distinct_hll_sliding) unchanged and assert
+       oracle-hash equality — stream-built day cells serve production
+       queries value-for-value;
+    2. MONTH-COMPACT the same store (the maintenance leg, run against
+       a live artifact location) and assert the rollup's registers,
+       harmonic sums, exact counts, and band bit are ALL unchanged —
+       only n_cells moves, to the month count, which is precisely the
+       grain compaction trades away (day-grain consumers like the
+       sliding entry are what `before` exists to protect)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from mapreducer_pi_cs4433_spark.functions.artifacts import artifact_dir
+    from mapreducer_pi_cs4433_spark.operators.sketch_compaction import (
+        compact_hll_day_cells,
+    )
+    from mapreducer_pi_cs4433_spark.sources.loaders import load_table
+    from mapreducer_pi_cs4433_spark.streaming.hll_cells import (
+        hll_day_cell_stream,
+        write_hll_day_cells,
+    )
+
+    dest = artifact_dir(SF_SMOKE, "hll_day_cells")
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_type", "user_id", "ts"
+    )
+    max_day = ev.agg(F.max(F.to_date("ts"))).collect()[0][0]
+    flush_ts = datetime.datetime.combine(
+        max_day + datetime.timedelta(days=40), datetime.time(12)
+    )
+    src = tempfile.mkdtemp(prefix="lify_ev_src_")
+    ckpt = tempfile.mkdtemp(prefix="lify_ev_ck_")
+    try:
+        ev.coalesce(1).write.mode("append").parquet(src)
+        spark.createDataFrame(
+            [("__flush__", 999_999, flush_ts)],
+            "event_type string, user_id long, ts timestamp",
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(
+                "event_type string, user_id long, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            hll_day_cell_stream(stream, watermark="2 days", shards=3)
+            .writeStream.foreachBatch(
+                lambda df, bid: write_hll_day_cells(df, dest)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        open(os.path.join(dest, "_SUCCESS"), "w").close()
+
+        # every data day closed; the flush cell stays open (absent)
+        n_data_days = ev.select(F.to_date("ts")).distinct().count()
+        assert len(
+            [e for e in os.listdir(dest) if e.startswith("day=")]
+        ) == n_data_days
+
+        con = duck_connection(SF_SMOKE)
+        try:
+            for name in (
+                "events_distinct_hll_rollup",
+                "events_distinct_hll_sliding",
+            ):
+                compare(QUERIES[name](spark, SF_SMOKE), con, ORACLE[name])
+        finally:
+            con.close()
+
+        # ---- the maintenance leg on the live artifact location
+        pre = {
+            (r.event_type, r.reg_idx): r
+            for r in QUERIES["events_distinct_hll_rollup"](
+                spark, SF_SMOKE
+            ).collect()
+        }
+        absorbed = compact_hll_day_cells(
+            spark, dest, max_day + datetime.timedelta(days=1)
+        )
+        assert absorbed == n_data_days
+        post = {
+            (r.event_type, r.reg_idx): r
+            for r in QUERIES["events_distinct_hll_rollup"](
+                spark, SF_SMOKE
+            ).collect()
+        }
+        assert pre.keys() == post.keys()
+        months = {
+            (r.event_type, r.m)
+            for r in spark.read.parquet(dest)
+            .select("event_type", F.trunc("day", "month").alias("m"))
+            .distinct()
+            .collect()
+        }
+        n_months = {}
+        for t, _ in months:
+            n_months[t] = n_months.get(t, 0) + 1
+        for k, a in pre.items():
+            b = post[k]
+            for col in (
+                "reg_val",
+                "v_zero",
+                "sum_inv_scaled",
+                "exact_distinct",
+                "hll_in_band",
+            ):
+                assert getattr(a, col) == getattr(b, col), (k, col)
+            assert b.n_cells == n_months[k[0]]  # the traded grain
+    finally:
+        for d in (src, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def test_kmv_consumer_runs_unchanged_on_stream_built_store(
     spark, index_root
 ):
