@@ -148,23 +148,46 @@ def verify_exact_jaccard(
     prefix-filter operator and the streaming near-dup ingest both call
     this (r8 self-review: each had carried its own copy), so the "same
     exact math as ngram_jaccard_pairs" equivalence the oracles rely on
-    has one definition. Intersection via two posting joins restricted to
-    the candidates (relational, no array ops); jaccard is one int/int
-    IEEE division."""
-    sizes = posting.groupBy("id").agg(F.count("*").alias("n_sh"))
-    pa = posting.select(F.col("id").alias("id_a"), "h")
-    pb = posting.select(F.col("id").alias("_idb"), F.col("h").alias("h_b"))
-    inter = (
-        candidates.join(pa, "id_a")
-        .join(pb, (F.col("id_b") == F.col("_idb")) & (F.col("h") == F.col("h_b")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    has one definition.
+
+    r12 (optimization): intersection by per-doc HASH ARRAYS, not posting
+    joins. The old shape joined every candidate against the full posting
+    stream twice and paid a candidate x posting-list exploded
+    intermediate (~16 M rows for 58k candidates at sf0.1) plus its pair
+    re-aggregation — measured 7.9 s at sf0.1 where the array form runs
+    the SAME exact math (|A ∩ B| over the distinct-hash sets; one int/int
+    IEEE division) in 0.5 s: postings collapse once to (id, array<h>)
+    rows, each candidate attaches the two arrays by equi-join, and
+    array_intersect sizes the overlap inside the row — no exploded
+    intermediate, no pair re-shuffle. n_common > 0 is kept explicit so a
+    threshold-0 caller still gets only genuinely overlapping pairs, as
+    the join form produced.
+
+    The candidate stream is hash-repartitioned to the session
+    parallelism before the arrays attach: the per-row intersection is
+    the expensive part of this plan, and AQE coalesces the upstream
+    pair-distinct exchange by BYTES (a few MB of id pairs -> 1
+    partition), which would serialize the intersection onto one core —
+    the partition count must follow compute cost here, not data size
+    (guide §2: scale-adaptive partitioning; deterministic keyed
+    repartition, so no sort-before-repartition pass and retry-safe
+    placement)."""
+    arrs = posting.groupBy("id").agg(F.collect_list("h").alias("hs"))
+    aa = arrs.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
+    bb = arrs.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
+    target = candidates.sparkSession.sparkContext.defaultParallelism
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        candidates.repartition(target, "id_a")
+        .join(aa, "id_a")
+        .join(bb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("hs_a", "hs_b")).alias("n_common"),
+            F.size("hs_a").alias("n_a"),
+            F.size("hs_b").alias("n_b"),
+        )
+        .filter(F.col("n_common") > 0)
         .withColumn(
             "jaccard",
             F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
@@ -915,19 +938,36 @@ def simhash64(
     else:
         sh = exploded_shingles(df, text_col, id_col, k, distinct=False)
         posting = sh.select("id", hasher("shingle").alias("h")).distinct()
+    # r12 (optimization): TWO bit-votes per SUM, packed in 32-bit lanes.
+    # The 64 independent `sum((h >> b) & 1)` aggregates were the
+    # measured cost of this operator (1.97 s of the 2.86 s query at
+    # sf0.1 — per-row aggregation work, guide §1.2 step 2); masking with
+    # 0x0000000100000001 extracts bit b into lane 0 and bit b+32 into
+    # lane 1 of one long, so 32 sums accumulate all 64 counts. Lane
+    # extraction is exact for b in 0..31 (the arithmetic-shift sign fill
+    # only reaches original bit positions > 63), lanes cannot carry into
+    # each other while each count < 2^32, and the packed SUM stays below
+    # 2^63 while a document has < 2^31 shingles — far past any real
+    # document, and ANSI mode (pinned session-wide) turns a violation
+    # into a loud error, never a silent wrong vote. Unpacked votes are
+    # bit-identical to the 64-sum form, so the oracle twin is untouched.
+    _LANES = F.lit(0x0000000100000001)
     votes = posting.groupBy("id").agg(
         F.count("*").alias("n"),
         *[
-            F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"v{b}")
-            for b in range(64)
+            F.sum(F.shiftright("h", b).bitwiseAND(_LANES)).alias(f"p{b}")
+            for b in range(32)
         ],
     )
     sim = None
     for b in range(64):
-        bit = (
-            F.when(F.col(f"v{b}") * 2 > F.col("n"), F.lit(1))
-            .otherwise(F.lit(0))
-            .cast("long")
+        v = (
+            F.col(f"p{b}").bitwiseAND(F.lit(0xFFFFFFFF))
+            if b < 32
+            else F.shiftright(F.col(f"p{b - 32}"), 32)
+        )
+        bit = F.when(v * 2 > F.col("n"), F.lit(1)).otherwise(F.lit(0)).cast(
+            "long"
         )
         term = F.shiftleft(bit, b)
         sim = term if sim is None else sim.bitwiseOR(term)

@@ -357,18 +357,39 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         # gram-posting table (functions/artifacts.py lifecycle).
         .localCheckpoint()
     )
-    dfc = grams.groupBy("gram").agg(F.count("*").alias("df"))
-    return (
-        grams.join(dfc, "gram")
+    # r12 (optimization): the old tail joined the corpus-sized gram table
+    # back onto its own df count (a gram-keyed shuffle of every (doc,
+    # gram) row plus a doc-keyed re-aggregation of the join output —
+    # the widest exchanges in the plan) only to count each doc's df==1
+    # grams. But a df==1 gram has exactly ONE owner, so the gram-grain
+    # aggregate can carry it: min(doc_id) identifies the owner precisely
+    # when df==1, making n_unique a doc-keyed count over the (tiny)
+    # unique-gram slice. The corpus-sized join never happens; the two
+    # aggregates read the one checkpointed gram table, and the final
+    # join is doc-grain vs doc-grain (AQE broadcasts the unique side).
+    per_doc = grams.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_grams")
+    )
+    uniq = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("df"), F.min("doc_id").alias("doc_id"))
+        .filter(F.col("df") == 1)
         .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_grams"),
-            F.sum((F.col("df") == 1).cast("long")).alias("n_unique"),
+        .agg(F.count("*").cast("long").alias("n_unique"))
+    )
+    return (
+        per_doc.join(uniq, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_unique"), F.lit(0))
+            .cast("long")
+            .alias("n_unique"),
         )
         .select(
             "doc_id",
             "n_grams",
-            F.col("n_unique").cast("long").alias("n_unique"),
+            "n_unique",
             F.expr("n_unique * 1000000 div n_grams")
             .cast("long")
             .alias("novelty_ppm"),
@@ -1860,7 +1881,18 @@ def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = spark.sparkContext.defaultParallelism
     if base.rdd.getNumPartitions() < target:
         base = base.repartition(target)
-    grams = (
+    # r12 (optimization): the old shape materialized the distinct
+    # (source, gram) table and SELF-JOINED it on the gram hash — two
+    # more corpus-sized gram-keyed exchanges plus a pair-keyed
+    # re-aggregation of the join output. The join only ever compared
+    # sources WITHIN one gram's bucket, so the same census falls out of
+    # ONE gram-keyed aggregate: collect_set(source) per gram (the set
+    # dedups, replacing the distinct pass), then every ordered source
+    # pair of the set is generated IN-ROW (sorted array + nested
+    # transform — |sources|^2-bounded per gram exactly like the join
+    # was) and counted in a |sources|^2-sized aggregate. One data-sized
+    # exchange instead of three, no join, same exact counts.
+    per_gram = (
         base.select(
             "source",
             F.explode(F.sequence(F.lit(1), F.col("n") - 2)).alias("i"),
@@ -1872,21 +1904,28 @@ def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "gram"
             ),
         )
-        .distinct()
-        .localCheckpoint()  # three consumers: sizes + both join sides
+        .groupBy("gram")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .select("ss")
+        .localCheckpoint()  # two consumers: sizes + the pair census
     )
-    sizes = grams.groupBy("source").agg(F.count("*").alias("n_grams"))
-    a, b = grams.alias("a"), grams.alias("b")
+    sizes = (
+        per_gram.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_grams"))
+    )
+    # ordered pairs by double generator (posexplode anchor + explode of
+    # the strictly-later slice) — plain generators and slice(), no array
+    # lambda, per the suite-wide interpreted-HOF ban
     pairs = (
-        a.join(
-            b,
-            (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.source") < F.col("b.source")),
+        per_gram.select(F.posexplode("ss").alias("i", "source_a"), "ss")
+        .select(
+            "source_a",
+            F.explode(F.expr("slice(ss, i + 2, size(ss))")).alias(
+                "source_b"
+            ),
         )
-        .groupBy(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
-        )
+        .groupBy("source_a", "source_b")
         .agg(F.count("*").alias("shared_grams"))
     )
     sa = sizes.select(
