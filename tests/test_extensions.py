@@ -1105,39 +1105,55 @@ def test_spark_percentile_disc_is_ceil_rank(spark):
     Spark side's percentile_disc aggregate picks the identical element, so
     the two formulations can share a hash. If a pyspark upgrade ever moves
     this policy, this test — not a driver hash-fail — reports it."""
+    # r13 (suite wall time): the identical assertions, batched — the
+    # original ran one ~0.25 s Spark job PER (n, q) pair (121 + 6 jobs,
+    # ~31 s of the suite); grouping all n-prefixes into one table and
+    # evaluating every quantile as one aggregate list runs TWO jobs.
+    quants = [(1, 100), (25, 100), (50, 100), (75, 100),
+              (90, 100), (95, 100), (99, 100),
+              (495, 1000), (505, 1000), (945, 1000), (995, 1000)]
+    rows = [(n, float(i)) for n in range(1, 12) for i in range(1, n + 1)]
+    df = spark.createDataFrame(rows, "n int, v double")
+    df.createOrReplaceTempView("_pd_probe")
+    aggs = ", ".join(
+        f"percentile_disc({num / den!r}) WITHIN GROUP (ORDER BY v) AS p{i}"
+        for i, (num, den) in enumerate(quants)
+    )
+    got = {
+        r["n"]: r
+        for r in spark.sql(
+            f"SELECT n, {aggs} FROM _pd_probe GROUP BY n"
+        ).collect()
+    }
     for n in range(1, 12):
-        df = spark.createDataFrame([(float(i),) for i in range(1, n + 1)], "v double")
-        df.createOrReplaceTempView("_pd_probe")
-        for num, den in [(1, 100), (25, 100), (50, 100), (75, 100),
-                         (90, 100), (95, 100), (99, 100),
-                         (495, 1000), (505, 1000), (945, 1000), (995, 1000)]:
-            q = num / den
-            got = spark.sql(
-                f"SELECT percentile_disc({q!r}) WITHIN GROUP (ORDER BY v) "
-                "AS p FROM _pd_probe"
-            ).first().p
+        for i, (num, den) in enumerate(quants):
             want = float((n * num + den - 1) // den)  # ceil(n*q), exact ints
-            assert got == want, (n, q, got, want)
+            assert got[n][f"p{i}"] == want, (n, num / den, got[n][f"p{i}"], want)
     # Large-n cases where n*q lands EXACTLY on an integer (ADVICE r4): the
     # only theoretical divergence point between ceil-rank and a float
     # cume_dist>=q convention is whether an exactly-integer product selects
     # rank n*q or n*q+1. Production calls run q in {0.01,0.25,0.5,0.75,
     # 0.9,0.99} over groups of thousands, so pin the boundary at the sizes
     # where those literals hit integers.
-    for n, num, den in [(1000, 90, 100), (100, 1, 100), (100, 99, 100),
-                        (1000, 25, 100), (200, 50, 100), (500, 99, 100)]:
-        df = spark.createDataFrame(
-            [(float(i),) for i in range(1, n + 1)], "v double"
-        )
-        df.createOrReplaceTempView("_pd_probe")
-        q = num / den
-        got = spark.sql(
-            f"SELECT percentile_disc({q!r}) WITHIN GROUP (ORDER BY v) "
-            "AS p FROM _pd_probe"
-        ).first().p
+    large = [(1000, 90, 100), (100, 1, 100), (100, 99, 100),
+             (1000, 25, 100), (200, 50, 100), (500, 99, 100)]
+    rows = [
+        (case, float(i))
+        for case, (n, _, _) in enumerate(large)
+        for i in range(1, n + 1)
+    ]
+    df = spark.createDataFrame(rows, "c int, v double")
+    df.createOrReplaceTempView("_pd_probe_large")
+    sel = ", ".join(
+        f"percentile_disc({num / den!r}) WITHIN GROUP (ORDER BY v) "
+        f"FILTER (WHERE c = {case}) AS p{case}"
+        for case, (n, num, den) in enumerate(large)
+    )
+    got_l = spark.sql(f"SELECT {sel} FROM _pd_probe_large").first()
+    for case, (n, num, den) in enumerate(large):
         want = float((n * num + den - 1) // den)  # == n*q exactly here
         assert (n * num) % den == 0  # the case under test: integer product
-        assert got == want, (n, q, got, want)
+        assert got_l[f"p{case}"] == want, (n, num / den, got_l[f"p{case}"], want)
 
 
 def test_catalog_rejects_complex_output_columns(spark):
