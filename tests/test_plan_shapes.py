@@ -1577,3 +1577,101 @@ def test_hll_cumulative_snapshots_zero_fact_scan_window_merge(spark):
     for block in plan.split("\n\n"):
         if re.match(r"\(\d+\) Scan parquet", block):
             assert "hll_year_regs" in block, block.splitlines()[0]
+
+
+def test_promo_share_groups_on_truncated_month_single_multiply(spark):
+    """r13 pin for olap_promo_revenue_share's per-task-work fix: the
+    grouping key must be the month-TRUNCATED timestamp (integer micros
+    arithmetic; the per-row 'yyyy-MM' formatter runs only on the
+    |months|-sized aggregate output), and the decimal revenue multiply
+    must be PROJECTED once per row — the inlined form evaluated the
+    beyond-compact-long BigDecimal product twice per row, once inside
+    each conditional sum."""
+    df = QUERIES["olap_promo_revenue_share"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "date_trunc(month" in plan
+    assert count_exchanges(df) == 1
+    assert has_broadcast_join(df)
+    # the multiply appears in ONE partial-agg block and references the
+    # projected attribute, not a re-derived expression per sum: the
+    # decimal product pattern must occur exactly once in the partial
+    # HashAggregate's detail block
+    partials = [b for b in plan.split("\n\n") if "partial_sum" in b]
+    assert len(partials) == 1
+    assert partials[0].count("* (1") <= 1
+
+
+def test_kcore_degree_by_dst_equals_degree_by_src(spark):
+    """r13 invariant behind the k-core dst-keyed aggregation: the
+    symmetrized edge artifact (and any both-endpoint restriction of it)
+    yields identical (node, degree) sets grouped by either endpoint —
+    the property that made the clustered-layout switch value-safe."""
+    from mapreducer_pi_cs4433_spark.queries.extensions import (
+        ensure_pagerank_graph,
+    )
+
+    sym, _ = ensure_pagerank_graph(spark, SF_SMOKE)
+    by_src = {
+        (r[0], r[1])
+        for r in sym.groupBy(F.col("src").alias("n"))
+        .agg(F.count("*").alias("d"))
+        .collect()
+    }
+    by_dst = {
+        (r[0], r[1])
+        for r in sym.groupBy(F.col("dst").alias("n"))
+        .agg(F.count("*").alias("d"))
+        .collect()
+    }
+    assert by_src == by_dst and by_src
+
+
+def test_er_fuzzy_thresholded_levenshtein_equals_unbounded(spark):
+    """r13 pin for the banded-levenshtein switch: the 3-arg thresholded
+    form (dist >= 0 filter; -1 encodes 'past the band') must produce
+    the IDENTICAL pair set and edit distances as the unbounded form's
+    dist <= max filter, on the real blocked candidate stream."""
+    from mapreducer_pi_cs4433_spark.queries.pipeline_ext import _ER_MAX_EDIT
+
+    got = {
+        tuple(r)
+        for r in QUERIES["er_fuzzy_name_pairs"](spark, SF_SMOKE).collect()
+    }
+    from mapreducer_pi_cs4433_spark.queries.catalog import _t
+
+    names = (
+        _t(spark, SF_SMOKE, "part")
+        .groupBy("p_name")
+        .agg(F.count("*").alias("n_listings"))
+    )
+    keyed = names.select(
+        "p_name",
+        "n_listings",
+        F.element_at(F.split("p_name", " "), -1).alias("blk"),
+    )
+    a = keyed.select(
+        F.col("p_name").alias("name_a"),
+        F.col("n_listings").alias("listings_a"),
+        "blk",
+    )
+    b = keyed.select(
+        F.col("p_name").alias("name_b"),
+        F.col("n_listings").alias("listings_b"),
+        "blk",
+    )
+    dist = F.levenshtein("name_a", "name_b")  # unbounded reference
+    want = {
+        tuple(r)
+        for r in a.join(F.broadcast(b), "blk")
+        .filter((F.col("name_a") < F.col("name_b")) & (dist <= _ER_MAX_EDIT))
+        .select(
+            "name_a",
+            "name_b",
+            dist.cast("int").alias("edit_dist"),
+            (F.col("listings_a") + F.col("listings_b"))
+            .cast("long")
+            .alias("pair_listings"),
+        )
+        .collect()
+    }
+    assert got == want and got
